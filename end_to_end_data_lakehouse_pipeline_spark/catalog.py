@@ -1,0 +1,68 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+``/root/testdata/sf*/{name}.parquet`` — TPC-H-ish star schema plus an
+``events`` stream table, ``documents`` (text corpus) and ``embeddings``
+(array<float> vectors). See TESTDATA.md / FIXTURES.md §3 for the role
+mapping onto the reference's Olist model (reference schemas:
+postgres_init/init.sql).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# The driver-generated parquet stores timestamps as INT64 TIMESTAMP(NANOS),
+# which vanilla Spark rejects. Read them as longs (legacy conf) and convert
+# with integer division — double division of epoch-nanos (~1.7e18) would
+# lose precision past the 53-bit mantissa.
+NANOS_TS_COLUMNS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one table. Catalyst pushes filters/projections into
+    this scan (check ``PushedFilters`` / ``ReadSchema`` in .explain)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamps compare against a UTC-naive DuckDB oracle; pin the
+        # session tz so rendering is stable whatever session we were handed.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf removed/renamed — fall through and hope the reader copes
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in NANOS_TS_COLUMNS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the tables as temp views so Spark SQL text can reference
+    them under the same names the DuckDB oracle uses."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,329 @@
+"""Gold-layer analytics queries (reference: spark/batch_gold.py).
+
+The reference builds four gold tables from the silver e-commerce model:
+``orders_enriched`` (batch_gold.py:42-160), ``daily_sales_summary``
+(:162-186), ``customer_segments`` (:188-222), ``product_performance``
+(:224-256). Here the same shapes are transposed onto the TPC-H-ish test
+tables (orders/lineitem/customer/part play orders/order_items/customers/
+products — see FIXTURES.md §3) and re-expressed as declarative DataFrame
+plans: Catalyst handles partial aggregation, join selection and column
+pruning; AQE re-plans at runtime.
+
+Determinism upgrades over the reference (SURVEY.md §4 "quirks to not
+copy"): no bare ``first()`` (batch_gold.py:92) or ``dropDuplicates``
+(batch_gold.py:97) — winners are chosen by total orders. Money aggregates
+use exact scaled-integer sums (see plans/parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.dates import isodow
+from .parity import exact_avg, exact_sum, o_avg, o_sum
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# orders_enriched — the flagship: per-order item rollup (A1) ⟕ orders ⟕
+# customer (J1) with derived date parts and money rollups (P9).
+# Scale notes: the groupBy(l_orderkey) agg is a partial+final hash agg;
+# orders⟕items shuffles both sides on the same key (exchange reuse);
+# customer is the small side and broadcasts under AQE at any SF where it
+# fits, else shuffles by key after Catalyst prunes it to 4 columns.
+# ---------------------------------------------------------------------------
+
+ORDERS_ENRICHED_ORACLE = f"""
+WITH items AS (
+    SELECT
+        l_orderkey,
+        COUNT(*) AS item_count,
+        SUM(l_quantity) AS total_qty,
+        {o_sum('l_extendedprice', 'gross_revenue')},
+        {o_sum('l_extendedprice * (1 - l_discount)', 'net_revenue')},
+        COUNT(DISTINCT l_partkey) AS distinct_parts,
+        COUNT(DISTINCT l_suppkey) AS distinct_suppliers
+    FROM lineitem
+    GROUP BY l_orderkey
+)
+SELECT
+    o.o_orderkey,
+    o.o_custkey,
+    o.o_orderstatus,
+    o.o_orderpriority,
+    o.o_totalprice AS order_total,
+    CAST(o.o_orderdate AS DATE) AS order_date,
+    CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+    CAST(month(o.o_orderdate) AS INTEGER) AS order_month,
+    CAST(isodow(o.o_orderdate) AS INTEGER) AS order_dow,
+    c.c_name AS customer_name,
+    c.c_mktsegment AS customer_segment,
+    c.c_nationkey AS customer_nation,
+    COALESCE(i.item_count, 0) AS item_count,
+    COALESCE(i.total_qty, 0.0) AS total_qty,
+    COALESCE(i.gross_revenue, 0.0) AS gross_revenue,
+    COALESCE(i.net_revenue, 0.0) AS net_revenue,
+    COALESCE(i.distinct_parts, 0) AS distinct_parts,
+    COALESCE(i.distinct_suppliers, 0) AS distinct_suppliers
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN items i ON o.o_orderkey = i.l_orderkey
+"""
+
+
+def build_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("item_count"),
+        F.sum("l_quantity").alias("total_qty"),
+        exact_sum("l_extendedprice", "gross_revenue"),
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "net_revenue"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+    )
+
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(items, orders.o_orderkey == items.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_totalprice").alias("order_total"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            isodow("o_orderdate").alias("order_dow"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("customer_segment"),
+            F.col("c_nationkey").alias("customer_nation"),
+            F.coalesce("item_count", F.lit(0)).alias("item_count"),
+            F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
+            F.coalesce("gross_revenue", F.lit(0.0)).alias("gross_revenue"),
+            F.coalesce("net_revenue", F.lit(0.0)).alias("net_revenue"),
+            F.coalesce("distinct_parts", F.lit(0)).alias("distinct_parts"),
+            F.coalesce("distinct_suppliers", F.lit(0)).alias("distinct_suppliers"),
+        )
+    )
+
+
+register(
+    "orders_enriched",
+    oracle=ORDERS_ENRICHED_ORACLE,
+    doc="Flagship: per-order lineitem rollup ⟕ orders ⟕ customer "
+    "(reference batch_gold.py:42-160 transposed).",
+    tags=("gold", "join", "agg", "flagship"),
+)(build_orders_enriched)
+
+
+# ---------------------------------------------------------------------------
+# daily_sales_summary — group by order date (reference batch_gold.py:162-186).
+# ---------------------------------------------------------------------------
+
+DAILY_SALES_ORACLE = f"""
+SELECT
+    strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+    COUNT(*) AS total_orders,
+    COUNT(DISTINCT o_custkey) AS unique_customers,
+    {o_sum('o_totalprice', 'total_revenue')},
+    {o_avg('o_totalprice', 'avg_order_value')},
+    MAX(o_totalprice) AS max_order_value,
+    MIN(o_totalprice) AS min_order_value
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY 1
+"""
+
+
+def build_daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")  # P4: status filter
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            exact_sum("o_totalprice", "total_revenue"),
+            exact_avg("o_totalprice", "avg_order_value"),
+            F.max("o_totalprice").alias("max_order_value"),
+            F.min("o_totalprice").alias("min_order_value"),
+        )
+        .orderBy("order_date")  # O1: global sort (range-partitioned exchange)
+    )
+
+
+register(
+    "daily_sales_summary",
+    oracle=DAILY_SALES_ORACLE,
+    doc="Daily sales rollup with status filter (batch_gold.py:162-186).",
+    tags=("gold", "agg"),
+)(build_daily_sales_summary)
+
+
+# ---------------------------------------------------------------------------
+# customer_rfm_segments — RFM metrics + CASE segmentation (batch_gold.py:
+# 188-222). The global max date is fetched as a driver-side scalar (S12,
+# batch_gold.py:195) — one row over the wire, fine at any scale.
+# ---------------------------------------------------------------------------
+
+RFM_ORACLE = f"""
+WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders),
+rfm AS (
+    SELECT
+        o_custkey,
+        CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), (SELECT max_date FROM maxd))
+             AS INTEGER) AS recency_days,
+        COUNT(*) AS frequency,
+        {o_sum('o_totalprice', 'monetary')},
+        {o_avg('o_totalprice', 'avg_order_value')},
+        MIN(CAST(o_orderdate AS DATE)) AS first_order_date,
+        MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT
+    *,
+    CASE
+        WHEN recency_days <= 180 AND frequency >= 12 THEN 'champion'
+        WHEN recency_days <= 365 AND frequency >= 6 THEN 'loyal'
+        WHEN recency_days <= 730 THEN 'active'
+        WHEN recency_days <= 1460 THEN 'at_risk'
+        ELSE 'hibernating'
+    END AS segment
+FROM rfm
+"""
+
+
+def build_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    max_date = orders.agg(F.max("order_date")).first()[0]  # S12 scalar fetch
+
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(max_date), F.max("order_date")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum("o_totalprice", "monetary"),
+        exact_avg("o_totalprice", "avg_order_value"),
+        F.min("order_date").alias("first_order_date"),
+        F.max("order_date").alias("last_order_date"),
+    )
+    # 4-way CASE segmentation (batch_gold.py:210-216 pattern, TPC-H date span)
+    segment = (
+        F.when((F.col("recency_days") <= 180) & (F.col("frequency") >= 12), "champion")
+        .when((F.col("recency_days") <= 365) & (F.col("frequency") >= 6), "loyal")
+        .when(F.col("recency_days") <= 730, "active")
+        .when(F.col("recency_days") <= 1460, "at_risk")
+        .otherwise("hibernating")
+    )
+    return rfm.withColumn("segment", segment)
+
+
+register(
+    "customer_rfm_segments",
+    oracle=RFM_ORACLE,
+    doc="RFM customer segmentation with CASE buckets (batch_gold.py:188-222).",
+    tags=("gold", "agg", "case"),
+)(build_customer_rfm_segments)
+
+
+# ---------------------------------------------------------------------------
+# product_performance — per-part sales rollup joined to part attributes
+# (batch_gold.py:224-256). part is broadcast: it is the small dim side.
+# ---------------------------------------------------------------------------
+
+PRODUCT_PERF_ORACLE = f"""
+SELECT
+    p.p_partkey,
+    p.p_name,
+    p.p_brand,
+    p.p_type,
+    COUNT(*) AS times_sold,
+    COUNT(DISTINCT l.l_orderkey) AS distinct_orders,
+    SUM(l.l_quantity) AS total_qty,
+    {o_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+    {o_avg('l.l_extendedprice', 'avg_price')},
+    {o_avg('l.l_discount', 'avg_discount')}
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name, p.p_brand, p.p_type
+"""
+
+
+def build_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)  # J3
+        .groupBy("p_partkey", "p_name", "p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("times_sold"),
+            F.countDistinct("l_orderkey").alias("distinct_orders"),
+            F.sum("l_quantity").alias("total_qty"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            exact_avg("l_extendedprice", "avg_price"),
+            exact_avg("l_discount", "avg_discount"),
+        )
+    )
+
+
+register(
+    "product_performance",
+    oracle=PRODUCT_PERF_ORACLE,
+    doc="Per-product sales metrics, broadcast dim join (batch_gold.py:224-256).",
+    tags=("gold", "agg", "broadcast"),
+)(build_product_performance)
+
+
+# ---------------------------------------------------------------------------
+# payments_rollup — per-user event rollup with a DETERMINISTIC first()
+# (reference batch_gold.py:90-94 used bare first(); here min_by over a
+# total order (ts, event_id) — same single-shuffle aggregation).
+# ---------------------------------------------------------------------------
+
+PAYMENTS_ROLLUP_ORACLE = f"""
+WITH firsts AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+agg AS (
+    SELECT
+        user_id,
+        COUNT(*) AS event_count,
+        {o_sum('value', 'total_value')},
+        MAX(value) AS max_value,
+        MAX(ts) AS last_event_ts
+    FROM events
+    GROUP BY user_id
+)
+SELECT a.user_id, a.event_count, a.total_value, a.max_value,
+       f.event_type AS first_event_type, a.last_event_ts
+FROM agg a
+JOIN firsts f ON a.user_id = f.user_id AND f.rn = 1
+"""
+
+
+def build_payments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        exact_sum("value", "total_value"),
+        F.max("value").alias("max_value"),
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_event_type"),
+        F.max("ts").alias("last_event_ts"),
+    )
+
+
+register(
+    "payments_rollup",
+    oracle=PAYMENTS_ROLLUP_ORACLE,
+    doc="Per-user rollup with deterministic first() via min_by "
+    "(batch_gold.py:90-94, determinism upgrade).",
+    tags=("gold", "agg", "deterministic-first"),
+)(build_payments_rollup)
