@@ -1,0 +1,721 @@
+"""Relational operator corpus (SURVEY.md §2.2-2.7).
+
+One registered query per operator family from the reference's inventory:
+projections/casts (P1/P9), predicate filters (P4/P7/P11), window dedup
+(W1, batch_silver.py:107-112) and first-per-group (W2, load_warehouse.py:
+287-289), deterministic dropDuplicates (A7 upgrade), anti/semi joins (J6,
+data_generator.py:275-280), join+limit (J7), top-k (O1-O3), distinct (A6),
+scalar-function families (§2.7), enum literal maps (load_warehouse.py:106),
+surrogate keys (load_warehouse.py:109 — md5 here for cross-engine parity;
+xxhash64 is the Spark-native alternative), JSON envelope extraction
+(batch_silver.py:60-82), and the generated time dimension
+(02_dim_tables.sql:63-65 → explode(sequence)).
+
+Plus engine-completeness operators the reference lacks: set ops, pivot,
+rollup, analytic windows (lag/lead/rank/running sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.dates import date_key, isodow
+from .parity import exact_avg, exact_sum, o_avg, o_sum
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# P1/P9 — typed projection with casts, aliases, derivations.
+# ---------------------------------------------------------------------------
+
+PROJECTION_ORACLE = """
+SELECT
+    o_orderkey,
+    CAST(o_orderkey AS VARCHAR) AS order_key_str,
+    CAST(o_custkey AS INTEGER) AS cust_key_int,
+    o_totalprice AS total_price,
+    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_price_cents,
+    upper(o_orderstatus) AS status_upper,
+    lower(o_orderpriority) AS priority_lower,
+    substr(o_orderpriority, 1, 1) AS priority_code,
+    CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
+    o_orderstatus || '-' || o_orderpriority AS status_priority,
+    CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+"""
+
+
+def build_projection_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("order_key_str"),
+        F.col("o_custkey").cast("int").alias("cust_key_int"),
+        F.col("o_totalprice").alias("total_price"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_price_cents"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.lower("o_orderpriority").alias("priority_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+register(
+    "projection_cast_rename",
+    oracle=PROJECTION_ORACLE,
+    doc="Typed projection: casts, aliases, string fns (P1/P9, streaming_bronze.py:80-89).",
+    tags=("relational", "projection"),
+)(build_projection_cast_rename)
+
+
+# ---------------------------------------------------------------------------
+# P4/P7/P11 — predicate families: equality, isin, range, boolean algebra.
+# ---------------------------------------------------------------------------
+
+FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+       l_returnflag, l_linestatus
+FROM lineitem
+WHERE l_returnflag <> 'A'
+  AND l_linestatus IN ('O', 'F')
+  AND l_quantity BETWEEN 10 AND 40
+  AND (l_discount <= 0.05 OR l_tax > 0.04)
+  AND l_shipdate IS NOT NULL
+"""
+
+
+def build_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") != "A")
+        & F.col("l_linestatus").isin("O", "F")
+        & F.col("l_quantity").between(10, 40)
+        & ((F.col("l_discount") <= 0.05) | (F.col("l_tax") > 0.04))
+        & F.col("l_shipdate").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
+register(
+    "filter_predicates",
+    oracle=FILTER_ORACLE,
+    doc="Predicate families pushed to the parquet scan (P4/P7/P11).",
+    tags=("relational", "filter"),
+)(build_filter_predicates)
+
+
+# ---------------------------------------------------------------------------
+# W1 — CDC last-write-wins dedup: latest row per key by timestamp.
+# (batch_silver.py:107-112; events.user_id plays the PK.)
+# ---------------------------------------------------------------------------
+
+CDC_LATEST_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def build_cdc_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)  # P6: window-rank filter
+        .drop("_rn")  # P8
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+register(
+    "cdc_latest_state_per_key",
+    oracle=CDC_LATEST_ORACLE,
+    doc="Last-write-wins dedup via row_number window (W1, batch_silver.py:107-112).",
+    tags=("relational", "window", "cdc"),
+)(build_cdc_latest_state_per_key)
+
+
+# ---------------------------------------------------------------------------
+# W2/A7 — deterministic first-row-per-group (replaces dropDuplicates).
+# ---------------------------------------------------------------------------
+
+# NOTE: (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+# window order must be a total order over every output column to make the
+# winner well-defined on both engines.
+FIRST_ITEM_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+) = 1
+"""
+
+
+def build_first_item_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+    )
+
+
+register(
+    "first_item_per_order",
+    oracle=FIRST_ITEM_ORACLE,
+    doc="Deterministic first row per group (W2 load_warehouse.py:287-289; "
+    "A7 dropDuplicates made deterministic).",
+    tags=("relational", "window"),
+)(build_first_item_per_order)
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct.
+# ---------------------------------------------------------------------------
+
+DISTINCT_ORACLE = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+
+def build_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+register(
+    "distinct_segments",
+    oracle=DISTINCT_ORACLE,
+    doc="Distinct projection (A6, load_warehouse.py:115).",
+    tags=("relational",),
+)(build_distinct_segments)
+
+
+# ---------------------------------------------------------------------------
+# J6 — anti join: customers with no events at all (the reference's
+# "delivered orders with no review" pattern, data_generator.py:275-280).
+# J-semi as the dual.
+# ---------------------------------------------------------------------------
+
+ANTI_JOIN_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+def build_customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    events = table(spark, sf_dir, "events")
+    return customer.join(
+        events, customer.c_custkey == events.user_id, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+register(
+    "customers_without_events",
+    oracle=ANTI_JOIN_ORACLE,
+    doc="Anti join (J6, data_generator.py:275-280 NOT-EXISTS pattern).",
+    tags=("relational", "join"),
+)(build_customers_without_events)
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+"""
+
+
+def build_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+register(
+    "customers_with_open_orders",
+    oracle=SEMI_JOIN_ORACLE,
+    doc="Semi join (EXISTS) — dual of J6.",
+    tags=("relational", "join"),
+)(build_customers_with_open_orders)
+
+
+# ---------------------------------------------------------------------------
+# J7/O1/O2 — join + deterministic top-k (unique tiebreak, so LIMIT is a
+# well-defined set on both engines).
+# ---------------------------------------------------------------------------
+
+TOPK_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, c.c_name, c.c_mktsegment
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+def build_top_orders_with_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "c_name", "c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)  # TakeOrderedAndProject: no global sort materialized
+    )
+
+
+register(
+    "top_orders_with_customer",
+    oracle=TOPK_ORACLE,
+    doc="Join + deterministic top-k (J7/O1/O2; Spark plans TakeOrderedAndProject).",
+    tags=("relational", "join", "topk"),
+)(build_top_orders_with_customer)
+
+
+# ---------------------------------------------------------------------------
+# Set ops — engine completeness (reference has none, SURVEY §2.6).
+# ---------------------------------------------------------------------------
+
+SET_OPS_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def build_set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.distinct().subtract(done_c.distinct())
+
+
+register(
+    "set_ops_except",
+    oracle=SET_OPS_ORACLE,
+    doc="EXCEPT set op (engine completeness; reference has no set ops).",
+    tags=("relational", "setops"),
+)(build_set_ops_except)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function showcase (§2.7): CASE chains, coalesce, date functions
+# with ClickHouse parity (isodow), arithmetic.
+# ---------------------------------------------------------------------------
+
+SCALAR_ORACLE = """
+SELECT
+    o_orderkey,
+    CASE
+        WHEN o_totalprice >= 300000 THEN 'high'
+        WHEN o_totalprice >= 100000 THEN 'mid'
+        ELSE 'low'
+    END AS price_band,
+    CASE WHEN o_orderstatus = 'O' THEN 'open'
+         WHEN o_orderstatus = 'F' THEN 'finished'
+         ELSE 'processing' END AS status_label,
+    COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'LOW-PRIORITY') AS priority_or_default,
+    CAST(year(o_orderdate) AS INTEGER) AS y,
+    CAST(quarter(o_orderdate) AS INTEGER) AS q,
+    CAST(month(o_orderdate) AS INTEGER) AS m,
+    CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+    CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+    CAST(isodow(o_orderdate) AS INTEGER) AS dow_mon1,
+    CAST(hour(o_orderdate) AS INTEGER) AS hr,
+    strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+    CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS yyyymm,
+    CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER)
+        AS days_to_eoy,
+    o_totalprice / 100.0 AS price_hundredths,
+    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 97 AS mod97
+FROM orders
+"""
+
+
+def build_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("processing")
+        .alias("status_label"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("5-LOW")), F.lit("LOW-PRIORITY")).alias(
+            "priority_or_default"
+        ),
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        isodow("o_orderdate").alias("dow_mon1"),
+        F.hour("o_orderdate").alias("hr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.date_format("o_orderdate", "yyyyMM").cast("int").alias("yyyymm"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_eoy"
+        ),
+        (F.col("o_totalprice") / 100.0).alias("price_hundredths"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") % 97).alias("mod97"),
+    )
+
+
+register(
+    "scalar_functions",
+    oracle=SCALAR_ORACLE,
+    doc="CASE/coalesce/date-part/arithmetic showcase with ClickHouse dow parity "
+    "(§2.7; 02_dim_tables.sql:29-60).",
+    tags=("relational", "scalar"),
+)(build_scalar_functions)
+
+
+# ---------------------------------------------------------------------------
+# Enum literal map (load_warehouse.py:106, 192-197): Python dict → map
+# lookup with default.
+# ---------------------------------------------------------------------------
+
+PRIORITY_CLASS = {
+    "1-URGENT": "critical",
+    "2-HIGH": "elevated",
+    "3-MEDIUM": "standard",
+}
+
+ENUM_MAP_ORACLE = """
+SELECT
+    o_orderkey,
+    o_orderpriority,
+    CASE o_orderpriority
+        WHEN '1-URGENT' THEN 'critical'
+        WHEN '2-HIGH' THEN 'elevated'
+        WHEN '3-MEDIUM' THEN 'standard'
+        ELSE 'routine'
+    END AS priority_class
+FROM orders
+"""
+
+
+def build_enum_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    kv = []
+    for k, v in PRIORITY_CLASS.items():
+        kv += [F.lit(k), F.lit(v)]
+    lookup = F.create_map(*kv)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce(
+            F.element_at(lookup, F.col("o_orderpriority")), F.lit("routine")
+        ).alias("priority_class"),
+    )
+
+
+register(
+    "enum_map_lookup",
+    oracle=ENUM_MAP_ORACLE,
+    doc="Driver-side dict → create_map literal lookup with default "
+    "(load_warehouse.py:106, 192-197).",
+    tags=("relational", "scalar"),
+)(build_enum_map_lookup)
+
+
+# ---------------------------------------------------------------------------
+# Surrogate keys + dim join (load_warehouse.py:104-121): md5 keys for
+# cross-engine parity (Spark-native path would be xxhash64), nation/region
+# broadcast joins.
+# ---------------------------------------------------------------------------
+
+SURROGATE_ORACLE = """
+SELECT
+    md5(CAST(c.c_custkey AS VARCHAR)) AS customer_key,
+    c.c_custkey,
+    c.c_name,
+    c.c_mktsegment,
+    COALESCE(n.n_name, 'UNKNOWN') AS nation_name,
+    COALESCE(r.r_name, 'UNKNOWN') AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def build_dim_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            F.md5(F.col("c_custkey").cast("string")).alias("customer_key"),
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"),
+            F.coalesce("r_name", F.lit("UNKNOWN")).alias("region_name"),
+        )
+    )
+
+
+register(
+    "dim_customer_keys",
+    oracle=SURROGATE_ORACLE,
+    doc="Surrogate-keyed customer dim with snowflaked broadcast joins "
+    "(load_warehouse.py:104-121; md5 for engine parity).",
+    tags=("relational", "star", "broadcast"),
+)(build_dim_customer_keys)
+
+
+# ---------------------------------------------------------------------------
+# Generated time dimension (02_dim_tables.sql:63-65: arrayJoin(range) →
+# explode(sequence)).
+# ---------------------------------------------------------------------------
+
+TIME_DIM_ORACLE = """
+SELECT
+    CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+    CAST(d AS DATE) AS full_date,
+    CAST(year(d) AS INTEGER) AS y,
+    CAST(quarter(d) AS INTEGER) AS q,
+    CAST(month(d) AS INTEGER) AS m,
+    CAST(dayofmonth(d) AS INTEGER) AS dom,
+    CAST(isodow(d) AS INTEGER) AS dow_mon1,
+    isodow(d) >= 6 AS is_weekend
+FROM (
+    SELECT UNNEST(generate_series(DATE '1995-01-01', DATE '1998-12-31',
+                                  INTERVAL 1 DAY)) AS d
+)
+"""
+
+
+def build_time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode(sequence(...)) runs entirely in the JVM; at scale the range
+    # is tiny (one row per day) so a single task generating it is correct.
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1998-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    return days.select(
+        date_key("d").alias("date_key"),
+        F.col("d").alias("full_date"),
+        F.year("d").alias("y"),
+        F.quarter("d").alias("q"),
+        F.month("d").alias("m"),
+        F.dayofmonth("d").alias("dom"),
+        isodow("d").alias("dow_mon1"),
+        (isodow("d") >= 6).alias("is_weekend"),
+    )
+
+
+register(
+    "time_dimension",
+    oracle=TIME_DIM_ORACLE,
+    doc="Generated date dim via explode(sequence) (02_dim_tables.sql:63-65).",
+    tags=("relational", "star", "generator"),
+)(build_time_dimension)
+
+
+# ---------------------------------------------------------------------------
+# JSON envelope extraction (batch_silver.py:60-82): typed from_json over the
+# events.props payload — the engine's upgrade over the reference's untyped
+# Map<String,String> parse.
+# ---------------------------------------------------------------------------
+
+JSON_ORACLE = """
+SELECT
+    event_id,
+    event_type,
+    CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k,
+    CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS prop_k_doubled,
+    CAST(json_extract(props, '$.missing') AS VARCHAR) IS NULL AS missing_is_null
+FROM events
+"""
+
+
+def build_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "_p", F.from_json("props", "k INT, missing STRING")
+    )
+    return parsed.select(
+        "event_id",
+        "event_type",
+        F.col("_p.k").alias("prop_k"),
+        (F.col("_p.k") * 2).alias("prop_k_doubled"),
+        F.col("_p.missing").isNull().alias("missing_is_null"),
+    )
+
+
+register(
+    "json_extract_events",
+    oracle=JSON_ORACLE,
+    doc="Typed from_json envelope parse (batch_silver.py:60-82 upgrade: "
+    "StructType instead of Map<String,String>).",
+    tags=("relational", "json", "cdc"),
+)(build_json_extract_events)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (engine completeness): order counts by status per year.
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT
+    CAST(year(o_orderdate) AS INTEGER) AS order_year,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_open,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_finished,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_processing
+FROM orders
+GROUP BY 1
+"""
+
+
+def build_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("cnt_open"),
+            F.coalesce("F", F.lit(0)).alias("cnt_finished"),
+            F.coalesce("P", F.lit(0)).alias("cnt_processing"),
+        )
+    )
+
+
+register(
+    "pivot_status_by_year",
+    oracle=PIVOT_ORACLE,
+    doc="Pivot → conditional aggregation (engine completeness).",
+    tags=("relational", "pivot"),
+)(build_pivot_status_by_year)
+
+
+# ---------------------------------------------------------------------------
+# Rollup with grouping flags (engine completeness).
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = f"""
+SELECT
+    CAST(year(o_orderdate) AS INTEGER) AS order_year,
+    o_orderstatus,
+    CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+    COUNT(*) AS n_orders,
+    {o_sum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+"""
+
+
+def build_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("order_year"), "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
+        .select("order_year", "o_orderstatus", "gid", "n_orders", "revenue")
+    )
+
+
+register(
+    "rollup_sales",
+    oracle=ROLLUP_ORACLE,
+    doc="ROLLUP + grouping_id (engine completeness; no grouping sets in reference).",
+    tags=("relational", "rollup"),
+)(build_rollup_sales)
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows (engine completeness; reference only has row_number):
+# lag/lead, rank, running sums — running money uses exact cents.
+# ---------------------------------------------------------------------------
+
+WINDOW_ORACLE = """
+SELECT
+    o_custkey,
+    o_orderkey,
+    CAST(o_orderdate AS DATE) AS order_date,
+    o_totalprice,
+    CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
+    CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         AS INTEGER) AS spend_rank,
+    LAG(o_totalprice) OVER w AS prev_total,
+    LEAD(o_totalprice) OVER w AS next_total,
+    CAST(date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE))
+         AS INTEGER) AS days_since_prev,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def build_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+        F.row_number().over(w).alias("order_seq"),
+        F.rank().over(wrank).alias("spend_rank"),
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        F.lead("o_totalprice").over(w).alias("next_total"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).over(wrun).cast("double")
+            / 100.0
+        ).alias("running_spend"),
+    )
+
+
+register(
+    "window_analytics",
+    oracle=WINDOW_ORACLE,
+    doc="lag/lead/rank/running-sum analytics (engine completeness beyond W1/W2).",
+    tags=("relational", "window"),
+)(build_window_analytics)
