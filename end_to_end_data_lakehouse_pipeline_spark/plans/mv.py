@@ -1,0 +1,322 @@
+"""The 7 materialized-view aggregates (clickhouse_init/04_materialized_views.sql).
+
+The reference pre-aggregates its star schema into 7 SummingMergeTree MVs
+(daily, monthly, category, state, seller, payment, hourly — 04:11-126).
+In this engine each MV is a declarative Spark aggregation: batch = Catalyst
+partial+final hash agg (the SummingMergeTree analogue — map-side partials
+merge per key); the streaming variant of the same queries lives in
+``streaming/aggregates.py`` (watermarked windowed aggregation,
+outputMode=update).
+
+Dims join before grouping exactly as the MVs do (J5: fact ⟕ dim on key;
+dims broadcast — they are orders of magnitude smaller than facts at every
+scale, which is what makes these plans survive 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.dates import isodow
+from .parity import exact_avg, exact_sum, o_avg, o_sum
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# A9 — mv_daily_sales (04_materialized_views.sql:11-25) on lineitem grain.
+# ---------------------------------------------------------------------------
+
+MV_DAILY_ORACLE = f"""
+SELECT
+    CAST(l_shipdate AS DATE) AS ship_date,
+    COUNT(*) AS n_items,
+    COUNT(DISTINCT l_orderkey) AS n_orders,
+    COUNT(DISTINCT l_partkey) AS n_parts,
+    SUM(l_quantity) AS total_qty,
+    {o_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+    {o_avg('l_extendedprice', 'avg_price')},
+    {o_avg('l_discount', 'avg_discount')}
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def build_mv_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum("l_quantity").alias("total_qty"),
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        exact_avg("l_extendedprice", "avg_price"),
+        exact_avg("l_discount", "avg_discount"),
+    )
+
+
+register(
+    "mv_daily_sales",
+    oracle=MV_DAILY_ORACLE,
+    doc="Daily item-grain MV (04_materialized_views.sql:11-25).",
+    tags=("mv", "agg"),
+)(build_mv_daily_sales)
+
+
+# ---------------------------------------------------------------------------
+# A10 — mv_monthly_sales (04:30-42), delivered-only analog filter.
+# ---------------------------------------------------------------------------
+
+MV_MONTHLY_ORACLE = f"""
+SELECT
+    CAST(year(o_orderdate) AS INTEGER) AS y,
+    CAST(month(o_orderdate) AS INTEGER) AS m,
+    COUNT(*) AS n_orders,
+    COUNT(DISTINCT o_custkey) AS n_customers,
+    {o_sum('o_totalprice', 'revenue')},
+    {o_avg('o_totalprice', 'avg_order_value')}
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1, 2
+"""
+
+
+def build_mv_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            exact_sum("o_totalprice", "revenue"),
+            exact_avg("o_totalprice", "avg_order_value"),
+        )
+    )
+
+
+register(
+    "mv_monthly_sales",
+    oracle=MV_MONTHLY_ORACLE,
+    doc="Monthly MV with delivered-analog filter (04_materialized_views.sql:30-42).",
+    tags=("mv", "agg"),
+)(build_mv_monthly_sales)
+
+
+# ---------------------------------------------------------------------------
+# A11 — mv_category_sales (04:47-59): join product dim, group by category.
+# p_type plays the category; part broadcasts (J5).
+# ---------------------------------------------------------------------------
+
+MV_CATEGORY_ORACLE = f"""
+SELECT
+    p.p_type AS category,
+    COUNT(*) AS n_items,
+    COUNT(DISTINCT l.l_orderkey) AS n_orders,
+    SUM(l.l_quantity) AS total_qty,
+    {o_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+    {o_avg('l.l_extendedprice * (1 - l.l_discount)', 'avg_item_revenue')}
+FROM lineitem l
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+"""
+
+
+def build_mv_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .groupBy(F.col("p_type").alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("l_quantity").alias("total_qty"),
+            exact_sum(net, "revenue"),
+            exact_avg(net, "avg_item_revenue"),
+        )
+    )
+
+
+register(
+    "mv_category_sales",
+    oracle=MV_CATEGORY_ORACLE,
+    doc="Category MV: broadcast dim join then group (04_materialized_views.sql:47-59).",
+    tags=("mv", "agg", "broadcast"),
+)(build_mv_category_sales)
+
+
+# ---------------------------------------------------------------------------
+# A12 — mv_state_sales (04:64-76): customer geo dim, group by nation.
+# ---------------------------------------------------------------------------
+
+MV_STATE_ORACLE = f"""
+SELECT
+    n.n_name AS nation,
+    r.r_name AS region,
+    COUNT(*) AS n_orders,
+    COUNT(DISTINCT o.o_custkey) AS n_customers,
+    {o_sum('o.o_totalprice', 'revenue')},
+    {o_avg('o.o_totalprice', 'avg_order_value')}
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+def build_mv_state_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            exact_sum("o_totalprice", "revenue"),
+            exact_avg("o_totalprice", "avg_order_value"),
+        )
+    )
+
+
+register(
+    "mv_state_sales",
+    oracle=MV_STATE_ORACLE,
+    doc="Geo MV: snowflaked dims then group (04_materialized_views.sql:64-76).",
+    tags=("mv", "agg", "broadcast"),
+)(build_mv_state_sales)
+
+
+# ---------------------------------------------------------------------------
+# A13 — mv_seller_performance (04:81-96): multi-col seller grouping.
+# ---------------------------------------------------------------------------
+
+MV_SELLER_ORACLE = f"""
+SELECT
+    s.s_suppkey,
+    s.s_name,
+    n.n_name AS nation,
+    COUNT(*) AS n_items,
+    COUNT(DISTINCT l.l_orderkey) AS n_orders,
+    COUNT(DISTINCT l.l_partkey) AS n_parts,
+    {o_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+    {o_avg('l.l_discount', 'avg_discount')}
+FROM lineitem l
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_suppkey, s.s_name, n.n_name
+"""
+
+
+def build_mv_seller_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "left")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            exact_avg("l_discount", "avg_discount"),
+        )
+    )
+
+
+register(
+    "mv_seller_performance",
+    oracle=MV_SELLER_ORACLE,
+    doc="Seller MV: multi-column grouping after dim joins "
+    "(04_materialized_views.sql:81-96).",
+    tags=("mv", "agg", "broadcast"),
+)(build_mv_seller_performance)
+
+
+# ---------------------------------------------------------------------------
+# A14 — mv_payment_analysis (04:101-112): events play payments.
+# ---------------------------------------------------------------------------
+
+MV_PAYMENT_ORACLE = f"""
+SELECT
+    event_type,
+    COUNT(*) AS n_events,
+    COUNT(DISTINCT user_id) AS n_users,
+    {o_sum('value', 'total_value')},
+    {o_avg('value', 'avg_value')},
+    MIN(value) AS min_value,
+    MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def build_mv_payment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum("value", "total_value"),
+        exact_avg("value", "avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+register(
+    "mv_payment_analysis",
+    oracle=MV_PAYMENT_ORACLE,
+    doc="Payment-type MV on the event stream (04_materialized_views.sql:101-112).",
+    tags=("mv", "agg"),
+)(build_mv_payment_analysis)
+
+
+# ---------------------------------------------------------------------------
+# A15 — mv_hourly_pattern (04:117-126): (hour, iso dow) grid.
+# ---------------------------------------------------------------------------
+
+MV_HOURLY_ORACLE = f"""
+SELECT
+    CAST(hour(ts) AS INTEGER) AS hr,
+    CAST(isodow(ts) AS INTEGER) AS dow_mon1,
+    COUNT(*) AS n_events,
+    COUNT(DISTINCT user_id) AS n_users,
+    {o_sum('value', 'total_value')},
+    {o_avg('value', 'avg_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def build_mv_hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.hour("ts").alias("hr"),
+        isodow("ts").alias("dow_mon1"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum("value", "total_value"),
+        exact_avg("value", "avg_value"),
+    )
+
+
+register(
+    "mv_hourly_pattern",
+    oracle=MV_HOURLY_ORACLE,
+    doc="Hour×ISO-dow pattern MV (04_materialized_views.sql:117-126; "
+    "ClickHouse toDayOfWeek parity via weekday()+1).",
+    tags=("mv", "agg"),
+)(build_mv_hourly_pattern)
