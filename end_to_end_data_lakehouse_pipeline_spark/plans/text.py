@@ -1,0 +1,312 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language-ID
+(stopword-vocabulary heuristic), quality scoring (type-token ratio, length,
+stopword ratios), token counting (whitespace + regex word tokenizer), and
+document fingerprinting (normalized md5) — all pure Catalyst expressions
+(higher-order array functions), zero Python UDFs, so they run JVM-side and
+scale linearly with executors.
+
+Cross-engine parity notes: token arrays are built with the same split +
+empty-filter on both engines; all ratios are single divisions of identical
+integers (bit-identical doubles, no rounding needed); composite scores are
+parenthesized identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import register
+
+# Shared stopword vocabularies (tiny on purpose — these are *heuristic*
+# operators; swap in real lists in production).
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+ES_STOP = ("el", "la", "de", "y", "en", "es", "un")
+DE_STOP = ("der", "die", "das", "und", "ist", "ein", "zu")
+FR_STOP = ("le", "la", "de", "et", "est", "un", "dans")
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Whitespace tokens with empties removed (cross-engine stable)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def _sql_tokens(expr: str = "text") -> str:
+    """DuckDB twin of :func:`tokens_col`."""
+    return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
+
+
+def _stop_count(toks: Column, vocab: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*vocab)))
+
+
+def _sql_stop_count(toks: str, vocab: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in vocab)
+    return f"len(list_filter({toks}, t -> t IN ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# text_stats — per-document token statistics.
+# ---------------------------------------------------------------------------
+
+TEXT_STATS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, source, n_chars, {_sql_tokens()} AS toks,
+           regexp_extract_all(text, '[a-zA-Z]+') AS words
+    FROM documents
+)
+SELECT
+    doc_id,
+    lang,
+    source,
+    n_chars,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+    CAST(len(words) AS INTEGER) AS n_words,
+    CAST(len(list_filter(toks, x -> length(x) >= 5)) AS INTEGER) AS n_long_tokens,
+    CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+FROM t
+"""
+
+
+def build_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.withColumn("toks", tokens_col()).withColumn(
+        "words", F.regexp_extract_all("text", F.lit("[a-zA-Z]+"), 0)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size("words").alias("n_words"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 5)).alias("n_long_tokens"),
+        (F.col("n_chars").cast("double") / F.size("toks")).alias("chars_per_token"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+register(
+    "text_stats",
+    oracle=TEXT_STATS_ORACLE,
+    doc="Per-document token statistics via higher-order array functions "
+    "(LLM-pipeline extension; zero Python UDFs).",
+    tags=("text", "llm"),
+)(build_text_stats)
+
+
+# ---------------------------------------------------------------------------
+# lang_id_heuristic — stopword-vocabulary scoring with deterministic argmax.
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    toks = _sql_tokens()
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang AS lang_label,
+           {_sql_stop_count(toks, EN_STOP)} AS s_en,
+           {_sql_stop_count(toks, ES_STOP)} AS s_es,
+           {_sql_stop_count(toks, DE_STOP)} AS s_de,
+           {_sql_stop_count(toks, FR_STOP)} AS s_fr,
+           CAST(len({toks}) AS INTEGER) AS n_tokens
+    FROM documents
+)
+SELECT
+    doc_id,
+    lang_label,
+    CAST(s_en AS INTEGER) AS s_en,
+    CAST(s_es AS INTEGER) AS s_es,
+    CAST(s_de AS INTEGER) AS s_de,
+    CAST(s_fr AS INTEGER) AS s_fr,
+    CASE
+        WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        WHEN s_de >= s_fr THEN 'de'
+        ELSE 'fr'
+    END AS lang_pred,
+    CAST(GREATEST(s_en, s_es, s_de, s_fr) AS DOUBLE) / GREATEST(n_tokens, 1)
+        AS lang_confidence
+FROM t
+"""
+
+
+def build_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        _stop_count(toks, EN_STOP).alias("s_en"),
+        _stop_count(toks, ES_STOP).alias("s_es"),
+        _stop_count(toks, DE_STOP).alias("s_de"),
+        _stop_count(toks, FR_STOP).alias("s_fr"),
+        F.size(toks).alias("n_tokens"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_es") == 0) & (F.col("s_de") == 0)
+            & (F.col("s_fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return t.select(
+        "doc_id",
+        "lang_label",
+        "s_en",
+        "s_es",
+        "s_de",
+        "s_fr",
+        pred.alias("lang_pred"),
+        (
+            F.greatest("s_en", "s_es", "s_de", "s_fr").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("lang_confidence"),
+    )
+
+
+register(
+    "lang_id_heuristic",
+    oracle=_lang_oracle(),
+    doc="Stopword-vocabulary language ID with deterministic argmax "
+    "(LLM-pipeline extension).",
+    tags=("text", "llm"),
+)(build_lang_id_heuristic)
+
+
+# ---------------------------------------------------------------------------
+# doc_quality_score — composite quality heuristic (identically-parenthesized
+# arithmetic on both engines → bit-identical doubles).
+# ---------------------------------------------------------------------------
+
+QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, n_chars, {_sql_tokens()} AS toks FROM documents
+),
+m AS (
+    SELECT
+        doc_id,
+        n_chars,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        {_sql_stop_count('toks', EN_STOP)} AS n_stop
+    FROM t
+)
+SELECT
+    doc_id,
+    n_tokens,
+    CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1) AS ttr,
+    LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+    CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) AS stop_ratio,
+    ((0.5 * (CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1)))
+     + (0.3 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)))
+     + (0.2 * (1.0 - (CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1))))
+        AS quality_score,
+    n_tokens >= 20 AND (CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1)) >= 0.3
+        AS keep_for_training
+FROM m
+"""
+
+
+def build_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    m = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _stop_count(toks, EN_STOP).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.greatest("n_tokens", F.lit(1))
+    len_score = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest("n_tokens", F.lit(1))
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("ttr"),
+        len_score.alias("len_score"),
+        stop_ratio.alias("stop_ratio"),
+        (((F.lit(0.5) * ttr) + (F.lit(0.3) * len_score)) + (F.lit(0.2) * (F.lit(1.0) - stop_ratio))).alias(
+            "quality_score"
+        ),
+        ((F.col("n_tokens") >= 20) & (ttr >= 0.3)).alias("keep_for_training"),
+    )
+
+
+register(
+    "doc_quality_score",
+    oracle=QUALITY_ORACLE,
+    doc="Composite document-quality heuristic + training-set filter "
+    "(LLM-pipeline extension).",
+    tags=("text", "llm"),
+)(build_doc_quality_score)
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — normalized content fingerprint (md5) + shingle count;
+# the exact-dedup key (plans/dedup.py builds on this).
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, n_chars,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           {_sql_tokens()} AS toks
+    FROM documents
+)
+SELECT
+    doc_id,
+    fingerprint,
+    substr(fingerprint, 1, 8) AS fingerprint_prefix,
+    n_chars,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    toks[1] AS first_token,
+    toks[-1] AS last_token
+FROM t
+"""
+
+
+def build_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    t = docs.select(
+        "doc_id", "n_chars", fp.alias("fingerprint"), tokens_col().alias("toks")
+    )
+    return t.select(
+        "doc_id",
+        "fingerprint",
+        F.substring("fingerprint", 1, 8).alias("fingerprint_prefix"),
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.element_at("toks", 1).alias("first_token"),
+        F.element_at("toks", -1).alias("last_token"),
+    )
+
+
+register(
+    "doc_fingerprint",
+    oracle=FINGERPRINT_ORACLE,
+    doc="Normalized md5 content fingerprint per document "
+    "(LLM-pipeline exact-dedup key).",
+    tags=("text", "llm", "dedup"),
+)(build_doc_fingerprint)
