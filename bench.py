@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the `noop` sink (runs the whole
+physical plan — scans, shuffles, aggs — without driver-side collect
+overhead). `value` is the sum of per-query wall seconds for the headline
+set; lower is better. Run directly: `python bench.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_data_lakehouse_pipeline_spark import plans, session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one or more representatives per operator family in
+# SURVEY.md §2 plus the LLM-pipeline extensions. Kept to a set that
+# finishes in a few minutes at sf0.1 while exercising every shuffle shape
+# (multi-way join, windowed dedup, groupBy rollup, pivot, MinHash/LSH
+# self-join, brute-force + bucketed ANN).
+HEADLINE = [
+    "orders_enriched",        # flagship: rollups + 5-way left join
+    "daily_sales_summary",    # date-bucketed agg over the join output
+    "customer_rfm_segments",  # two-pass agg + CASE segmentation
+    "product_performance",    # per-part agg + dim join
+    "mv_daily_sales",         # MV corpus: daily
+    "mv_monthly_sales",       # MV corpus: year/month
+    "mv_category_sales",      # MV corpus: join + categorical agg
+    "mv_seller_performance",  # MV corpus: multi-col groupBy
+    "mv_hourly_pattern",      # MV corpus: hour/dow matrix
+    "fact_order_items",       # star schema: broadcast dim joins + hash keys
+    "window_analytics",       # rank/lag/lead/frames
+    "cdc_latest_state_per_key",  # last-write-wins window dedup
+    "top_orders_with_customer",  # global sort + limit + join
+    "rollup_sales",           # GROUPING SETS / ROLLUP
+    "pivot_status_by_year",   # pivot
+    "dedup_exact",            # exact dedup over documents
+    "dedup_minhash_lsh",      # shingle → minhash → band → bucket join
+    "text_stats",             # tokenization + quality metrics
+    "knn_bruteforce_cosine",  # exact ANN baseline over embeddings
+    "knn_lsh_bucketed",       # LSH-bucketed ANN scale path
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = session.get_spark("bench")
+    qs = plans.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM / file listings once with the cheapest query so the
+    # first timed entry doesn't absorb session start-up cost.
+    _force(qs["distinct_segments"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
