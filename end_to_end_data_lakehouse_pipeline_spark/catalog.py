@@ -61,6 +61,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession, parts: int | None = None) -> DataFrame:
+    """Repartition a scan up to cluster parallelism — but only when needed.
+
+    The local testdata parquet is a single row-group per table, so a bare
+    scan runs as ONE task and every pre-shuffle expression (md5 keys,
+    tokenization, higher-order array functions) is single-threaded. On real
+    multi-file/multi-row-group data (the 100 TB case) the scan already has
+    >= cores partitions and this is a no-op — no extra shuffle at scale.
+    """
+    parts = parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        return df.repartition(parts)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register the tables as temp views so Spark SQL text can reference
     them under the same names the DuckDB oracle uses."""

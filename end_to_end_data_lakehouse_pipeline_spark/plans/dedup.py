@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from .registry import register
 from .text import _sql_tokens, tokens_col
 
@@ -38,12 +38,22 @@ JACCARD_THRESHOLD = 0.5
 
 
 def shingles_col(toks: Column, k: int = 3) -> Column:
-    """Distinct k-gram token shingles (empty array when too short)."""
+    """Distinct k-gram token shingles (empty array when too short).
+
+    Formulated as slice + zip_with rather than transform(sequence) with
+    element_at(toks, i): Catalyst's CollapseProject inlines the tokenizer
+    expression into every use site, so indexing `toks` inside the lambda
+    re-tokenizes the document once PER ELEMENT — O(tokens²) per row in
+    interpreted higher-order-function eval. With slices the tokenizer is
+    evaluated k times per ROW and the lambdas touch only lambda variables.
+    """
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
+    m = n - (k - 1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array().cast("array<string>")))
 
 
@@ -89,7 +99,7 @@ GROUP BY fingerprint
 
 
 def build_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     return (
         docs.select("doc_id", "n_chars", fp.alias("fingerprint"))
@@ -141,7 +151,7 @@ WHERE CAST(p.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - p.n_common)
 
 
 def build_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
         F.size("sh") > 0
     )
@@ -177,19 +187,48 @@ register(
 
 # ---------------------------------------------------------------------------
 # minhash_signatures — per-doc MinHash signature + LSH band keys.
+#
+# Relational formulation built for whole-stage codegen: explode shingles to
+# rows, hash each shingle ONCE (md5 → two 32-bit halves h1/h2), derive the
+# N_HASHES functions as h_i = (h1 + i*h2) mod p (Kirsch–Mitzenmacher 2006),
+# and take all N mins in a single hash aggregate. The per-shingle work is a
+# flat codegen'd projection (no interpreted higher-order functions) and the
+# doc_id aggregation gets map-side partial-min combine — the shape that
+# scales: shuffle carries 5,000× fewer rows than the exploded input.
 # ---------------------------------------------------------------------------
 
-
-def _sig_sql(i: int, sh: str = "sh") -> str:
-    return f"list_min(list_transform({sh}, x -> md5('{i}:' || x)))"
+MERSENNE_P = 4294967311  # smallest prime > 2^32
 
 
-def _sig_col(i: int, sh: Column | str = "sh") -> Column:
-    return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{i}:"), x))))
+def _hex8_sql(h: str, off: int) -> str:
+    """DuckDB: parse 8 hex chars of md5 text at 1-based offset into BIGINT."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(0, 7), i -> "
+        f"CAST(strpos('0123456789abcdef', substr({h}, {off} + i, 1)) - 1 AS BIGINT) "
+        f"* (CAST(1 AS BIGINT) << (4 * (7 - i))))) AS BIGINT)"
+    )
+
+
+_SQL_MINHASH_CTES = f""",
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+hp AS (
+    SELECT doc_id,
+           {_hex8_sql('md5(g)', 1)} AS h1,
+           {_hex8_sql('md5(g)', 9)} * 2 + 1 AS h2
+    FROM e
+),
+mh AS (
+    SELECT doc_id,
+           {', '.join(f'MIN((h1 + {i} * h2) % {MERSENNE_P}) AS mh_{i}' for i in range(N_HASHES))}
+    FROM hp GROUP BY doc_id
+)
+"""
 
 
 def _band_sql(j: int) -> str:
-    concat = " || '|' || ".join(f"sig[{j * ROWS_PER_BAND + k + 1}]" for k in range(ROWS_PER_BAND))
+    concat = " || '|' || ".join(
+        f"CAST(mh_{j * ROWS_PER_BAND + k} AS VARCHAR)" for k in range(ROWS_PER_BAND)
+    )
     return f"md5({concat})"
 
 
@@ -197,40 +236,52 @@ def _band_col(j: int) -> Column:
     return F.md5(
         F.concat_ws(
             "|",
-            *[F.element_at("sig", j * ROWS_PER_BAND + k + 1) for k in range(ROWS_PER_BAND)],
+            *[F.col(f"mh_{j * ROWS_PER_BAND + k}").cast("string") for k in range(ROWS_PER_BAND)],
         )
+    )
+
+
+def minhash_table(shingled: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, mh_0..mh_{N-1}) via explode + 16-min agg."""
+    e = shingled.select("doc_id", F.explode("sh").alias("g"))
+    h = F.md5("g")
+    hp = e.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1).alias("h2"),
+    )
+    return hp.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + i * F.col("h2")) % MERSENNE_P).alias(f"mh_{i}")
+            for i in range(N_HASHES)
+        ]
     )
 
 
 MINHASH_SIG_ORACLE = (
     _SQL_SHINGLE_CTE
-    + f""",
-sig AS (
-    SELECT doc_id, [{', '.join(_sig_sql(i) for i in range(N_HASHES))}] AS sig
-    FROM s
-)
+    + _SQL_MINHASH_CTES
+    + f"""
 SELECT
     doc_id,
-    sig[1] AS minhash_0,
-    sig[{N_HASHES}] AS minhash_last,
+    mh_0 AS minhash_0,
+    mh_{N_HASHES - 1} AS minhash_last,
     {', '.join(_band_sql(j) + f' AS band_{j}' for j in range(N_BANDS))}
-FROM sig
+FROM mh
 """
 )
 
 
 def build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
         F.size("sh") > 0
     )
-    sig = s.select(
-        "doc_id", F.array(*[_sig_col(i) for i in range(N_HASHES)]).alias("sig")
-    )
-    return sig.select(
+    mh = minhash_table(s)
+    return mh.select(
         "doc_id",
-        F.element_at("sig", 1).alias("minhash_0"),
-        F.element_at("sig", N_HASHES).alias("minhash_last"),
+        F.col("mh_0").alias("minhash_0"),
+        F.col(f"mh_{N_HASHES - 1}").alias("minhash_last"),
         *[_band_col(j).alias(f"band_{j}") for j in range(N_BANDS)],
     )
 
@@ -250,13 +301,16 @@ register(
 
 MINHASH_LSH_ORACLE = (
     _SQL_SHINGLE_CTE
+    + _SQL_MINHASH_CTES
     + f""",
 sig AS (
-    SELECT doc_id, sh, [{', '.join(_sig_sql(i) for i in range(N_HASHES))}] AS sig
-    FROM s
+    SELECT s.doc_id, s.sh,
+           [{', '.join(f'mh.mh_{i}' for i in range(N_HASHES))}] AS sig,
+           {', '.join(_band_sql(j) + f' AS band_{j}' for j in range(N_BANDS))}
+    FROM s JOIN mh ON s.doc_id = mh.doc_id
 ),
 bands AS (
-    {' UNION ALL '.join(f"SELECT doc_id, {j} AS band_idx, {_band_sql(j)} AS band_key FROM sig" for j in range(N_BANDS))}
+    {' UNION ALL '.join(f"SELECT doc_id, {j} AS band_idx, band_{j} AS band_key FROM sig" for j in range(N_BANDS))}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
@@ -280,16 +334,27 @@ JOIN sig s2 ON c.doc2 = s2.doc_id
 
 
 def build_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
         F.size("sh") > 0
     )
-    sig = s.select(
-        "doc_id", "sh", F.array(*[_sig_col(i) for i in range(N_HASHES)]).alias("sig")
+    # Signature table feeds three plan subtrees (band explosion + both
+    # verify-join sides). Materialize it eagerly: a lazy persist would let
+    # the three branches of one job race to compute it before the cache
+    # fills. At 100 TB you'd write this step to a table instead (that is
+    # exactly what the `minhash_signatures` query produces).
+    mh = minhash_table(s)
+    sig = s.join(mh, "doc_id").select(
+        "doc_id",
+        "sh",
+        F.array(*[F.col(f"mh_{i}") for i in range(N_HASHES)]).alias("sig"),
+        *[_band_col(j).alias(f"band_{j}") for j in range(N_BANDS)],
     )
+    sig = sig.persist()
+    sig.count()
     bands = sig.select(
         "doc_id",
-        F.posexplode(F.array(*[_band_col(j) for j in range(N_BANDS)])).alias(
+        F.posexplode(F.array(*[F.col(f"band_{j}") for j in range(N_BANDS)])).alias(
             "band_idx", "band_key"
         ),
     )
@@ -393,7 +458,7 @@ SELECT doc_id, simhash, substr(simhash, 1, 4) AS simhash_band0 FROM sh
 
 
 def build_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     t = docs.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") > 0)
     tok = t.select("doc_id", F.explode("toks").alias("token"))
     h = tok.select("doc_id", F.md5("token").alias("hh"))

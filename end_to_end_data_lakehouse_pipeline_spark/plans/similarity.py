@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from .registry import register
 
 DIM = 64
@@ -130,7 +130,7 @@ GROUP BY label
 
 
 def build_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
     n = emb.select(
         "vec_id",
         "label",
@@ -182,7 +182,7 @@ LIMIT {KNN_K}
 
 
 def build_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
     n = emb.select("vec_id", "label", quantized().alias("qa")).withColumn(
         "ssq", ssq(F.col("qa"))
     )
@@ -243,7 +243,7 @@ LIMIT {KNN_K}
 
 
 def build_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
     n = (
         emb.select("vec_id", "label", quantized().alias("qa"))
         .withColumn("ssq", ssq(F.col("qa")))
@@ -306,7 +306,7 @@ WHERE {_sql_cosine(_sql_int_dot('a.qa', 'b.qa'), 'a.ssq', 'b.ssq')} >= {PAIR_THR
 
 
 def build_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
     n = (
         emb.select("vec_id", quantized().alias("qa"))
         .withColumn("ssq", ssq(F.col("qa")))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions.dates import date_key, isodow
 from .registry import register
 
@@ -138,7 +138,7 @@ FROM orders
 
 
 def build_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    orders = spread(table(spark, sf_dir, "orders"), spark)
     return orders.select(
         F.md5(F.col("o_orderkey").cast("string")).alias("order_key"),
         F.md5(F.col("o_custkey").cast("string")).alias("customer_key"),
@@ -201,7 +201,7 @@ LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 
 
 def build_fact_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderdate"
     )
@@ -267,7 +267,7 @@ FROM events
 
 
 def build_fact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
+    events = spread(table(spark, sf_dir, "events"), spark)
     return events.select(
         F.md5(F.col("event_id").cast("string")).alias("event_key"),
         F.md5(F.col("user_id").cast("string")).alias("user_key"),

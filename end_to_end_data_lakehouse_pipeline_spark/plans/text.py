@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from .registry import register
 
 # Shared stopword vocabularies (tiny on purpose — these are *heuristic*
@@ -75,7 +75,7 @@ FROM t
 
 
 def build_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     t = docs.withColumn("toks", tokens_col()).withColumn(
         "words", F.regexp_extract_all("text", F.lit("[a-zA-Z]+"), 0)
     )
@@ -142,7 +142,7 @@ FROM t
 
 
 def build_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     toks = tokens_col()
     t = docs.select(
         "doc_id",
@@ -228,7 +228,7 @@ FROM m
 
 
 def build_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     toks = tokens_col()
     m = docs.select(
         "doc_id",
@@ -287,7 +287,7 @@ FROM t
 
 
 def build_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     t = docs.select(
         "doc_id", "n_chars", fp.alias("fingerprint"), tokens_col().alias("toks")
