@@ -1,0 +1,126 @@
+"""Lakehouse write path: bronze append, silver MERGE, gold overwrite.
+
+Reference semantics reproduced Spark-first:
+
+- S4 bronze append: partitioned parquet append (streaming_bronze.py:95-110
+  appends Delta with mergeSchema; parquet append is the container-local
+  stand-in — this environment has no delta-spark. In production swap the
+  format string for "delta"; the API is identical).
+- S6 gold overwrite: full-refresh ``mode("overwrite")``
+  (batch_gold.py:157).
+- S7 silver MERGE upsert (batch_silver.py:146-159): with Delta this is
+  ``DeltaTable.merge().whenMatchedUpdateAll().whenNotMatchedInsertAll()``.
+  Without a transactional format, the same end state is the relational
+  identity: union(current, updates) -> last-write-wins window dedup by PK
+  -> drop deletes -> atomic swap. That rewrite is also how Delta MERGE
+  behaves when every file is touched; at 100 TB the Delta path rewrites
+  only matched files, which is why the docstring insists on Delta in
+  production.
+- W1/P5 last-write-wins + delete filtering (batch_silver.py:107-115).
+
+Atomicity on a plain filesystem: write to ``<path>/_staging_vN`` then
+``rename`` over the live dir — readers see old or new, never partial.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame, pks: Sequence[str], order_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """W1: keep the latest row per PK (batch_silver.py:107-112), with an
+    explicit total order — the reference's bare timestamp sort is
+    non-deterministic on ties (SURVEY.md §4 'quirks to not copy')."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*pks).orderBy(*order)
+    return (
+        df.withColumn("_row_num", F.row_number().over(w))
+        .filter(F.col("_row_num") == 1)
+        .drop("_row_num")
+    )
+
+
+def merge_upsert(
+    current: DataFrame | None,
+    updates: DataFrame,
+    pks: Sequence[str],
+    order_col: str,
+    deleted_col: str = "_deleted",
+) -> DataFrame:
+    """S7 MERGE as a pure DataFrame transform: last write per PK wins
+    across current+updates; rows whose final image is a delete drop out
+    (P5, batch_silver.py:115). ``current`` rows sort below any update with
+    the same order_col value (updates carry fresher lineage)."""
+    upd = updates.withColumn("_src_rank", F.lit(1))
+    if current is not None:
+        cur = current.select(*updates.columns).withColumn("_src_rank", F.lit(0))
+        upd = cur.unionByName(upd)
+    merged = latest_per_key(upd, pks, order_col, tiebreak=["_src_rank"])
+    out = merged.drop("_src_rank")
+    if deleted_col in out.columns:
+        out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    return out
+
+
+class LakehouseTable:
+    """One path-addressed table with append / overwrite / merge writers."""
+
+    def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.path = path
+        self.fmt = fmt
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_staging", ".")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self.path)
+
+    def append(self, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
+        """S4 bronze append (streaming_bronze.py:99-103); partitioned by
+        e.g. the source-table or date column so downstream reads prune."""
+        w = df.write.format(self.fmt).mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(self.path)
+
+    def overwrite(self, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
+        """S6 gold full refresh via staging dir + atomic swap."""
+        staging = f"{self.path}_staging_{uuid.uuid4().hex[:8]}"
+        w = df.write.format(self.fmt).mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(staging)
+        if os.path.isdir(self.path):
+            old = f"{self.path}_old_{uuid.uuid4().hex[:8]}"
+            os.rename(self.path, old)
+            os.rename(staging, self.path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(staging, self.path)
+
+    def merge(
+        self,
+        updates: DataFrame,
+        pks: Sequence[str],
+        order_col: str,
+        deleted_col: str = "_deleted",
+    ) -> None:
+        """S7 MERGE upsert; first write degrades to overwrite exactly as
+        the reference's fallback does (batch_silver.py:162-164), minus the
+        bare ``except`` that hides real errors."""
+        current = self.read() if self.exists() else None
+        merged = merge_upsert(current, updates, pks, order_col, deleted_col)
+        # Plan reads the live dir it is about to replace -> materialize
+        # into staging first (overwrite() already stages + swaps).
+        self.overwrite(merged)

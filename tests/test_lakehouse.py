@@ -1,0 +1,101 @@
+"""Lakehouse write path + CDC semantics (SURVEY.md §5 fixture scenario:
+insert -> update -> out-of-order stale update -> delete per PK; silver must
+keep exactly the latest non-deleted image or drop the row)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_data_lakehouse_pipeline_spark.sources import (
+    LakehouseTable,
+    merge_upsert,
+    parse_cdc_envelope,
+)
+from end_to_end_data_lakehouse_pipeline_spark.sources.lakehouse import latest_per_key
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("order_id", T.StringType(), True),
+        T.StructField("order_status", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+    ]
+)
+
+
+def _env(op, before, after, ts_ms):
+    return json.dumps({"before": before, "after": after, "op": op, "source_ts_ms": ts_ms})
+
+
+@pytest.fixture()
+def cdc_raw(spark):
+    rows = [
+        # o1: insert -> update -> stale out-of-order update (must lose)
+        (_env("c", None, {"order_id": "o1", "order_status": "created", "amount": 10.0}, 1000),),
+        (_env("u", None, {"order_id": "o1", "order_status": "shipped", "amount": 12.0}, 3000),),
+        (_env("u", None, {"order_id": "o1", "order_status": "approved", "amount": 11.0}, 2000),),
+        # o2: insert then delete (latest) -> row must drop
+        (_env("c", None, {"order_id": "o2", "order_status": "created", "amount": 5.0}, 1500),),
+        (_env("d", {"order_id": "o2", "order_status": "created", "amount": 5.0}, None, 4000),),
+        # o3: delete then later re-insert -> row must survive
+        (_env("d", {"order_id": "o3", "order_status": "canceled", "amount": 1.0}, None, 1000),),
+        (_env("c", None, {"order_id": "o3", "order_status": "created", "amount": 2.0}, 2000),),
+    ]
+    return spark.createDataFrame(rows, ["value"])
+
+
+def test_parse_cdc_envelope_types_and_delete_image(cdc_raw):
+    parsed = parse_cdc_envelope(cdc_raw, PAYLOAD)
+    assert dict(parsed.dtypes)["amount"] == "double"  # typed, not map<string,string>
+    d = parsed.filter(F.col("_op") == "d").filter(F.col("order_id") == "o2").first()
+    assert d is not None and d.order_status == "created"  # before-image used
+    assert parsed.filter(F.col("_deleted")).count() == 2
+
+
+def test_merge_upsert_last_write_wins_and_delete(cdc_raw):
+    parsed = parse_cdc_envelope(cdc_raw, PAYLOAD)
+    silver = merge_upsert(None, parsed, pks=["order_id"], order_col="_event_ts")
+    rows = {r.order_id: r for r in silver.collect()}
+    assert set(rows) == {"o1", "o3"}  # o2 deleted
+    assert rows["o1"].order_status == "shipped"  # stale 2000-ms update lost
+    assert rows["o1"].amount == 12.0
+    assert rows["o3"].order_status == "created"  # re-insert after delete survives
+
+
+def test_merge_into_existing_table(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "silver_orders"))
+    base = spark.createDataFrame(
+        [("o1", "created", 10.0, False, 1)], ["order_id", "order_status", "amount", "_deleted", "v"]
+    )
+    t.overwrite(base)
+    updates = spark.createDataFrame(
+        [("o1", "delivered", 10.0, False, 2), ("o9", "created", 7.0, False, 2)],
+        ["order_id", "order_status", "amount", "_deleted", "v"],
+    )
+    t.merge(updates, pks=["order_id"], order_col="v")
+    rows = {r.order_id: r.order_status for r in t.read().collect()}
+    assert rows == {"o1": "delivered", "o9": "created"}
+    # idempotent replay: merging the same batch again changes nothing
+    t.merge(updates, pks=["order_id"], order_col="v")
+    assert {r.order_id: r.order_status for r in t.read().collect()} == rows
+
+
+def test_append_partitioned_and_overwrite_swap(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "bronze"))
+    df = spark.createDataFrame([(1, "orders"), (2, "items")], ["id", "_source_table"])
+    t.append(df, partition_by=["_source_table"])
+    t.append(df, partition_by=["_source_table"])
+    assert t.read().count() == 4
+    t.overwrite(df)
+    assert t.read().count() == 2
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 1, "b")], ["pk", "ts", "payload"]
+    )
+    win = latest_per_key(df, ["pk"], "ts", tiebreak=["payload"])
+    assert win.first().payload == "b"  # explicit total order, not arbitrary

@@ -1,0 +1,159 @@
+"""Streaming layer: bronze ingest, watermarked agg, in-stream dedup,
+foreachBatch MERGE — hermetic via file/memory sources + availableNow."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_data_lakehouse_pipeline_spark.sources import LakehouseTable, parse_cdc_envelope
+from end_to_end_data_lakehouse_pipeline_spark.streaming import (
+    process_cdc_stream,
+    streaming_daily_sales,
+    streaming_dedup,
+)
+from end_to_end_data_lakehouse_pipeline_spark.streaming.aggregates import silver_merge_sink
+
+RAW_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("order_id", T.StringType(), True),
+        T.StructField("order_status", T.StringType(), True),
+    ]
+)
+
+
+def _write_jsonl(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "part-0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_bronze_file_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "incoming"
+    _write_jsonl(
+        src,
+        [
+            {"value": json.dumps({"after": {"order_id": "o1"}, "op": "c", "source_ts_ms": 1})},
+            {"value": json.dumps({"after": {"order_id": "o2"}, "op": "c", "source_ts_ms": 2})},
+        ],
+    )
+    stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    q = process_cdc_stream(
+        stream,
+        "orders",
+        str(tmp_path / "bronze"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    bronze = spark.read.parquet(str(tmp_path / "bronze"))
+    assert bronze.count() == 2
+    cols = set(bronze.columns)
+    assert {"_raw_value", "_kafka_timestamp", "_source_table", "_ingested_at"} <= cols
+    assert bronze.select("_source_table").distinct().first()[0] == "orders"
+
+
+def test_streaming_daily_sales_watermarked(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100, "click", 10.0),
+            (2, "2024-01-01 14:00:00", 101, "click", 20.0),
+            (3, "2024-01-02 09:00:00", 100, "buy", 5.0),
+        ],
+        ["event_id", "ts_s", "user_id", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    src = tmp_path / "events"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    agg = streaming_daily_sales(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("daily_sales_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {str(r.day): (r.n_events, r.total_value) for r in spark.sql(
+        "select * from daily_sales_test"
+    ).collect()}
+    assert got["2024-01-01"] == (2, 30.0)
+    assert got["2024-01-02"] == (1, 5.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    rows = spark.createDataFrame(
+        [
+            ("o1", "created", "2024-01-01 10:00:00"),
+            ("o1", "created-dup", "2024-01-01 10:00:05"),
+            ("o2", "created", "2024-01-01 10:01:00"),
+        ],
+        ["order_id", "order_status", "ts_s"],
+    ).withColumn("_event_ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = tmp_path / "dup_src"
+    rows.write.parquet(str(src))
+    stream = spark.readStream.schema(rows.schema).parquet(str(src))
+    deduped = streaming_dedup(stream, pks=["order_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select order_id from dedup_test").collect()
+    assert sorted(r.order_id for r in out) == ["o1", "o2"]
+
+
+def test_silver_merge_sink_foreachbatch(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [
+            (json.dumps({"after": {"order_id": "o1", "order_status": "created"}, "op": "c", "source_ts_ms": 1000}),),
+            (json.dumps({"after": {"order_id": "o1", "order_status": "shipped"}, "op": "u", "source_ts_ms": 2000}),),
+            (json.dumps({"before": {"order_id": "o2", "order_status": "x"}, "op": "d", "source_ts_ms": 3000}),),
+            (json.dumps({"after": {"order_id": "o2", "order_status": "created"}, "op": "c", "source_ts_ms": 1500}),),
+        ],
+        ["value"],
+    )
+    src = tmp_path / "cdc_src"
+    raw.write.parquet(str(src))
+    stream = spark.readStream.schema(raw.schema).parquet(str(src))
+    parsed = parse_cdc_envelope(stream, PAYLOAD)
+    table = LakehouseTable(spark, str(tmp_path / "silver"))
+    q = silver_merge_sink(
+        parsed, table, pks=["order_id"], order_col="_event_ts",
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = {r.order_id: r.order_status for r in table.read().collect()}
+    assert rows == {"o1": "shipped"}  # o2's delete (ts 3000) beats its insert (1500)
+
+
+@pytest.mark.parametrize("n_tables", [3])
+def test_fan_out_independent_queries(spark, tmp_path, n_tables):
+    from end_to_end_data_lakehouse_pipeline_spark.streaming import fan_out
+
+    streams = []
+    for i in range(n_tables):
+        df = spark.createDataFrame([(f"t{i}-row",)], ["value"])
+        src = tmp_path / f"src{i}"
+        df.write.parquet(str(src))
+        streams.append(
+            (spark.readStream.schema(df.schema).parquet(str(src)), f"table{i}")
+        )
+    queries = fan_out(
+        streams, str(tmp_path / "bronze"), str(tmp_path / "ckpt"), available_now=True
+    )
+    for q in queries:
+        q.awaitTermination(120)
+    for i in range(n_tables):
+        assert spark.read.parquet(str(tmp_path / "bronze" / f"table{i}")).count() == 1
