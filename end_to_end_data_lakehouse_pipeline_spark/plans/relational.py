@@ -719,3 +719,108 @@ register(
     doc="lag/lead/rank/running-sum analytics (engine completeness beyond W1/W2).",
     tags=("relational", "window"),
 )(build_window_analytics)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling — the scale-correct upgrade of O3
+# (data_generator.py:92-280 uses ORDER BY RANDOM() LIMIT n, which needs a
+# global sort; hashing the key gives a reproducible sample in one scan with
+# no shuffle, the only approach that survives 100 TB).
+# ---------------------------------------------------------------------------
+
+HASH_SAMPLE_ORACLE = """
+WITH h AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CAST(list_sum(list_transform(generate_series(0, 7), i ->
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(o_orderkey AS VARCHAR)), 1 + i, 1)) - 1 AS BIGINT)
+               * (CAST(1 AS BIGINT) << (4 * (7 - i))))) AS BIGINT) % 100 AS bucket
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, bucket
+FROM h WHERE bucket < 10
+"""
+
+
+def build_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", bucket.alias("bucket")
+    ).filter(F.col("bucket") < 10)
+
+
+register(
+    "hash_sample",
+    oracle=HASH_SAMPLE_ORACLE,
+    doc="Deterministic 10% hash sample — reproducible, shuffle-free "
+    "replacement for ORDER BY RANDOM() LIMIT n (O3 upgrade).",
+    tags=("relational", "sampling"),
+)(build_hash_sample)
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL + UNION-distinct / INTERSECT — set-op completeness (§2.6).
+# ---------------------------------------------------------------------------
+
+SET_UNION_ORACLE = """
+SELECT party_id, party_type, nationkey FROM (
+    SELECT c_custkey AS party_id, 'customer' AS party_type, c_nationkey AS nationkey
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS party_id, 'supplier' AS party_type, s_nationkey AS nationkey
+    FROM supplier
+)
+"""
+
+
+def build_set_ops_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    c = customer.select(
+        F.col("c_custkey").alias("party_id"),
+        F.lit("customer").alias("party_type"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    s = supplier.select(
+        F.col("s_suppkey").alias("party_id"),
+        F.lit("supplier").alias("party_type"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return c.unionByName(s)
+
+
+register(
+    "set_ops_union",
+    oracle=SET_UNION_ORACLE,
+    doc="UNION ALL of heterogenous sources under one schema (§2.6 "
+    "completeness; unionByName avoids positional mistakes).",
+    tags=("relational", "setops"),
+)(build_set_ops_union)
+
+
+SET_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def build_set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+register(
+    "set_ops_intersect",
+    oracle=SET_INTERSECT_ORACLE,
+    doc="INTERSECT set op (§2.6 completeness).",
+    tags=("relational", "setops"),
+)(build_set_ops_intersect)

@@ -339,3 +339,116 @@ register(
     "threshold (LLM-pipeline extension).",
     tags=("similarity", "llm", "lsh", "join"),
 )(build_similar_pairs_lsh)
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf — IVF-style ANN: coarse quantizer (per-label integer centroids)
+# -> assign every vector to its nearest centroid cell -> search only the
+# query's cell. The centroid table is tiny (K rows) and broadcasts; the
+# assignment is one scan + broadcast join; at 100 TB only 1/K of the corpus
+# is touched per query. Centroid arithmetic is exact-integer (floor of an
+# IEEE-exact double division), so both engines agree bitwise.
+# ---------------------------------------------------------------------------
+
+KNN_IVF_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label, {_sql_quantized()} AS qa FROM embeddings
+),
+cent AS (
+    SELECT label, i,
+           CAST(FLOOR(CAST(SUM(qa[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM q, UNNEST(generate_series(1, {DIM})) AS t(i)
+    GROUP BY label, i
+),
+cent_arr AS (
+    SELECT label AS cent_label, list(c ORDER BY i) AS ca FROM cent GROUP BY label
+),
+assign AS (
+    SELECT vec_id, label, qa, cent_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(generate_series(1, {DIM}),
+                                 i -> (qa[i] - ca[i]) * (qa[i] - ca[i]))), cent_label
+           ) AS rn
+    FROM q CROSS JOIN cent_arr
+),
+cells AS (
+    SELECT vec_id, label, qa, {_sql_ssq('qa')} AS ssq, cent_label AS cell
+    FROM assign WHERE rn = 1
+),
+query AS (
+    SELECT * FROM cells WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT
+    c.vec_id,
+    c.label,
+    c.cell,
+    {_sql_cosine(_sql_int_dot('c.qa', 'query.qa'), 'c.ssq', 'query.ssq')} AS cos_sim
+FROM cells c, query
+WHERE c.cell = query.cell AND c.vec_id <> query.vec_id
+ORDER BY cos_sim DESC, c.vec_id
+LIMIT {KNN_K}
+"""
+
+
+def build_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    q = emb.select("vec_id", "label", quantized().alias("qa"))
+    # coarse quantizer: per-label element-wise integer centroid
+    comp = q.select("label", F.posexplode("qa").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("i"), "v"
+    )
+    cent = comp.groupBy("label", "i").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cent_arr = cent.groupBy(F.col("label").alias("cent_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("ca")
+    )
+    dist = F.aggregate(
+        F.zip_with("qa", "ca", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cent_label"))
+    assign = (
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    cells = assign.select(
+        "vec_id", "label", "qa", ssq(F.col("qa")).alias("ssq"),
+        F.col("cent_label").alias("cell"),
+    )
+    qid = emb.agg(F.min("vec_id")).first()[0]  # S12 scalar fetch
+    query = cells.filter(F.col("vec_id") == qid).select(
+        F.col("qa").alias("q_qa"), F.col("ssq").alias("q_ssq"), F.col("cell").alias("q_cell")
+    )
+    return (
+        cells.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(query))
+        .filter(F.col("cell") == F.col("q_cell"))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            cosine(int_dot(F.col("qa"), F.col("q_qa")), F.col("ssq"), F.col("q_ssq")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(KNN_K)
+    )
+
+
+register(
+    "knn_ivf",
+    oracle=KNN_IVF_ORACLE,
+    doc="IVF ANN: per-label integer centroids (coarse quantizer) -> "
+    "broadcast cell assignment -> search only the query's cell "
+    "(LLM-pipeline extension; scale path touches 1/K of the corpus).",
+    tags=("similarity", "llm", "ivf"),
+)(build_knn_ivf)

@@ -310,3 +310,65 @@ register(
     "(LLM-pipeline exact-dedup key).",
     tags=("text", "llm", "dedup"),
 )(build_doc_fingerprint)
+
+
+# ---------------------------------------------------------------------------
+# token_count_bpe — BPE-ish regex tokenization counts (SURVEY M5: token
+# counting "whitespace + a BPE-ish regex"). The pattern splits words,
+# numbers, and individual punctuation marks the way byte-pair pretokenizers
+# do — kept lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree.
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+TOKEN_COUNT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, n_chars,
+           {_sql_tokens()} AS ws_toks,
+           regexp_extract_all(text, '{BPE_PATTERN}') AS bpe_toks,
+           regexp_extract_all(text, '[0-9]+') AS num_toks,
+           regexp_extract_all(text, '[^a-zA-Z0-9 ]') AS punct_toks
+    FROM documents
+)
+SELECT
+    doc_id,
+    CAST(len(ws_toks) AS INTEGER) AS n_ws_tokens,
+    CAST(len(bpe_toks) AS INTEGER) AS n_bpe_tokens,
+    CAST(len(num_toks) AS INTEGER) AS n_number_tokens,
+    CAST(len(punct_toks) AS INTEGER) AS n_punct_tokens,
+    CAST(n_chars AS DOUBLE) / GREATEST(len(bpe_toks), 1) AS chars_per_bpe_token
+FROM t
+"""
+
+
+def build_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), 0)).alias(
+            "n_punct_tokens"
+        ),
+    )
+    return t.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_number_tokens",
+        "n_punct_tokens",
+        (
+            F.col("n_chars").cast("double") / F.greatest("n_bpe_tokens", F.lit(1))
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+register(
+    "token_count_bpe",
+    oracle=TOKEN_COUNT_ORACLE,
+    doc="BPE-style pretokenizer counts via lookahead-free regex, identical "
+    "under Java regex and RE2 (LLM-pipeline extension).",
+    tags=("text", "llm"),
+)(build_token_count_bpe)
