@@ -47,9 +47,16 @@ HEADLINE = [
     "dedup_exact",            # exact dedup over documents
     "dedup_minhash_lsh",      # shingle → minhash → band → bucket join
     "text_stats",             # tokenization + quality metrics
+    "token_count_bpe",        # BPE-ish regex tokenizer counts
+    "hash_sample",            # deterministic hash sampling
     "knn_bruteforce_cosine",  # exact ANN baseline over embeddings
     "knn_lsh_bucketed",       # LSH-bucketed ANN scale path
+    "knn_ivf",                # IVF cell-restricted ANN
 ]
+
+# Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
+# outliers on identical plans); N=2 keeps the whole run a few minutes.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def _force(df) -> None:
@@ -67,9 +74,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(REPEATS, 1)):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

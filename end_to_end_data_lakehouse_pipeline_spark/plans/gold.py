@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions.dates import isodow
 from .parity import exact_avg, exact_sum, o_avg, o_sum
 from .registry import register
@@ -73,8 +73,8 @@ LEFT JOIN items i ON o.o_orderkey = i.l_orderkey
 
 
 def build_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    orders = spread(table(spark, sf_dir, "orders"), spark)
     customer = table(spark, sf_dir, "customer")
 
     items = lineitem.groupBy("l_orderkey").agg(
@@ -141,7 +141,7 @@ GROUP BY 1
 
 
 def build_daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    orders = spread(table(spark, sf_dir, "orders"), spark)
     return (
         orders.filter(F.col("o_orderstatus") != "F")  # P4: status filter
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
@@ -200,7 +200,7 @@ FROM rfm
 
 
 def build_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders").withColumn(
+    orders = spread(table(spark, sf_dir, "orders"), spark).withColumn(
         "order_date", F.col("o_orderdate").cast("date")
     )
     max_date = orders.agg(F.max("order_date")).first()[0]  # S12 scalar fetch
@@ -256,7 +256,7 @@ GROUP BY p.p_partkey, p.p_name, p.p_brand, p.p_type
 
 
 def build_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = table(spark, sf_dir, "lineitem")
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
     part = table(spark, sf_dir, "part")
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)  # J3
@@ -310,7 +310,7 @@ JOIN firsts f ON a.user_id = f.user_id AND f.rn = 1
 
 
 def build_payments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
+    events = spread(table(spark, sf_dir, "events"), spark)
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("event_count"),
         exact_sum("value", "total_value"),

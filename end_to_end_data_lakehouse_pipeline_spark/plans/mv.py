@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions.dates import isodow
 from .parity import exact_avg, exact_sum, o_avg, o_sum
 from .registry import register
@@ -43,7 +43,7 @@ GROUP BY 1
 
 
 def build_mv_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
     return li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.countDistinct("l_orderkey").alias("n_orders"),
@@ -82,7 +82,7 @@ GROUP BY 1, 2
 
 
 def build_mv_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    orders = spread(table(spark, sf_dir, "orders"), spark)
     return (
         orders.filter(F.col("o_orderstatus") == "F")
         .groupBy(
@@ -126,7 +126,7 @@ GROUP BY p.p_type
 
 
 def build_mv_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
     part = table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -171,7 +171,7 @@ GROUP BY n.n_name, r.r_name
 
 
 def build_mv_state_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    orders = spread(table(spark, sf_dir, "orders"), spark)
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
@@ -219,7 +219,7 @@ GROUP BY s.s_suppkey, s.s_name, n.n_name
 
 
 def build_mv_seller_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     return (
@@ -264,7 +264,7 @@ GROUP BY event_type
 
 
 def build_mv_payment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
+    events = spread(table(spark, sf_dir, "events"), spark)
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
@@ -301,7 +301,7 @@ GROUP BY 1, 2
 
 
 def build_mv_hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
+    events = spread(table(spark, sf_dir, "events"), spark)
     return events.groupBy(
         F.hour("ts").alias("hr"),
         isodow("ts").alias("dow_mon1"),
