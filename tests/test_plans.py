@@ -1,0 +1,103 @@
+"""Physical-plan property checks — the scale contract, enforced.
+
+Correctness says WHAT comes out; these tests pin HOW it executes: filters
+reach the parquet scan, projections prune columns, small dims broadcast,
+no accidental cartesian products, aggregates keep partial (map-side)
+phases. A plan regression at sf0.01 is the same regression at 100 TB,
+just 10^4 times more expensive.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_lakehouse_pipeline_spark import plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = plans.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_predicates")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not just the empty list
+    assert "PushedFilters: []" not in plan.split("PushedFilters:", 1)[1][:200]
+
+
+def test_projection_pruning_narrow_readschema(spark):
+    plan = _plan(spark, "top_orders_with_customer")
+    # lineitem never referenced; orders scan must not read o_comment-ish width
+    scan_schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert scan_schemas, "no scans found"
+    assert all(len(s.split(",")) <= 8 for s in scan_schemas), scan_schemas
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    for name in ("mv_category_sales", "mv_seller_performance", "dim_supplier"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # knn/* use broadcast nested loop against a 1-row query side by design;
+    # everything else must be keyed.
+    for name, spec in plans.specs().items():
+        if "similarity" in spec.tags:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_aggregates_keep_partial_phase(spark):
+    plan = _plan(spark, "mv_daily_sales")
+    # partial_ prefix marks map-side combine before the exchange
+    assert "partial_" in plan
+    assert "HashAggregate" in plan
+
+
+def test_window_dedup_single_shuffle_with_group_limit(spark):
+    plan = _plan(spark, "cdc_latest_state_per_key")
+    # exactly one hash exchange for the window partitioning...
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # ...and Spark 4's map-side top-1 pruning before it (rank <= k pushed
+    # below the exchange -> shuffle carries one row per key per mapper)
+    assert "WindowGroupLimit" in plan
+
+
+def test_anti_and_semi_joins_planned_as_such(spark):
+    assert "LeftAnti" in _plan(spark, "customers_without_events")
+    assert "LeftSemi" in _plan(spark, "customers_with_open_orders")
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    # Under AQE the codegen subtrees only form as stages materialize, so
+    # compile the non-adaptive plan for the assertion (the fused pipelines
+    # are identical once AQE finalizes each stage).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("fact_order_items", "scalar_functions"):
+            df = plans.queries()[name](spark, SF)
+            s = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+            )
+            assert "WholeStageCodegen subtrees" in s, name
+            assert "Found 0 WholeStageCodegen" not in s, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+@pytest.mark.parametrize("name", ["orders_enriched", "fact_order_items"])
+def test_flagship_join_strategy(spark, name):
+    plan = _plan(spark, name)
+    # joins must be hash-based (broadcast or shuffled-hash/sort-merge on
+    # keys) — never nested-loop on a fact table
+    assert "BroadcastNestedLoopJoin" not in plan, name

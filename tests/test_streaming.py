@@ -157,3 +157,38 @@ def test_fan_out_independent_queries(spark, tmp_path, n_tables):
         q.awaitTermination(120)
     for i in range(n_tables):
         assert spark.read.parquet(str(tmp_path / "bronze" / f"table{i}")).count() == 1
+
+
+def test_sessionize_stateful_operator(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.sessionize import sessionize
+
+    events = spark.createDataFrame(
+        [
+            # user 100: two events 5 min apart, then a 55-min gap -> 1 closed
+            (100, "2024-01-01 10:00:00", 1.0),
+            (100, "2024-01-01 10:05:00", 2.0),
+            (100, "2024-01-01 11:00:00", 4.0),
+            # user 200: single burst, stays open -> nothing emitted
+            (200, "2024-01-01 09:00:00", 8.0),
+        ],
+        ["user_id", "ts_s", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).select("user_id", "ts", "value")
+    src = tmp_path / "sess_src"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    sessions = sessionize(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions_test").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 100 and r.n_events == 2 and r.total_value == 3.0
+    assert str(r.session_start).startswith("2024-01-01 10:00") 
+    assert str(r.session_end).startswith("2024-01-01 10:05")
