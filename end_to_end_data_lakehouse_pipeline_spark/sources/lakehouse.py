@@ -86,17 +86,34 @@ class LakehouseTable:
     def read(self) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path)
 
-    def append(self, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        sort_within_by: Sequence[str] = (),
+    ) -> None:
         """S4 bronze append (streaming_bronze.py:99-103); partitioned by
-        e.g. the source-table or date column so downstream reads prune."""
+        e.g. the source-table or date column so downstream reads prune.
+        ``sort_within_by`` clusters rows inside each file (the ClickHouse
+        ORDER BY / Delta Z-order analog, O4: 03_fact_tables.sql:54) so
+        min/max page stats make point lookups skip row groups."""
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
         w = df.write.format(self.fmt).mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(self.path)
 
-    def overwrite(self, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        sort_within_by: Sequence[str] = (),
+    ) -> None:
         """S6 gold full refresh via staging dir + atomic swap."""
         staging = f"{self.path}_staging_{uuid.uuid4().hex[:8]}"
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
         w = df.write.format(self.fmt).mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -99,3 +99,26 @@ def test_latest_per_key_deterministic_tiebreak(spark):
     )
     win = latest_per_key(df, ["pk"], "ts", tiebreak=["payload"])
     assert win.first().payload == "b"  # explicit total order, not arbitrary
+
+
+def test_sorted_write_clusters_rows(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "sorted"))
+    df = spark.range(1000).selectExpr("id", "id % 7 AS grp").repartition(2)
+    t.append(df, sort_within_by=["grp", "id"])
+    # rows inside each parquet file must be clustered by (grp, id)
+    import glob
+
+    files = glob.glob(str(tmp_path / "sorted" / "*.parquet"))
+    assert files
+    for f in files:
+        rows = [(r.grp, r.id) for r in spark.read.parquet(f).collect()]
+        assert rows == sorted(rows)
+
+
+def test_jdbc_writer_shape(spark):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.sinks import jdbc_writer
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    w = jdbc_writer(df, "jdbc:clickhouse://warehouse:8123/db", "t", num_partitions=4)
+    # writer is configured, not executed (no warehouse in the container)
+    assert w is not None
