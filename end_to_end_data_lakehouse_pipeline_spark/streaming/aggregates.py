@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -52,6 +52,38 @@ def streaming_daily_sales(
             "avg_value",
             "approx_users",
         )
+    )
+
+
+def streaming_mv(
+    events: DataFrame,
+    ts_col: str,
+    keys: Sequence[Column | str],
+    aggs: Sequence[Column],
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Generic incremental MV: ANY of the 7 MV groupings (plans/mv.py) as a
+    watermarked stateful aggregation. ``keys`` may mix event-time windows
+    (``F.window(ts, ...)``) and plain expressions (hour/dow/type columns);
+    run with outputMode("update") so re-aggregated keys re-emit — the
+    SummingMergeTree merge done by the state store (A16)."""
+    return events.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
+
+
+def streaming_hourly_pattern(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """mv_hourly_pattern (04_materialized_views.sql:117-126) incrementally:
+    same output columns as the batch query in plans/mv.py."""
+    from ..functions.dates import isodow
+
+    return streaming_mv(
+        events,
+        ts_col,
+        [F.hour(ts_col).alias("hr"), isodow(ts_col).alias("dow_mon1")],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        ],
     )
 
 

@@ -192,3 +192,36 @@ def test_sessionize_stateful_operator(spark, tmp_path):
     assert r.user_id == 100 and r.n_events == 2 and r.total_value == 3.0
     assert str(r.session_start).startswith("2024-01-01 10:00") 
     assert str(r.session_end).startswith("2024-01-01 10:05")
+
+
+def test_streaming_hourly_pattern_matches_batch(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.aggregates import (
+        streaming_hourly_pattern,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:15:00", 10.0),  # Monday 10h
+            (2, "2024-01-01 10:45:00", 20.0),  # Monday 10h
+            (3, "2024-01-02 23:00:00", 5.0),   # Tuesday 23h
+        ],
+        ["event_id", "ts_s", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = tmp_path / "hp_src"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        streaming_hourly_pattern(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.hr, r.dow_mon1): (r.n_events, r.total_value)
+        for r in spark.sql("select * from hourly_test").collect()
+    }
+    assert got == {(10, 1): (2, 30.0), (23, 2): (1, 5.0)}
