@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_minhash_lsh",      # shingle → minhash → band → bucket join
     "text_stats",             # tokenization + quality metrics
     "token_count_bpe",        # BPE-ish regex tokenizer counts
+    "term_frequencies",       # corpus top-k terms (explode + count + top-k)
+    "mv_daily_sales_approx",  # HLL no-Expand variant of mv_daily_sales
     "hash_sample",            # deterministic hash sampling
     "knn_bruteforce_cosine",  # exact ANN baseline over embeddings
     "knn_lsh_bucketed",       # LSH-bucketed ANN scale path

@@ -320,3 +320,34 @@ register(
     "ClickHouse toDayOfWeek parity via weekday()+1).",
     tags=("mv", "agg"),
 )(build_mv_hourly_pattern)
+
+
+# ---------------------------------------------------------------------------
+# mv_daily_sales_approx — the 100 TB variant of mv_daily_sales: HLL
+# approx_count_distinct replaces the exact distincts, removing the Expand
+# (3x row inflation) and the per-key distinct state. No oracle: HLL sketch
+# values are implementation-specific (DuckDB's HLL differs), so the driver
+# records the weaker rows-only check — row count (= distinct ship dates)
+# and the exact columns still pin correctness.
+# ---------------------------------------------------------------------------
+
+
+def build_mv_daily_sales_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    return li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.sum("l_quantity").alias("total_qty"),
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
+
+
+register(
+    "mv_daily_sales_approx",
+    oracle=None,
+    doc="mv_daily_sales with HLL approx_count_distinct — the no-Expand "
+    "scale variant; rows-only check by design (sketches are engine-"
+    "specific).",
+    tags=("mv", "agg", "approx"),
+)(build_mv_daily_sales_approx)

@@ -372,3 +372,47 @@ register(
     "under Java regex and RE2 (LLM-pipeline extension).",
     tags=("text", "llm"),
 )(build_token_count_bpe)
+
+
+# ---------------------------------------------------------------------------
+# term_frequencies — corpus-level top-k terms (explode -> count -> top-k).
+# The canonical "what's in my 100 TB corpus" query: the explode fans out to
+# rows (codegen), the count is partial+final hash agg (map-side combine
+# collapses each executor's token stream before the shuffle), and the
+# top-k is TakeOrderedAndProject — no global sort.
+# ---------------------------------------------------------------------------
+
+TERM_FREQ_K = 100
+
+TERM_FREQ_ORACLE = f"""
+WITH tok AS (
+    SELECT lower(unnest({_sql_tokens()})) AS term FROM documents
+)
+SELECT term, COUNT(*) AS freq
+FROM tok
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT {TERM_FREQ_K}
+"""
+
+
+def build_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(F.explode(tokens_col()).alias("t")).select(
+        F.lower("t").alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(TERM_FREQ_K)
+    )
+
+
+register(
+    "term_frequencies",
+    oracle=TERM_FREQ_ORACLE,
+    doc="Corpus top-k term frequencies via explode + partial/final count + "
+    "TakeOrderedAndProject (LLM-pipeline extension).",
+    tags=("text", "llm", "topk"),
+)(build_term_frequencies)
