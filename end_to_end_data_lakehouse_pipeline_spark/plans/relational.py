@@ -824,3 +824,175 @@ register(
     doc="INTERSECT set op (§2.6 completeness).",
     tags=("relational", "setops"),
 )(build_set_ops_intersect)
+
+
+# ---------------------------------------------------------------------------
+# As-of join — the classic operator Spark lacks natively (pyspark guide
+# "common OLAP patterns"). Implemented as union + tagged window (single
+# shuffle on the key, last non-null order image carried forward) — the
+# formulation that scales: no range-bucketing explosion, no per-group
+# pandas. Orders are pre-deduped per (key, time) so the as-of winner is
+# total-ordered on both engines.
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH orders2 AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT
+    e.event_id,
+    e.user_id,
+    e.ts,
+    e.value,
+    o.o_orderkey AS asof_orderkey,
+    o.o_totalprice AS asof_order_total
+FROM events e
+ASOF LEFT JOIN orders2 o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def build_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    )
+    orders2 = orders.withColumn("rn", rn).filter(F.col("rn") == 1)
+    o = orders2.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).alias("is_order"),
+    )
+    e = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        "value",
+        F.lit(0).alias("is_order"),
+    )
+    u = o.unionByName(e, allowMissingColumns=True)
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.withColumn(
+        "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    ).withColumn("asof_order_total", F.last("o_totalprice", ignorenulls=True).over(w))
+    return carried.filter(F.col("is_order") == 0).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "value",
+        "asof_orderkey",
+        "asof_order_total",
+    )
+
+
+register(
+    "asof_join_events_orders",
+    oracle=ASOF_ORACLE,
+    doc="As-of join (event -> latest order at-or-before event time) via "
+    "union + tagged window: one shuffle, scales linearly (oracle: native "
+    "DuckDB ASOF JOIN).",
+    tags=("relational", "asof", "window"),
+)(build_asof_join_events_orders)
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group — guide pattern; WindowGroupLimit prunes map-side.
+# ---------------------------------------------------------------------------
+
+TOP_PARTS_ORACLE = """
+WITH rev AS (
+    SELECT p.p_brand, l.l_partkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, l.l_partkey
+)
+SELECT p_brand, l_partkey, revenue, CAST(rk AS INTEGER) AS rk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_brand ORDER BY revenue DESC, l_partkey) AS rk
+    FROM rev
+) WHERE rk <= 3
+"""
+
+
+def build_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .parity import exact_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.col("l_partkey"))
+    )
+    return rev.withColumn("rk", rk).filter(F.col("rk") <= 3)
+
+
+register(
+    "top_parts_per_brand",
+    oracle=TOP_PARTS_ORACLE,
+    doc="Top-3 parts by revenue per brand — rank window with deterministic "
+    "tiebreak; WindowGroupLimit prunes before the shuffle.",
+    tags=("relational", "window", "topk"),
+)(build_top_parts_per_brand)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles — Spark `percentile` over scaled integers is
+# bit-identical to DuckDB quantile_cont (verified incl. fractional
+# interpolation); the sort-based exact form is fine per group at any scale
+# because each group's values sit on one reducer. percentile_approx is the
+# sketch alternative when a single group is itself 100 TB.
+# ---------------------------------------------------------------------------
+
+PERCENTILE_ORACLE = """
+SELECT
+    o_orderstatus,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.25) / 100.0 AS p25,
+    quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS median,
+    quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.75) / 100.0 AS p75,
+    quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.9) / 100.0 AS p90
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def build_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = "cast(round(o_totalprice * 100, 0) as bigint)"
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile({cents}, 0.25) / 100.0").alias("p25"),
+        F.expr(f"percentile({cents}, 0.5) / 100.0").alias("median"),
+        F.expr(f"percentile({cents}, 0.75) / 100.0").alias("p75"),
+        F.expr(f"percentile({cents}, 0.9) / 100.0").alias("p90"),
+    )
+
+
+register(
+    "percentile_stats",
+    oracle=PERCENTILE_ORACLE,
+    doc="Exact p25/median/p75/p90 of order totals per status on scaled "
+    "integers (cross-engine bit-identical interpolation).",
+    tags=("relational", "agg", "percentile"),
+)(build_percentile_stats)
