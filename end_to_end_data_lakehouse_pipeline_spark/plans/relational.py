@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions.dates import date_key, isodow
 from .parity import exact_avg, exact_sum, o_avg, o_sum
 from .registry import register
@@ -996,3 +996,124 @@ register(
     "integers (cross-engine bit-identical interpolation).",
     tags=("relational", "agg", "percentile"),
 )(build_percentile_stats)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 pricing summary — the canonical OLAP aggregation shape
+# (2 group cols, 8 aggregates, date filter pushed to the scan).
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    SUM(l_quantity) AS sum_qty,
+    {o_sum('l_extendedprice', 'sum_base_price')},
+    {o_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+    {o_avg('l_quantity', 'avg_qty')},
+    {o_avg('l_extendedprice', 'avg_price')},
+    {o_avg('l_discount', 'avg_disc')},
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def build_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            exact_avg("l_quantity", "avg_qty"),
+            exact_avg("l_extendedprice", "avg_price"),
+            exact_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "q1_pricing_summary",
+    oracle=Q1_ORACLE,
+    doc="TPC-H Q1 shape: pushed date filter + 2-col groupBy + 8 aggregates "
+    "(partial+final hash agg).",
+    tags=("relational", "agg", "tpch"),
+)(build_q1_pricing_summary)
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations (completes rollup/pivot family).
+# ---------------------------------------------------------------------------
+
+CUBE_ORACLE = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def build_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+register(
+    "cube_sales",
+    oracle=CUBE_ORACLE,
+    doc="CUBE over (status, priority) with grouping_id (completes the "
+    "rollup/pivot grouping-sets family).",
+    tags=("relational", "agg", "groupingsets"),
+)(build_cube_sales)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (stack) — wide metrics to long (the .pivot() inverse).
+# ---------------------------------------------------------------------------
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT
+        o_orderstatus,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, revenue, n_customers))
+"""
+
+
+def build_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        exact_sum("o_totalprice", "revenue"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        "stack(3, 'n_orders', n_orders, 'revenue', revenue, "
+        "'n_customers', n_customers) AS (metric, value)",
+    )
+
+
+register(
+    "unpivot_metrics",
+    oracle=UNPIVOT_ORACLE,
+    doc="Unpivot wide metrics to long via stack() (the pivot inverse).",
+    tags=("relational", "unpivot"),
+)(build_unpivot_metrics)
