@@ -452,3 +452,67 @@ register(
     "(LLM-pipeline extension; scale path touches 1/K of the corpus).",
     tags=("similarity", "llm", "ivf"),
 )(build_knn_ivf)
+
+
+# ---------------------------------------------------------------------------
+# knn_pandas_vectorized — the Arrow/mapInPandas formulation of the exact
+# brute-force top-k: numpy int64 matmul per Arrow batch against the
+# broadcast query vector. Same quantization (HALF_UP like Spark/DuckDB
+# round — numpy's bankers' rounding would diverge on exact .5 products),
+# same integer dot/norms, same IEEE cosine -> shares the Catalyst
+# version's oracle verbatim. The scale shape: ~1000-row Arrow batches,
+# one BLAS matmul each, no per-row Python.
+# ---------------------------------------------------------------------------
+
+
+def _round_half_up(x):
+    import numpy as np
+
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+
+
+def build_knn_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qvec = emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+    q = _round_half_up(np.asarray(qvec, dtype=np.float64) * 1e6)
+    q_ssq = float(np.sqrt(float((q * q).sum())))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _round_half_up(
+                np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+                * 1e6
+            )
+            dots = (m * q).sum(axis=1)  # int64 exact
+            norms = np.sqrt((m * m).sum(axis=1).astype("float64"))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cos_sim": dots.astype("float64") / (norms * q_ssq),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, schema="vec_id bigint, label int, cos_sim double"
+    )
+    return (
+        scored.filter(F.col("vec_id") != qid)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(KNN_K)
+    )
+
+
+register(
+    "knn_pandas_vectorized",
+    oracle=KNN_BRUTE_ORACLE,
+    doc="Exact cosine top-k via Arrow-batched mapInPandas + numpy int64 "
+    "matmul — same oracle as the Catalyst formulation (LLM-pipeline "
+    "extension, the vectorized-Pandas-UDF path).",
+    tags=("similarity", "llm", "pandas"),
+)(build_knn_pandas_vectorized)

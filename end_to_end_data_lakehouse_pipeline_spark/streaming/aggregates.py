@@ -87,6 +87,34 @@ def streaming_hourly_pattern(events: DataFrame, ts_col: str = "ts") -> DataFrame
     )
 
 
+def streaming_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Built-in session windows (F.session_window): dynamic-gap event-time
+    sessions maintained by the state store — the declarative counterpart
+    of streaming/sessionize.py's applyInPandasWithState operator (use the
+    built-in unless per-session logic can't be expressed as aggregates)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     pks: Sequence[str],

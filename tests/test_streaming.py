@@ -225,3 +225,38 @@ def test_streaming_hourly_pattern_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from hourly_test").collect()
     }
     assert got == {(10, 1): (2, 30.0), (23, 2): (1, 5.0)}
+
+
+def test_streaming_session_window_builtin(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.aggregates import (
+        streaming_sessions,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (100, "2024-01-01 10:00:00", 1.0),
+            (100, "2024-01-01 10:10:00", 2.0),   # same session (gap 10m < 30m)
+            (100, "2024-01-01 12:00:00", 4.0),   # new session
+            (200, "2024-01-01 09:00:00", 8.0),
+        ],
+        ["user_id", "ts_s", "value"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = tmp_path / "sw_src"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        streaming_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sw_test")
+        .outputMode("append")  # session windows close once watermark passes
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sw_test order by user_id, session_start").collect()
+    got = [(r.user_id, r.n_events, r.total_value) for r in rows]
+    # watermark = max_ts - 1h = 11:00 -> sessions ending before 11:00 close:
+    # u100 (10:00-10:40, 2 events) and u200 (09:00-09:30). The 12:00
+    # session stays open (not emitted in append mode).
+    assert got == [(100, 2, 3.0), (200, 1, 8.0)]
