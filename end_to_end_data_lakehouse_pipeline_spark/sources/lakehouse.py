@@ -70,6 +70,25 @@ def merge_upsert(
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    buckets: int,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed catalog table: co-locates join/agg keys at write time so a
+    later join of two tables bucketed the same way needs NO exchange —
+    the 100 TB fact-fact join strategy (SURVEY.md §7: 'bucketing for
+    co-located joins'). Requires saveAsTable (bucket metadata lives in
+    the catalog, not the files)."""
+    w = df.write.format(fmt).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode("overwrite").saveAsTable(table_name)
+
+
 class LakehouseTable:
     """One path-addressed table with append / overwrite / merge writers."""
 
