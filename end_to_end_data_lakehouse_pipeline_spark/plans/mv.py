@@ -351,3 +351,62 @@ register(
     "specific).",
     tags=("mv", "agg", "approx"),
 )(build_mv_daily_sales_approx)
+
+
+# ---------------------------------------------------------------------------
+# value_dispersion_stats — variance/stddev done exactly: integer sums
+# (S1, S2) are order-independent; the final (n*S2 - S1^2)/n^2 runs the
+# identical IEEE sequence on both engines -> bit-identical doubles with
+# no tolerance. (Reference uses no dispersion aggregates; engine
+# completeness for the MV family.)
+# ---------------------------------------------------------------------------
+
+DISPERSION_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s1,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+               * CAST(ROUND(value * 100, 0) AS BIGINT)) AS s2
+    FROM events GROUP BY event_type
+)
+SELECT
+    event_type,
+    n,
+    (CAST(s1 AS DOUBLE) / 100.0) / n AS mean_value,
+    ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0 AS var_pop,
+    sqrt(((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0 AS stddev_pop
+FROM s
+"""
+
+
+def build_value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_cents = ((nd * s2d) - (s1d * s1d)) / (nd * nd)
+    return s.select(
+        "event_type",
+        "n",
+        ((s1d / 100.0) / F.col("n")).alias("mean_value"),
+        (var_cents / 10000.0).alias("var_pop"),
+        (F.sqrt(var_cents) / 100.0).alias("stddev_pop"),
+    )
+
+
+register(
+    "value_dispersion_stats",
+    oracle=DISPERSION_ORACLE,
+    doc="Exact population variance/stddev per event type via integer "
+    "S1/S2 sums + identical IEEE finishing sequence.",
+    tags=("mv", "agg", "dispersion"),
+)(build_value_dispersion_stats)

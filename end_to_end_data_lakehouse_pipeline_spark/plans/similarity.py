@@ -516,3 +516,52 @@ register(
     "extension, the vectorized-Pandas-UDF path).",
     tags=("similarity", "llm", "pandas"),
 )(build_knn_pandas_vectorized)
+
+
+# ---------------------------------------------------------------------------
+# docs_with_embeddings — cross-modal join: text corpus ⟕ embedding store
+# on document id. The join key is the uniform content id, so it shuffles
+# evenly; at 100 TB both sides would be bucketed by id (write_bucketed)
+# making this exchange-free.
+# ---------------------------------------------------------------------------
+
+DOCS_EMB_ORACLE = f"""
+SELECT
+    d.doc_id,
+    d.lang,
+    d.n_chars,
+    e.vec_id IS NOT NULL AS has_embedding,
+    e.label AS cluster_label,
+    CASE WHEN e.vec_id IS NULL THEN NULL
+         ELSE CAST(ROUND(sqrt(CAST({_sql_ssq(_sql_quantized('e.embedding'))} AS DOUBLE)), 0)
+              AS BIGINT) END AS norm_micro
+FROM documents d
+LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+def build_docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("label").alias("cluster_label"),
+        F.round(F.sqrt(ssq(quantized()).cast("double")), 0).cast("long").alias("norm_micro"),
+    )
+    return docs.join(e, docs.doc_id == e.vec_id, "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("vec_id").isNotNull().alias("has_embedding"),
+        "cluster_label",
+        "norm_micro",
+    )
+
+
+register(
+    "docs_with_embeddings",
+    oracle=DOCS_EMB_ORACLE,
+    doc="Cross-modal join of the text corpus with the embedding store "
+    "(LLM-pipeline extension; bucket both sides by id at scale).",
+    tags=("similarity", "llm", "join"),
+)(build_docs_with_embeddings)
