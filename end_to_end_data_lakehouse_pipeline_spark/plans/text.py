@@ -416,3 +416,71 @@ register(
     "TakeOrderedAndProject (LLM-pipeline extension).",
     tags=("text", "llm", "topk"),
 )(build_term_frequencies)
+
+
+# ---------------------------------------------------------------------------
+# doc_rolling_hash — order-sensitive Rabin-Karp polynomial fingerprint:
+# fold over tokens of (acc*B + h(token)) mod P. Unlike the normalization
+# md5 (doc_fingerprint), token ORDER changes this hash — the rolling-hash
+# fingerprint SURVEY M5 names. h(token) = first 32 md5 bits (cross-engine
+# via conv/strpos-nibble parse); B=31, P=1e9+7 keeps acc*B+h < 2^35,
+# far from BIGINT overflow.
+# ---------------------------------------------------------------------------
+
+RH_B = 31
+RH_P = 1_000_000_007
+
+_RH_TOKEN_HASH_SQL = (
+    "CAST(list_sum(list_transform(generate_series(0, 7), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(t), 1 + i, 1)) - 1 AS BIGINT) "
+    "* (CAST(1 AS BIGINT) << (4 * (7 - i))))) AS BIGINT)"
+)
+
+ROLLING_HASH_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           list_transform(toks, t -> {_RH_TOKEN_HASH_SQL} % {RH_P}) AS hs
+    FROM t
+)
+SELECT
+    doc_id,
+    n_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                (acc, x) -> (acc * {RH_B} + x) % {RH_P}) AS rolling_hash
+FROM h
+"""
+
+
+def build_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    token_hash = (
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % RH_P
+    )
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    h = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.transform("toks", token_hash).alias("hs"),
+    )
+    return h.select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * RH_B + x) % RH_P,
+        ).alias("rolling_hash"),
+    )
+
+
+register(
+    "doc_rolling_hash",
+    oracle=ROLLING_HASH_ORACLE,
+    doc="Order-sensitive Rabin-Karp rolling-hash document fingerprint "
+    "(LLM-pipeline extension; fold via F.aggregate / list_reduce).",
+    tags=("text", "llm", "fingerprint"),
+)(build_doc_rolling_hash)

@@ -260,3 +260,46 @@ def test_streaming_session_window_builtin(spark, tmp_path):
     # u100 (10:00-10:40, 2 events) and u200 (09:00-09:30). The 12:00
     # session stays open (not emitted in append mode).
     assert got == [(100, 2, 3.0), (200, 1, 8.0)]
+
+
+def test_synthetic_cdc_generator_envelopes(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.generator import (
+        synthetic_cdc_stream,
+    )
+
+    stream = synthetic_cdc_stream(spark, rows_per_second=500, n_keys=50)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gen_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) from gen_test").first()[0] >= 20:
+                break
+            time.sleep(1)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select value from gen_test").collect()
+    assert len(rows) >= 20
+    # every envelope must parse with the typed CDC path
+    parsed = parse_cdc_envelope(
+        spark.createDataFrame([(r.value,) for r in rows], ["value"]),
+        T.StructType(
+            [
+                T.StructField("order_id", T.StringType(), True),
+                T.StructField("order_status", T.StringType(), True),
+                T.StructField("amount", T.DoubleType(), True),
+            ]
+        ),
+    )
+    assert parsed.filter(F.col("order_id").isNull()).count() == 0
+    ops = {r._op for r in parsed.select("_op").distinct().collect()}
+    assert ops <= {"c", "u", "d"} and "c" in ops
