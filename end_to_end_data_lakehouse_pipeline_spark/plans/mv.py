@@ -410,3 +410,61 @@ register(
     "S1/S2 sums + identical IEEE finishing sequence.",
     tags=("mv", "agg", "dispersion"),
 )(build_value_dispersion_stats)
+
+
+# ---------------------------------------------------------------------------
+# salted_status_rollup — the skew-safe two-phase aggregation from
+# operators/skew.py in the oracle-checked surface: o_orderstatus is a
+# 3-value key (maximal skew — each key is a third of the table), exactly the
+# shape where single-phase groupBy funnels everything to 3 reducers.
+# The salted plan's result is algebraically identical to the plain
+# GROUP BY, which is what the oracle asserts.
+# ---------------------------------------------------------------------------
+
+SALTED_ROLLUP_ORACLE = """
+SELECT
+    o_orderstatus,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS revenue_exact_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    MIN(o_orderkey) AS min_orderkey,
+    MAX(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def build_salted_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import salted_aggregate
+    from .parity import scaled_long
+
+    orders = spread(table(spark, sf_dir, "orders"), spark).withColumn(
+        "_cents", scaled_long("o_totalprice")
+    )
+    out = salted_aggregate(
+        orders,
+        ["o_orderstatus"],
+        {
+            "revenue_cents": ("_cents", "sum"),
+            "n_orders": ("o_orderkey", "count"),
+            "min_orderkey": ("o_orderkey", "min"),
+            "max_orderkey": ("o_orderkey", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "o_orderstatus",
+        (F.col("revenue_cents").cast("double") / 100.0).alias("revenue_exact_cents"),
+        "n_orders",
+        "min_orderkey",
+        "max_orderkey",
+    )
+
+
+register(
+    "salted_status_rollup",
+    oracle=SALTED_ROLLUP_ORACLE,
+    doc="Two-phase salted aggregation on a 3-value (maximally skewed) key; "
+    "oracle asserts algebraic equality with the plain GROUP BY.",
+    tags=("mv", "agg", "skew"),
+)(build_salted_status_rollup)
