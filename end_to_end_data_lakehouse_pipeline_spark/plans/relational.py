@@ -1117,3 +1117,73 @@ register(
     doc="Unpivot wide metrics to long via stack() (the pivot inverse).",
     tags=("relational", "unpivot"),
 )(build_unpivot_metrics)
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — lag + cumulative-sum session ids (the batch dual
+# of streaming/sessionize.py). Gap comparison on exact integer epoch
+# micros; one shuffle (user partition), sessions aggregate in the same
+# partitioning — no second exchange.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+BATCH_SESSIONS_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+marked AS (
+    SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_MIN} * 60 * 1000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+numbered AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+)
+SELECT
+    user_id,
+    CAST(session_seq AS BIGINT) AS session_seq,
+    MIN(ts) AS session_start,
+    MAX(ts) AS session_end,
+    COUNT(*) AS n_events,
+    {o_sum('value', 'total_value')}
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+def build_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    marked = events.withColumn(
+        "is_new",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "total_value"),
+    )
+
+
+register(
+    "batch_sessions",
+    oracle=BATCH_SESSIONS_ORACLE,
+    doc="Gap-based sessionization in batch: lag + running-sum session ids "
+    "over exact epoch micros (single user-partition shuffle).",
+    tags=("relational", "window", "session"),
+)(build_batch_sessions)
