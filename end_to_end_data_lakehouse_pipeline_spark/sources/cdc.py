@@ -41,6 +41,22 @@ def micros_to_ts(col: Column | str) -> Column:
     return F.timestamp_micros(c.cast("long"))
 
 
+def split_corrupt_cdc(
+    raw: DataFrame,
+    payload: T.StructType,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (parseable, corrupt). A malformed JSON value (or
+    one missing the op field) silently nulls through ``from_json``; at
+    scale silent nulls become silent data loss, so corrupt rows are routed
+    to a quarantine table for replay instead. Both outputs are lazy
+    filters over one parse — Catalyst evaluates from_json once per side,
+    no extra shuffle."""
+    env = F.from_json(F.col(value_col), CDC_ENVELOPE_SCHEMA(payload))
+    ok = env.isNotNull() & env.getField("op").isNotNull()
+    return raw.filter(ok), raw.filter(~ok | F.col(value_col).isNull())
+
+
 def parse_cdc_envelope(
     raw: DataFrame,
     payload: T.StructType,

@@ -145,6 +145,18 @@ class LakehouseTable:
         else:
             os.rename(staging, self.path)
 
+    def compact(self, target_partitions: int, sort_within_by: Sequence[str] = ()) -> int:
+        """OPTIMIZE analog: rewrite the table into ``target_partitions``
+        files (coalescing the small files that streaming appends
+        accumulate — the #1 operational issue of high-frequency triggers
+        at scale). Returns the file count before compaction."""
+        before = sum(
+            1 for _, _, files in os.walk(self.path) for f in files if f.endswith(".parquet")
+        )
+        df = self.read().coalesce(target_partitions)
+        self.overwrite(df, sort_within_by=sort_within_by)
+        return before
+
     def merge(
         self,
         updates: DataFrame,

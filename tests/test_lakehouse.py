@@ -122,3 +122,33 @@ def test_jdbc_writer_shape(spark):
     w = jdbc_writer(df, "jdbc:clickhouse://warehouse:8123/db", "t", num_partitions=4)
     # writer is configured, not executed (no warehouse in the container)
     assert w is not None
+
+
+def test_compact_coalesces_small_files(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "many_files"))
+    for i in range(5):  # five appends -> many small files
+        t.append(spark.range(100).selectExpr("id", f"id + {i} AS v").repartition(4))
+    before = t.compact(target_partitions=2)
+    assert before >= 10
+    import glob
+
+    after = len(glob.glob(str(tmp_path / "many_files" / "*.parquet")))
+    assert after <= 2
+    assert t.read().count() == 500  # no rows lost
+
+
+def test_split_corrupt_cdc_dead_letter(spark):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.cdc import split_corrupt_cdc
+
+    rows = [
+        ('{"after": {"order_id": "o1"}, "op": "c", "source_ts_ms": 1}',),
+        ("not json at all",),
+        ('{"after": {"order_id": "o2"}}',),  # missing op
+        (None,),
+    ]
+    raw = spark.createDataFrame(rows, ["value"])
+    ok, bad = split_corrupt_cdc(raw, PAYLOAD)
+    assert ok.count() == 1
+    assert bad.count() == 3
+    parsed = parse_cdc_envelope(ok, PAYLOAD)
+    assert [r.order_id for r in parsed.collect()] == ["o1"]

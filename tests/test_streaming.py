@@ -303,3 +303,28 @@ def test_synthetic_cdc_generator_envelopes(spark, tmp_path):
     assert parsed.filter(F.col("order_id").isNull()).count() == 0
     ops = {r._op for r in parsed.select("_op").distinct().collect()}
     assert ops <= {"c", "u", "d"} and "c" in ops
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """ST2 exactly-once-ish: restarting from the checkpoint must not
+    re-ingest already-committed files."""
+    src = tmp_path / "cdc_in"
+    _write_jsonl(src, [{"value": "a"}, {"value": "b"}])
+    stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    q1 = process_cdc_stream(
+        stream, "t", str(tmp_path / "bronze"), str(tmp_path / "ckpt"), available_now=True
+    )
+    q1.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "bronze")).count() == 2
+
+    # new file lands; restart with the SAME checkpoint
+    with open(src / "part-1.jsonl", "w") as f:
+        f.write('{"value": "c"}\n')
+    stream2 = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    q2 = process_cdc_stream(
+        stream2, "t", str(tmp_path / "bronze"), str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    bronze = spark.read.parquet(str(tmp_path / "bronze"))
+    assert bronze.count() == 3  # a, b NOT duplicated; c ingested once
+    assert bronze.select("_raw_value").distinct().count() == 3
