@@ -127,6 +127,43 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(pks))
 
 
+def streaming_enriched_by_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join (J5 in-stream): each micro-batch joins against
+    the CURRENT state of the static side — dims broadcast per batch, so a
+    dim refresh is picked up by the next trigger without restarting the
+    query. The streaming analog of the MV dim joins (A11/A12)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_orders_with_payments(
+    orders: DataFrame,
+    payments: DataFrame,
+    key: str = "order_id",
+    orders_ts: str = "order_ts",
+    payments_ts: str = "payment_ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: a payment
+    matches its order only within ``within`` of the order timestamp.
+    Both sides carry watermarks so the state store can drop buffered rows
+    once no more matches can arrive — bounded state at any scale (the
+    capability the reference's 8 isolated topic streams never exercise)."""
+    o = orders.withWatermark(orders_ts, watermark)
+    p = payments.withWatermark(payments_ts, watermark)
+    cond = (
+        (o[key] == p[key])
+        & (p[payments_ts] >= o[orders_ts])
+        & (p[payments_ts] <= o[orders_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return o.join(p, cond, "inner").drop(p[key])
+
+
 def silver_merge_sink(
     stream: DataFrame,
     table: LakehouseTable,

@@ -328,3 +328,65 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     bronze = spark.read.parquet(str(tmp_path / "bronze"))
     assert bronze.count() == 3  # a, b NOT duplicated; c ingested once
     assert bronze.select("_raw_value").distinct().count() == 3
+
+
+def test_stream_static_dim_join(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.aggregates import (
+        streaming_enriched_by_dim,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, "n1", 10.0), (2, "n2", 20.0), (3, "nX", 5.0)], ["id", "nk", "v"]
+    )
+    src = tmp_path / "facts"
+    facts.write.parquet(str(src))
+    dim = spark.createDataFrame([("n1", "EUROPE"), ("n2", "ASIA")], ["nk", "region"])
+    stream = spark.readStream.schema(facts.schema).parquet(str(src))
+    q = (
+        streaming_enriched_by_dim(stream, dim, "nk")
+        .writeStream.format("memory")
+        .queryName("ss_dim_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.region for r in spark.sql("select * from ss_dim_test").collect()}
+    assert got == {1: "EUROPE", 2: "ASIA", 3: None}
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.aggregates import (
+        streaming_orders_with_payments,
+    )
+
+    orders = spark.createDataFrame(
+        [("o1", "2024-01-01 10:00:00"), ("o2", "2024-01-01 12:00:00")],
+        ["order_id", "ts_s"],
+    ).withColumn("order_ts", F.to_timestamp("ts_s")).drop("ts_s")
+    payments = spark.createDataFrame(
+        [
+            ("o1", "2024-01-01 10:30:00", 50.0),   # within 1h -> match
+            ("o2", "2024-01-01 14:00:00", 70.0),   # 2h later -> NO match
+            ("o1", "2024-01-01 09:00:00", 99.0),   # before order -> NO match
+        ],
+        ["order_id", "ts_s", "amount"],
+    ).withColumn("payment_ts", F.to_timestamp("ts_s")).drop("ts_s")
+    osrc, psrc = tmp_path / "orders", tmp_path / "payments"
+    orders.write.parquet(str(osrc))
+    payments.write.parquet(str(psrc))
+    ostream = spark.readStream.schema(orders.schema).parquet(str(osrc))
+    pstream = spark.readStream.schema(payments.schema).parquet(str(psrc))
+    joined = streaming_orders_with_payments(ostream, pstream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select order_id, amount from ss_join_test").collect()
+    assert [(r.order_id, r.amount) for r in rows] == [("o1", 50.0)]
