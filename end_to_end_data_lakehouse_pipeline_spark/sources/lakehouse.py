@@ -102,8 +102,15 @@ class LakehouseTable:
             not n.startswith(("_staging", ".")) for n in os.listdir(self.path)
         )
 
-    def read(self) -> DataFrame:
-        return self.spark.read.format(self.fmt).load(self.path)
+    def read(self, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions column sets across files written
+        at different schema versions (the reference's mergeSchema=true
+        bronze semantics, streaming_bronze.py:101 — schema evolution on
+        append)."""
+        r = self.spark.read.format(self.fmt)
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.load(self.path)
 
     def append(
         self,

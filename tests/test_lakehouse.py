@@ -152,3 +152,27 @@ def test_split_corrupt_cdc_dead_letter(spark):
     assert bad.count() == 3
     parsed = parse_cdc_envelope(ok, PAYLOAD)
     assert [r.order_id for r in parsed.collect()] == ["o1"]
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "evolving"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v1"]))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2_new"]))
+    merged = t.read(merge_schema=True)
+    assert set(merged.columns) == {"id", "v1", "v2_new"}
+    rows = {r.id: r.v2_new for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}  # old rows null-fill the new column
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "parted"))
+    df = spark.range(1000).selectExpr("id", "CAST(id % 10 AS STRING) AS day")
+    t.append(df, partition_by=["day"])
+    q = t.read().filter(F.col("day") == "3")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1][:200]
+    assert "day" in seg  # pruned at the source, not filtered post-scan
+    assert q.count() == 100

@@ -86,3 +86,14 @@ def test_medallion_bronze_silver_gold(spark, tmp_path):
     ).withColumn("_event_ts", F.to_timestamp(F.lit("2024-01-03 00:00:00")))
     silver.merge(more, pks=["order_id"], order_col="_event_ts")
     assert silver.read().count() == 3
+
+
+def test_runnable_medallion_job(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.jobs import run_medallion
+
+    stats = run_medallion(spark, str(tmp_path / "lake"), seconds=6.0)
+    assert stats["silver_rows"] > 0
+    assert stats["gold_rows"] > 0
+    assert stats["quarantined"] == 0  # generator emits only valid envelopes
+    gold = spark.read.parquet(str(tmp_path / "lake" / "gold" / "status_summary"))
+    assert set(gold.columns) == {"order_status", "n_orders", "revenue"}
