@@ -176,3 +176,34 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     seg = plan.split("PartitionFilters:", 1)[1][:200]
     assert "day" in seg  # pruned at the source, not filtered post-scan
     assert q.count() == 100
+
+
+def test_versioned_table_time_travel_and_rollback(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), keep_versions=10)
+    v1 = t.commit(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    v2 = t.commit(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    assert (v1, v2) == (1, 2)
+    assert t.read().count() == 2
+    assert t.read_version(1).count() == 1  # time travel
+    t.rollback(1)
+    assert t.read().count() == 1
+    assert [h["version"] for h in t.history()] == [1, 2]
+
+
+def test_versioned_table_prunes_old_versions(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt2"), keep_versions=2)
+    for i in range(5):
+        t.commit(spark.range(i + 1))
+    assert t.read().count() == 5
+    retained = sorted(
+        int(n[2:]) for n in __import__("os").listdir(str(tmp_path / "vt2")) if n.startswith("v_")
+    )
+    assert retained == [4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read_version(1)
