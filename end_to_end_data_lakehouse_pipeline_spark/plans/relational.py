@@ -1187,3 +1187,59 @@ register(
     "over exact epoch micros (single user-partition shuffle).",
     tags=("relational", "window", "session"),
 )(build_batch_sessions)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day revenue — RANGE frame over integer epoch-days (value-based
+# frames, distinct from the ROWS frames elsewhere). Ordering on an exact
+# integer day number makes the frame semantics identical cross-engine.
+# ---------------------------------------------------------------------------
+
+ROLLING_REVENUE_ORACLE = f"""
+WITH daily AS (
+    SELECT
+        CAST(o_orderdate AS DATE) AS d,
+        CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+            AS day_num,
+        {o_sum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT
+    d,
+    revenue,
+    SUM(revenue) OVER (
+        ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    ) AS revenue_7d,
+    CAST(COUNT(*) OVER (
+        ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS days_present_7d
+FROM daily
+"""
+
+
+def build_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+    ).agg(exact_sum("o_totalprice", "revenue"))
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "d",
+        "revenue",
+        F.sum("revenue").over(w).alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).alias("days_present_7d"),
+    )
+
+
+register(
+    "rolling_revenue_7d",
+    oracle=ROLLING_REVENUE_ORACLE,
+    doc="7-day rolling revenue via RANGE frame on integer epoch-days "
+    "(value-based window frames; single-partition global window is fine "
+    "because the input is one row per DAY, not per order).",
+    tags=("relational", "window", "frame"),
+)(build_rolling_revenue_7d)
