@@ -1243,3 +1243,41 @@ register(
     "because the input is one row per DAY, not per order).",
     tags=("relational", "window", "frame"),
 )(build_rolling_revenue_7d)
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation — collect_list + sort_array, emitted as a canonical
+# CSV string (scalar output keeps the driver's value-hash comparison
+# format-independent; the array itself is the same on both engines).
+# ---------------------------------------------------------------------------
+
+PART_LISTS_ORACLE = """
+SELECT
+    l_orderkey,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts_csv,
+    MIN(l_partkey) AS first_part
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def build_order_part_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("l_partkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("parts_csv"),
+        F.min("l_partkey").alias("first_part"),
+    )
+
+
+register(
+    "order_part_lists",
+    oracle=PART_LISTS_ORACLE,
+    doc="Array aggregation per order: collect_list -> sort_array -> "
+    "canonical CSV (deterministic regardless of arrival order).",
+    tags=("relational", "agg", "array"),
+)(build_order_part_lists)
