@@ -484,3 +484,70 @@ register(
     "(LLM-pipeline extension; fold via F.aggregate / list_reduce).",
     tags=("text", "llm", "fingerprint"),
 )(build_doc_rolling_hash)
+
+
+# ---------------------------------------------------------------------------
+# user_gap_stats — grouped-map applyInPandas in the oracle-checked
+# surface: per-user inter-event gap statistics computed in pandas (exact
+# int64 epoch-micros; np.median's two-middle average equals DuckDB
+# quantile_cont(0.5) on integers). The Arrow grouped-map path: each user
+# group arrives as one pandas frame, work is vectorized, output one row.
+# ---------------------------------------------------------------------------
+
+USER_GAP_ORACLE = """
+WITH ordered AS (
+    SELECT user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+),
+gaps AS (SELECT user_id, gap_us FROM ordered WHERE gap_us IS NOT NULL)
+SELECT
+    user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_gaps,
+    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+    CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+    quantile_cont(gap_us, 0.5) AS median_gap_us
+FROM gaps
+GROUP BY user_id
+"""
+
+
+def build_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
+        gaps = np.diff(us)
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "min_gap_us", "max_gap_us", "median_gap_us"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_gaps": [len(gaps)],
+                "min_gap_us": [int(gaps.min())],
+                "max_gap_us": [int(gaps.max())],
+                "median_gap_us": [float(np.median(gaps))],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        stats,
+        schema="user_id bigint, n_gaps bigint, min_gap_us bigint, "
+        "max_gap_us bigint, median_gap_us double",
+    )
+
+
+register(
+    "user_gap_stats",
+    oracle=USER_GAP_ORACLE,
+    doc="Per-user inter-event gap stats via grouped-map applyInPandas "
+    "(Arrow per-group frames, vectorized numpy; SQL-window oracle).",
+    tags=("text", "pandas", "window"),
+)(build_user_gap_stats)
