@@ -565,3 +565,84 @@ register(
     "(LLM-pipeline extension; bucket both sides by id at scale).",
     tags=("similarity", "llm", "join"),
 )(build_docs_with_embeddings)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_embeddings — the iterative-algorithm pattern done Spark-idiomatic:
+# centroids are tiny (K x DIM ints) so each Lloyd iteration is one
+# broadcast-assign pass over the corpus + one explode/groupBy centroid
+# update collected to the driver (K rows over the wire — the standard
+# Spark ML loop shape; the corpus is never collected). Deterministic:
+# min-vec_id seeds, exact integer centroid floors, (dist, cluster)
+# tie-break. Rows-only driver check by design (iterative refinement is
+# not economically SQL-expressible); the pytest pins determinism and
+# assignment sanity instead.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def build_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    q = emb.select("vec_id", quantized().alias("qa")).persist()
+    q.count()
+
+    # deterministic seeds: the K lowest vec_ids
+    seeds = q.orderBy("vec_id").limit(KMEANS_K).collect()
+    centroids = [(i, list(r.qa)) for i, r in enumerate(seeds)]
+
+    def assign(cent):
+        cent_df = F.broadcast(
+            spark.createDataFrame(cent, ["cluster", "ca"]).withColumn(
+                "ca", F.col("ca").cast("array<long>")
+            )
+        )
+        dist = F.aggregate(
+            F.zip_with("qa", "ca", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = W.partitionBy("vec_id").orderBy(dist.asc(), F.col("cluster").asc())
+        return (
+            q.crossJoin(cent_df)
+            .withColumn("dist_sq", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qa", "cluster", "dist_sq")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode("qa").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+                ).alias("ca")
+            )
+            .collect()  # K rows only — centroids, not data
+        )
+        new_centroids = {r.cluster: list(r.ca) for r in rows}
+        centroids = [
+            (k, new_centroids.get(k, ca)) for k, ca in centroids  # keep empty clusters
+        ]
+
+    final = assign(centroids)
+    q.unpersist()
+    return final.select("vec_id", "cluster", "dist_sq")
+
+
+register(
+    "kmeans_embeddings",
+    oracle=None,
+    doc=f"Lloyd k-means (K={KMEANS_K}, {KMEANS_ITERS} iters) over embeddings: "
+    "broadcast assign + driver-side centroid update per iteration; "
+    "deterministic seeds/tie-breaks; rows-only check (iterative).",
+    tags=("similarity", "llm", "iterative"),
+)(build_kmeans_embeddings)
