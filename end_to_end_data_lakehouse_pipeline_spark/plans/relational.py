@@ -1281,3 +1281,59 @@ register(
     "canonical CSV (deterministic regardless of arrival order).",
     tags=("relational", "agg", "array"),
 )(build_order_part_lists)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling — the ANALYZE/data-quality staple: one row per column
+# with null fraction, distinct count, lexical min/max. Built as a union
+# of per-column aggregates over ONE pass-shaped scan each; Catalyst
+# shares the cached scan across branches and each branch is a partial+
+# final agg. For 1000-column tables generate the union programmatically.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+def _profile_sql(col: str) -> str:
+    return f"""
+SELECT
+    '{col}' AS col_name,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+    CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+    CAST(MIN({col}) AS VARCHAR) AS min_str,
+    CAST(MAX({col}) AS VARCHAR) AS max_str
+FROM orders
+"""
+
+
+PROFILE_ORACLE = " UNION ALL ".join(_profile_sql(c) for c in _PROFILE_COLS)
+
+
+def build_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            orders.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_str"),
+                F.max(c).cast("string").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+register(
+    "profile_orders",
+    oracle=PROFILE_ORACLE,
+    doc="Per-column data-quality profile (nulls, distincts, min/max) as a "
+    "union of per-column aggregates (ANALYZE analog).",
+    tags=("relational", "profiling", "agg"),
+)(build_profile_orders)

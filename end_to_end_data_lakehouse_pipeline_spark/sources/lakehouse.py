@@ -152,6 +152,20 @@ class LakehouseTable:
         else:
             os.rename(staging, self.path)
 
+    def vacuum(self) -> int:
+        """Remove crash leftovers: a killed overwrite() can strand
+        ``<path>_staging_*`` / ``<path>_old_*`` siblings. Returns the
+        number of directories removed (Delta VACUUM analog for this
+        layout — live data is never touched)."""
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        removed = 0
+        for name in os.listdir(parent):
+            if name.startswith((f"{base}_staging_", f"{base}_old_")):
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+                removed += 1
+        return removed
+
     def compact(self, target_partitions: int, sort_within_by: Sequence[str] = ()) -> int:
         """OPTIMIZE analog: rewrite the table into ``target_partitions``
         files (coalescing the small files that streaming appends

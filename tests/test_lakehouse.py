@@ -207,3 +207,16 @@ def test_versioned_table_prunes_old_versions(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         t.read_version(1)
+
+
+def test_vacuum_removes_crash_leftovers(spark, tmp_path):
+    import os
+
+    t = LakehouseTable(spark, str(tmp_path / "vtab"))
+    t.overwrite(spark.range(10))
+    # simulate a crashed overwrite: stranded staging + old dirs
+    os.makedirs(str(tmp_path / "vtab_staging_dead1"))
+    os.makedirs(str(tmp_path / "vtab_old_dead2"))
+    assert t.vacuum() == 2
+    assert t.read().count() == 10  # live data untouched
+    assert t.vacuum() == 0
