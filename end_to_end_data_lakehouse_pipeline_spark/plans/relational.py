@@ -1337,3 +1337,51 @@ register(
     "union of per-column aggregates (ANALYZE analog).",
     tags=("relational", "profiling", "agg"),
 )(build_profile_orders)
+
+
+# ---------------------------------------------------------------------------
+# Extended string functions (§2.7 depth) — pad/translate/replace/reverse/
+# split_part/position, cross-engine identical.
+# ---------------------------------------------------------------------------
+
+STRING_FNS_ORACLE = """
+SELECT
+    o_orderkey,
+    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+    rpad(o_orderstatus, 3, '_') AS status_padded,
+    translate(o_orderpriority, '-', ' ') AS priority_spaced,
+    replace(o_orderpriority, 'URGENT', 'RUSH') AS priority_renamed,
+    reverse(o_orderstatus) AS status_rev,
+    split_part(o_orderpriority, '-', 1) AS priority_num,
+    split_part(o_orderpriority, '-', 2) AS priority_word,
+    CAST(strpos(o_orderpriority, '-') AS INTEGER) AS dash_pos,
+    repeat(o_orderstatus, 2) AS status_x2,
+    CAST(starts_with(o_orderpriority, '1') AS BOOLEAN) AS is_urgent
+FROM orders
+"""
+
+
+def build_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.rpad("o_orderstatus", 3, "_").alias("status_padded"),
+        F.translate("o_orderpriority", "-", " ").alias("priority_spaced"),
+        F.regexp_replace("o_orderpriority", "URGENT", "RUSH").alias("priority_renamed"),
+        F.reverse("o_orderstatus").alias("status_rev"),
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(1)).alias("priority_num"),
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(2)).alias("priority_word"),
+        F.instr("o_orderpriority", "-").alias("dash_pos"),
+        F.repeat("o_orderstatus", 2).alias("status_x2"),
+        F.startswith(F.col("o_orderpriority"), F.lit("1")).alias("is_urgent"),
+    )
+
+
+register(
+    "string_functions",
+    oracle=STRING_FNS_ORACLE,
+    doc="Extended string-function showcase: pad/translate/replace/reverse/"
+    "split_part/instr/repeat/startswith (§2.7 depth).",
+    tags=("relational", "scalar", "string"),
+)(build_string_functions)
