@@ -1385,3 +1385,52 @@ register(
     "split_part/instr/repeat/startswith (§2.7 depth).",
     tags=("relational", "scalar", "string"),
 )(build_string_functions)
+
+
+# ---------------------------------------------------------------------------
+# Extended date functions (§2.7 depth) — truncation, month arithmetic,
+# boundaries, month diffs; cross-engine identical on DATE inputs.
+# ---------------------------------------------------------------------------
+
+DATE_FNS_ORACLE = """
+SELECT
+    o_orderkey,
+    CAST(o_orderdate AS DATE) AS d,
+    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+    CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+    CAST(date_trunc('year', CAST(o_orderdate AS DATE)) AS DATE) AS year_start,
+    last_day(CAST(o_orderdate AS DATE)) AS month_end,
+    CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+    CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE) AS minus_1_month,
+    CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 12
+         + month(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS months_since_1995,
+    CAST(CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS BOOLEAN)
+        AS is_month_end
+FROM orders
+"""
+
+
+def build_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.trunc(d, "month").alias("month_start"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.trunc(d, "year").alias("year_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.add_months(d, -1).alias("minus_1_month"),
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1).alias("months_since_1995"),
+        (d == F.last_day(d)).alias("is_month_end"),
+    )
+
+
+register(
+    "date_functions",
+    oracle=DATE_FNS_ORACLE,
+    doc="Extended date functions: trunc to month/quarter/year, last_day, "
+    "add_months, month arithmetic (§2.7 depth).",
+    tags=("relational", "scalar", "date"),
+)(build_date_functions)
