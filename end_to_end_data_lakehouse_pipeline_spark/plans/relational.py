@@ -1434,3 +1434,54 @@ register(
     "add_months, month arithmetic (§2.7 depth).",
     tags=("relational", "scalar", "date"),
 )(build_date_functions)
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation — FILTER-clause shapes (count/sum over predicate
+# subsets in ONE pass; the alternative — N filtered self-joins — is N
+# scans; this is one scan + one agg).
+# ---------------------------------------------------------------------------
+
+COND_AGG_ORACLE = f"""
+SELECT
+    o_orderstatus,
+    CAST(COUNT(*) AS BIGINT) AS n_total,
+    CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+    CAST(COUNT(*) FILTER (WHERE o_totalprice >= 200000) AS BIGINT) AS n_big,
+    {o_sum('o_totalprice', 'revenue_all')},
+    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+         FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0
+        AS revenue_urgent,
+    CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        / COUNT(*) AS urgent_rate
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def build_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_totalprice") >= 200000, 1)).alias("n_big"),
+        exact_sum("o_totalprice", "revenue_all"),
+        (
+            F.sum(F.when(urgent, scaled_long("o_totalprice"))).cast("double") / 100.0
+        ).alias("revenue_urgent"),
+        (F.count(F.when(urgent, 1)).cast("double") / F.count(F.lit(1))).alias(
+            "urgent_rate"
+        ),
+    )
+
+
+register(
+    "conditional_aggregates",
+    oracle=COND_AGG_ORACLE,
+    doc="FILTER-clause conditional aggregation: predicate-subset counts "
+    "and sums in a single scan+agg pass.",
+    tags=("relational", "agg", "conditional"),
+)(build_conditional_aggregates)
