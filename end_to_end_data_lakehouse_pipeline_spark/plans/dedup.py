@@ -126,61 +126,99 @@ register(
 # dedup_ngram_jaccard — inverted-index shingle join, exact Jaccard verify.
 # ---------------------------------------------------------------------------
 
+SHINGLE_DF_CAP = 100  # shingles in more docs carry no dedup signal
+
 NGRAM_JACCARD_ORACLE = (
     _SQL_SHINGLE_CTE
     + f""",
 e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-n AS (SELECT doc_id, len(sh) AS n_sh FROM s),
-pairs AS (
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-    FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM e a
+    JOIN rare ON a.g = rare.g
+    JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+v AS (
+    SELECT cand.doc1, cand.doc2,
+           len(list_intersect(s1.sh, s2.sh)) AS n_common,
+           len(s1.sh) AS n_sh1,
+           len(s2.sh) AS n_sh2
+    FROM cand
+    JOIN s s1 ON cand.doc1 = s1.doc_id
+    JOIN s s2 ON cand.doc2 = s2.doc_id
 )
 SELECT
-    p.doc1, p.doc2, p.n_common,
-    n1.n_sh AS n_sh1,
-    n2.n_sh AS n_sh2,
-    CAST(p.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - p.n_common) AS jaccard
-FROM pairs p
-JOIN n n1 ON p.doc1 = n1.doc_id
-JOIN n n2 ON p.doc2 = n2.doc_id
-WHERE CAST(p.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - p.n_common)
-      >= {JACCARD_THRESHOLD}
+    doc1, doc2, n_common, n_sh1, n_sh2,
+    CAST(n_common AS DOUBLE) / (n_sh1 + n_sh2 - n_common) AS jaccard
+FROM v
+WHERE CAST(n_common AS DOUBLE) / (n_sh1 + n_sh2 - n_common) >= {JACCARD_THRESHOLD}
 """
 )
 
 
-def build_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"), spark)
+def ngram_jaccard_from(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Capped inverted-index candidates + exact full-set Jaccard verify.
+
+    The document-frequency cap keeps the index join linear: a stop-phrase
+    shingle shared by 1% of a 10⁹-doc corpus would otherwise put 10⁷ docs
+    in one join bucket (10¹⁴ pairs). Shingles with DF > df_cap are dropped
+    from CANDIDATE GENERATION only — the per-pair verify intersects the
+    full shingle sets, so reported n_common/jaccard stay exact. The only
+    recall loss is pairs whose every common shingle is ubiquitous, which
+    carry no dedup signal by definition (documented contract).
+    """
     s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
         F.size("sh") > 0
     )
     e = s.select("doc_id", F.explode("sh").alias("g"))
-    n = s.select("doc_id", F.size("sh").alias("n_sh"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    rare = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("g")
     )
-    n1 = n.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n_sh1"))
-    n2 = n.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n_sh2"))
+    a = e.join(rare, "g").select("g", F.col("doc_id").alias("doc1"))
+    b = e.select("g", F.col("doc_id").alias("doc2"))
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = s.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = s.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    v = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            n_common.alias("n_common"),
+            F.size("sh1").alias("n_sh1"),
+            F.size("sh2").alias("n_sh2"),
+        )
+    )
     jaccard = F.col("n_common").cast("double") / (
         F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
     )
-    return (
-        pairs.join(n1, "doc1")
-        .join(n2, "doc2")
-        .select("doc1", "doc2", "n_common", "n_sh1", "n_sh2", jaccard.alias("jaccard"))
-        .filter(jaccard >= JACCARD_THRESHOLD)
-    )
+    return v.select(
+        "doc1", "doc2", "n_common", "n_sh1", "n_sh2", jaccard.alias("jaccard")
+    ).filter(jaccard >= JACCARD_THRESHOLD)
+
+
+def build_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    return ngram_jaccard_from(docs)
 
 
 register(
     "dedup_ngram_jaccard",
     oracle=NGRAM_JACCARD_ORACLE,
-    doc="Near-dup pairs by exact 3-gram Jaccard over an inverted shingle "
-    "index (no O(n²) pairwise scan; LLM-pipeline extension).",
+    doc="Near-dup pairs by exact 3-gram Jaccard: DF-capped inverted shingle "
+    f"index (DF ≤ {SHINGLE_DF_CAP}) for candidates, full-set intersect for "
+    "the exact verify (no O(n²) pairwise scan; LLM-pipeline extension).",
     tags=("dedup", "llm", "join"),
 )(build_dedup_ngram_jaccard)
 

@@ -75,3 +75,48 @@ def test_multi_band_recall_beats_single_table(spark):
     assert shared == sim.N_BANDS  # identical vectors collide on every band
     pairs = sim.similar_pairs_from(n).collect()
     assert [(r.vec1, r.vec2) for r in pairs] == [(0, 1)]
+
+
+def test_ngram_df_cap_keeps_candidates_linear(spark):
+    # 30 docs share one ubiquitous 3-gram but are otherwise unrelated; two
+    # docs are real near-dups. With the DF cap the stop-shingle contributes
+    # no candidates: only the near-dup pair survives, not 30*29/2 pairs.
+    from end_to_end_data_lakehouse_pipeline_spark.plans.dedup import ngram_jaccard_from
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, f"unique text number {i} alpha beta{i} gamma{i} delta{i} {boiler}")
+        for i in range(30)
+    ]
+    rows.append((100, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_jaccard_from(docs, df_cap=10).collect()
+    assert [(r.doc1, r.doc2) for r in out] == [(100, 101)]
+    # and the reported jaccard is the exact full-set value (>=0.5 here)
+    assert out[0].jaccard >= 0.5
+
+
+def test_ngram_verify_uses_full_sets(spark):
+    # A capped shingle still counts toward n_common for pairs that were
+    # found via a rare shingle — the verify phase is exact.
+    from end_to_end_data_lakehouse_pipeline_spark.plans.dedup import ngram_jaccard_from
+
+    t1 = "shared rare phrase one common tail segment here now today again"
+    t2 = "shared rare phrase two common tail segment here now today again"
+    fill = [
+        (i, f"filler doc {i} padding common tail segment here now today again")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        [(100, t1), (101, t2)] + fill, ["doc_id", "text"]
+    )
+    # cap low enough that 'common tail segment'-family shingles (df>=22) are
+    # dropped from the index, high enough that 'shared rare phrase' (df=2)
+    # stays
+    out = {(r.doc1, r.doc2): r for r in ngram_jaccard_from(docs, df_cap=10).collect()}
+    assert (100, 101) in out
+    r = out[(100, 101)]
+    # intersection counts capped shingles too: 'common tail segment',
+    # 'tail segment here' and 'shared rare phrase'
+    assert r.n_common >= 3
