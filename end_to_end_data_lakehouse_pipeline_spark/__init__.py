@@ -9,8 +9,9 @@ materialized-view query corpus), re-expressed Spark-first:
   join selection, AQE re-planning.
 - Structured Streaming for the ingest path (file/rate sources locally; the
   Kafka source is the same API with different options).
-- Parquet-based lakehouse tables locally; Delta is used when importable
-  (``delta-spark`` is optional — see ``sources.delta_support``).
+- Parquet-based lakehouse tables locally (``sources.lakehouse`` /
+  ``sources.versioned`` document the swap-to-Delta path for production;
+  this container has no delta-spark).
 - Beyond the reference surface: large-scale training-data operators
   (dedup exact/MinHash-LSH/SimHash/n-gram-Jaccard, embedding similarity
   search, text analysis, multimodal column plumbing), all designed to

@@ -54,16 +54,23 @@ def merge_upsert(
     pks: Sequence[str],
     order_col: str,
     deleted_col: str = "_deleted",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """S7 MERGE as a pure DataFrame transform: last write per PK wins
     across current+updates; rows whose final image is a delete drop out
     (P5, batch_silver.py:115). ``current`` rows sort below any update with
-    the same order_col value (updates carry fresher lineage)."""
+    the same order_col value (updates carry fresher lineage).
+
+    Determinism contract: two rows in the SAME batch with equal
+    (pk, order_col) need ``tiebreak`` columns (appended after _src_rank) to
+    pick a total-order winner; without them the winner among exact
+    duplicates-by-(pk, order_col, src) is row_number-arbitrary. Pass e.g.
+    an ingest offset or payload hash when the source can emit such ties."""
     upd = updates.withColumn("_src_rank", F.lit(1))
     if current is not None:
         cur = current.select(*updates.columns).withColumn("_src_rank", F.lit(0))
         upd = cur.unionByName(upd)
-    merged = latest_per_key(upd, pks, order_col, tiebreak=["_src_rank"])
+    merged = latest_per_key(upd, pks, order_col, tiebreak=["_src_rank", *tiebreak])
     out = merged.drop("_src_rank")
     if deleted_col in out.columns:
         out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
@@ -136,7 +143,14 @@ class LakehouseTable:
         partition_by: Sequence[str] = (),
         sort_within_by: Sequence[str] = (),
     ) -> None:
-        """S6 gold full refresh via staging dir + atomic swap."""
+        """S6 gold full refresh via staging dir + rename swap.
+
+        The swap is two os.rename calls, not one atomic commit: a reader
+        (or crash) between them sees a brief table-not-found window — the
+        honest limit of plain-filesystem cutover. ``vacuum()`` recovers the
+        table from the surviving complete copy after such a crash;
+        ``VersionedTable`` (pointer-file indirection) gives genuinely
+        atomic cutover when that window is unacceptable."""
         staging = f"{self.path}_staging_{uuid.uuid4().hex[:8]}"
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
@@ -152,18 +166,51 @@ class LakehouseTable:
         else:
             os.rename(staging, self.path)
 
+    def _siblings(self, kind: str) -> list[str]:
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        return [
+            os.path.join(parent, name)
+            for name in os.listdir(parent)
+            if name.startswith(f"{base}_{kind}_")
+        ]
+
+    def recover(self) -> str | None:
+        """If a crash between overwrite()'s two renames left no live dir,
+        restore it from the surviving complete copy: the newest staging
+        (the write finished before the first rename happened, so staging
+        is complete and is the INTENDED new state), else the newest _old_
+        (the previous state). Returns the dir promoted, or None if the
+        live dir already exists."""
+        if os.path.isdir(self.path):
+            return None
+        candidates = sorted(self._siblings("staging"), key=os.path.getmtime)
+        if not candidates:
+            candidates = sorted(self._siblings("old"), key=os.path.getmtime)
+        if not candidates:
+            raise FileNotFoundError(
+                f"{self.path}: no live dir and no staging/old copy to recover from"
+            )
+        chosen = candidates[-1]
+        os.rename(chosen, self.path)
+        return chosen
+
     def vacuum(self) -> int:
         """Remove crash leftovers: a killed overwrite() can strand
         ``<path>_staging_*`` / ``<path>_old_*`` siblings. Returns the
         number of directories removed (Delta VACUUM analog for this
-        layout — live data is never touched)."""
-        parent = os.path.dirname(self.path) or "."
-        base = os.path.basename(self.path)
+        layout).
+
+        Safety: if the live dir is MISSING, those siblings are the only
+        complete copies of the table — vacuum first recovers the live dir
+        (see ``recover``) and only then prunes, so it can never delete the
+        last copy."""
+        if not os.path.isdir(self.path):
+            self.recover()
         removed = 0
-        for name in os.listdir(parent):
-            if name.startswith((f"{base}_staging_", f"{base}_old_")):
-                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
-                removed += 1
+        for d in self._siblings("staging") + self._siblings("old"):
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
         return removed
 
     def compact(self, target_partitions: int, sort_within_by: Sequence[str] = ()) -> int:

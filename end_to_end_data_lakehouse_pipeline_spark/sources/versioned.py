@@ -66,10 +66,24 @@ class VersionedTable:
 
     # -- writes -----------------------------------------------------------
 
+    def _max_existing_version(self) -> int:
+        versions = [
+            int(name[2:])
+            for name in os.listdir(self.path)
+            if name.startswith("v_") and name[2:].isdigit()
+        ]
+        return max(versions, default=0)
+
     def commit(self, df: DataFrame, partition_by: Sequence[str] = ()) -> int:
         """Write a new immutable version and atomically move the pointer.
-        Returns the committed version number."""
-        version = (self.latest_version() or 0) + 1
+        Returns the committed version number.
+
+        The next version is max(existing v_* dirs)+1, NOT pointer+1: after
+        rollback(v) the pointer sits below retained higher versions, and a
+        pointer-derived number would silently overwrite v+1 in place while
+        its _commit.json survives — a forked history. Delta/Iceberg RESTORE
+        likewise always appends a new monotonically increasing version."""
+        version = max(self.latest_version() or 0, self._max_existing_version()) + 1
         vdir = os.path.join(self.path, f"v_{version}")
         w = df.write.format(self.fmt).mode("overwrite")
         if partition_by:

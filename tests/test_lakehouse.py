@@ -220,3 +220,59 @@ def test_vacuum_removes_crash_leftovers(spark, tmp_path):
     assert t.vacuum() == 2
     assert t.read().count() == 10  # live data untouched
     assert t.vacuum() == 0
+
+
+def test_vacuum_recovers_when_live_dir_missing(spark, tmp_path):
+    # Crash window between overwrite()'s two renames: live dir gone, the
+    # completed staging dir holds the intended new state. vacuum must
+    # recover it, never delete the last copy (ADVICE r1).
+    import os, time
+
+    t = LakehouseTable(spark, str(tmp_path / "crash"))
+    t.overwrite(spark.range(5))
+    old = str(tmp_path / "crash_old_sim1")
+    os.rename(t.path, old)  # simulate: live renamed away, new never arrived
+    time.sleep(0.05)
+    staging = str(tmp_path / "crash_staging_sim2")
+    spark.range(9).write.parquet(staging)  # the completed new state
+    assert t.vacuum() >= 1
+    assert t.read().count() == 9  # staging (newest complete copy) promoted
+    assert t.vacuum() == 0
+
+
+def test_vacuum_refuses_with_nothing_to_recover(spark, tmp_path):
+    import pytest as _pytest
+
+    t = LakehouseTable(spark, str(tmp_path / "ghost"))
+    with _pytest.raises(FileNotFoundError):
+        t.vacuum()
+
+
+def test_commit_after_rollback_appends_new_version(spark, tmp_path):
+    # Delta/Iceberg RESTORE semantics: commit after rollback(v) must create
+    # max(existing)+1, not overwrite v+1 in place (ADVICE r1).
+    from end_to_end_data_lakehouse_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt3"), keep_versions=10)
+    t.commit(spark.range(1))
+    t.commit(spark.range(2))
+    t.commit(spark.range(3))
+    t.rollback(1)
+    v4 = t.commit(spark.range(4))
+    assert v4 == 4  # not 2
+    assert t.read_version(2).count() == 2  # v2 untouched
+    assert t.read_version(3).count() == 3  # v3 untouched
+    assert [h["version"] for h in t.history()] == [1, 2, 3, 4]
+    assert t.read().count() == 4
+
+
+def test_merge_upsert_tiebreak_column(spark):
+    # Same (pk, order_col) twice in one batch: tiebreak picks the winner
+    # deterministically.
+    from end_to_end_data_lakehouse_pipeline_spark.sources.lakehouse import merge_upsert
+
+    updates = spark.createDataFrame(
+        [(1, 10, 5, "first"), (1, 10, 9, "second")], ["id", "ts", "offset", "v"]
+    )
+    out = merge_upsert(None, updates, ["id"], "ts", tiebreak=["offset"]).collect()
+    assert len(out) == 1 and out[0].v == "second"  # highest offset wins
