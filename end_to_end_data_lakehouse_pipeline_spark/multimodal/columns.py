@@ -3,10 +3,11 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages. The Spark side — schema, partition
-spread, UDF signature, batch shape — is real and tested; the actual codec
-call is stubbed (this container ships no PIL/ffmpeg): feature extraction
-uses a deterministic byte-level fake, and resize/frame-sample raise
-``NotImplementedError`` unless the optional library imports.
+spread, UDF signature, batch shape — is real and tested. Compressed-format
+DECODE is the one stubbed step (this container ships no PIL/ffmpeg):
+feature extraction uses a deterministic byte-level fake, and resize
+operates on raw uint8 planes with a pure-numpy nearest-neighbor gather —
+with a codec lib you'd decode first, same pipeline shape.
 
 Scale notes: payload bytes never pass through a Python row loop — Arrow
 moves whole batches; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -23,13 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # optional codec backends — absent in this container
-    from PIL import Image  # type: ignore  # noqa: F401
-
-    _HAS_PIL = True
-except Exception:
-    _HAS_PIL = False
 
 MEDIA_META = T.StructType(
     [
@@ -107,13 +101,44 @@ def _byte_histogram(payload: bytes, dim: int) -> list[float]:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real Spark plumbing, codec gated on PIL presence."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image resize requires PIL; this container has no codec libs — "
-            "the mapInPandas pipeline shape is identical to decode_features"
-        )
-    raise NotImplementedError("wire PIL Image.resize inside a mapInPandas stage")
+    """Nearest-neighbor resize via Arrow-batched mapInPandas — dependency
+    free (pure numpy index-gather, no PIL/codec needed).
+
+    Payloads are interpreted as row-major uint8 planes of
+    ``meta.width × meta.height`` (the decoded-image stand-in for this
+    container; with a codec lib you'd decode compressed formats first —
+    identical pipeline shape). Buffers shorter/longer than w*h are
+    deterministically cycled/trimmed (np.resize). The per-image work is
+    vectorized numpy (two index gathers); the loop is per image, never per
+    pixel, and batches stream through Arrow.
+    """
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                ids.append(media_id)
+                w = meta.get("width") if meta is not None else None
+                h = meta.get("height") if meta is not None else None
+                if payload is None or not w or not h:
+                    payloads.append(None)
+                    metas.append(meta)
+                    continue
+                plane = np.resize(
+                    np.frombuffer(bytes(payload), dtype=np.uint8), int(w) * int(h)
+                ).reshape(int(h), int(w))
+                ys = (np.arange(height) * int(h)) // height
+                xs = (np.arange(width) * int(w)) // width
+                payloads.append(bytearray(plane[ys][:, xs].tobytes()))
+                metas.append({**meta, "width": width, "height": height})
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

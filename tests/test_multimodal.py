@@ -43,9 +43,37 @@ def test_decode_features_null_payload(spark):
     assert null_rows.count() == 3
 
 
-def test_resize_is_gated_stub(spark):
-    with pytest.raises(NotImplementedError):
-        resize_images(make_media_df(spark, n=2), 4, 4)
+def test_resize_nearest_neighbor_matches_numpy(spark):
+    import hashlib
+
+    import numpy as np
+
+    # make_media_df payloads are 128 B; meta says 8x4 -> the first 32 bytes
+    # form the plane. Resize to 4x2 and check against a driver-side numpy
+    # nearest-neighbor reference.
+    out = {r.media_id: r for r in resize_images(make_media_df(spark, n=3), 4, 2).collect()}
+    assert set(out) == {0, 1, 2}
+    for i in range(3):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        plane = np.resize(np.frombuffer(payload, dtype=np.uint8), 32).reshape(4, 8)
+        ys = (np.arange(2) * 4) // 2
+        xs = (np.arange(4) * 8) // 4
+        expected = plane[ys][:, xs].tobytes()
+        r = out[i]
+        assert bytes(r.payload) == expected
+        assert (r.meta.width, r.meta.height) == (4, 2)
+        assert r.meta.mime == "image/fake"  # rest of meta preserved
+
+
+def test_resize_null_payload_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    media = make_media_df(spark, n=2).withColumn(
+        "payload", F.when(F.col("media_id") == 0, F.col("payload"))
+    )
+    rows = {r.media_id: r for r in resize_images(media, 4, 2).collect()}
+    assert rows[1].payload is None
+    assert rows[0].payload is not None
 
 
 def test_frame_sample_explode_shape(spark):
