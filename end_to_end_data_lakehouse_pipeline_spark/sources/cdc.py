@@ -22,14 +22,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+CDC_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.StringType(), True),
+        T.StructField("connector", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("db", T.StringType(), True),
+        T.StructField("schema", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("txId", T.LongType(), True),
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("snapshot", T.StringType(), True),
+    ]
+)
+
+
 def CDC_ENVELOPE_SCHEMA(payload: T.StructType) -> T.StructType:
-    """Envelope schema parameterized by the per-table payload struct."""
+    """Envelope schema parameterized by the per-table payload struct.
+
+    Includes the Debezium ``source`` block (connector/table/lsn metadata —
+    the reference's topic parsing at batch_silver.py:60-82 relies on it for
+    multi-table routing); producers that omit it parse fine (nullable)."""
     return T.StructType(
         [
             T.StructField("before", payload, True),
             T.StructField("after", payload, True),
             T.StructField("op", T.StringType(), True),
             T.StructField("source_ts_ms", T.LongType(), True),
+            T.StructField("source", CDC_SOURCE_SCHEMA, True),
         ]
     )
 
@@ -67,9 +88,12 @@ def parse_cdc_envelope(
 
     Output: payload columns (delete events use the ``before`` image,
     batch_silver.py:78-82), plus ``_op``, ``_deleted``
-    (batch_silver.py:66-70) and ``order_col`` (the last-write-wins
+    (batch_silver.py:66-70), ``order_col`` (the last-write-wins
     ordering key; the reference uses ``_kafka_timestamp``,
-    batch_silver.py:107).
+    batch_silver.py:107), and the source-metadata columns
+    ``_source_table`` / ``_source_lsn`` (Debezium ``source`` block —
+    multi-table routing and total ordering within a transaction log,
+    batch_silver.py:60-82; null when the producer omits the block).
     """
     env = raw.withColumn("_env", F.from_json(F.col(value_col), CDC_ENVELOPE_SCHEMA(payload)))
     image = F.when(
@@ -81,6 +105,8 @@ def parse_cdc_envelope(
         F.col("_env.op").alias("_op"),
         (F.col("_env.op") == "d").alias("_deleted"),
         F.timestamp_millis(F.col("_env.source_ts_ms")).alias(order_col),
+        F.col("_env.source.table").alias("_source_table"),
+        F.col("_env.source.lsn").alias("_source_lsn"),
     )
     return out.select(
         *[F.col(f"_image.{f.name}").alias(f.name) for f in payload.fields],
