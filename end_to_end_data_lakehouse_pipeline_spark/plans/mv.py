@@ -468,3 +468,38 @@ register(
     "oracle asserts algebraic equality with the plain GROUP BY.",
     tags=("mv", "agg", "skew"),
 )(build_salted_status_rollup)
+
+
+# ---------------------------------------------------------------------------
+# salted_customer_join — operators/skew.salted_join in the oracle-checked
+# surface: the left (fact) side is salted S ways and the dim side
+# replicated S times, spreading any hot key over S reducers; the rewrite is
+# algebraic, so the oracle is the PLAIN left join — equality is the claim.
+# ---------------------------------------------------------------------------
+
+SALTED_JOIN_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def build_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import salted_join
+
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    customer = table(spark, sf_dir, "customer")
+    left = orders.select("o_orderkey", "o_custkey")
+    right = customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(left, right, "o_custkey", n_salts=8, how="left")
+
+
+register(
+    "salted_customer_join",
+    oracle=SALTED_JOIN_ORACLE,
+    doc="Skew-safe salted equi-join (salt left 8 ways, replicate dim 8x); "
+    "oracle asserts exact equality with the plain LEFT JOIN.",
+    tags=("join", "skew"),
+)(build_salted_customer_join)

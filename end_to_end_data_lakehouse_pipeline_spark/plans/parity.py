@@ -36,15 +36,14 @@ def exact_sum(col: Column | str, alias: str, scale: int = 100) -> Column:
 
 
 def exact_avg(col: Column | str, alias: str, scale: int = 100) -> Column:
-    """AVG(x) over non-null-free columns, exact at 1/scale resolution.
-
-    NOTE: denominator is COUNT(*) of the group, not COUNT(col) — only use
-    on columns without nulls (all testdata measure columns qualify).
-    """
+    """AVG(x) exact at 1/scale resolution, with standard AVG null
+    semantics: the denominator is COUNT(col) (non-null rows), matching
+    o_avg's COUNT(expr) — a nullable column no longer silently deflates
+    the average toward zero (VERDICT r1 item 10)."""
     return (
         F.sum(scaled_long(col, scale)).cast("double")
         / F.lit(float(scale))
-        / F.count(F.lit(1))
+        / F.count(_as_col(col))
     ).alias(alias)
 
 
@@ -61,5 +60,5 @@ def o_sum(expr: str, alias: str, scale: int = 100) -> str:
 def o_avg(expr: str, alias: str, scale: int = 100) -> str:
     return (
         f"CAST(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) AS DOUBLE)"
-        f" / {scale}.0 / COUNT(*) AS {alias}"
+        f" / {scale}.0 / COUNT({expr}) AS {alias}"
     )

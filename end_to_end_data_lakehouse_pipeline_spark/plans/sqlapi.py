@@ -51,3 +51,65 @@ register(
     "spark.sql over registered views (§3.4 serving surface).",
     tags=("sql", "agg", "join"),
 )(build_sql_nation_revenue)
+
+
+# ---------------------------------------------------------------------------
+# The 7 MV aggregates as SQL text through spark.sql — the BI/serving surface
+# the reference actually exposes (Superset runs SQL against the ClickHouse
+# MVs, 04_materialized_views.sql:11-126). The exact-arithmetic oracle SQL is
+# engine-shared ANSI: Spark executes the SAME text DuckDB verifies, except
+# hourly where DuckDB's isodow() becomes Spark's weekday()+1. Each shares
+# the DataFrame MV's oracle, so the two surfaces are pinned equal.
+# ---------------------------------------------------------------------------
+
+from . import mv as _mv  # noqa: E402
+
+_SPARK_HOURLY_SQL = _mv.MV_HOURLY_ORACLE.replace(
+    "CAST(isodow(ts) AS INTEGER)", "CAST(weekday(ts) + 1 AS INTEGER)"
+)
+
+_SQL_MVS: dict[str, tuple[tuple[str, ...], str, str, str]] = {
+    # name -> (tables, spark SQL text, oracle SQL, reference lines)
+    "sql_mv_daily_sales": (
+        ("lineitem",), _mv.MV_DAILY_ORACLE, _mv.MV_DAILY_ORACLE, "04:11-25"
+    ),
+    "sql_mv_monthly_sales": (
+        ("orders",), _mv.MV_MONTHLY_ORACLE, _mv.MV_MONTHLY_ORACLE, "04:30-42"
+    ),
+    "sql_mv_category_sales": (
+        ("lineitem", "part"), _mv.MV_CATEGORY_ORACLE, _mv.MV_CATEGORY_ORACLE, "04:47-59"
+    ),
+    "sql_mv_state_sales": (
+        ("orders", "customer", "nation", "region"),
+        _mv.MV_STATE_ORACLE, _mv.MV_STATE_ORACLE, "04:64-76",
+    ),
+    "sql_mv_seller_performance": (
+        ("lineitem", "supplier", "nation"),
+        _mv.MV_SELLER_ORACLE, _mv.MV_SELLER_ORACLE, "04:81-96",
+    ),
+    "sql_mv_payment_analysis": (
+        ("events",), _mv.MV_PAYMENT_ORACLE, _mv.MV_PAYMENT_ORACLE, "04:101-112"
+    ),
+    "sql_mv_hourly_pattern": (
+        ("events",), _SPARK_HOURLY_SQL, _mv.MV_HOURLY_ORACLE, "04:117-126"
+    ),
+}
+
+
+def _make_sql_mv(tables: tuple[str, ...], sql_text: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(sql_text)
+
+    return build
+
+
+for _name, (_tables, _spark_sql, _oracle, _ref) in _SQL_MVS.items():
+    register(
+        _name,
+        oracle=_oracle,
+        doc=f"{_name[7:]} served as SQL text via spark.sql over registered "
+        f"views (04_materialized_views.sql {_ref}); shares the DataFrame "
+        "MV's oracle.",
+        tags=("sql", "mv", "agg"),
+    )(_make_sql_mv(_tables, _spark_sql))

@@ -101,3 +101,17 @@ def test_flagship_join_strategy(spark, name):
     # joins must be hash-based (broadcast or shuffled-hash/sort-merge on
     # keys) — never nested-loop on a fact table
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exact_avg_null_semantics(spark):
+    # exact_avg must use COUNT(col): nulls are excluded, matching SQL AVG
+    # (VERDICT r1 item 10 — the COUNT(*) variant deflated nullable columns).
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_lakehouse_pipeline_spark.plans.parity import exact_avg
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0)], ["k", "x"]
+    )
+    out = df.groupBy("k").agg(exact_avg("x", "avg_x")).first()
+    assert out.avg_x == 15.0  # not 10.0 (COUNT(*)=3 would give 30/3)
