@@ -534,3 +534,82 @@ register(
     "relational formulation (LLM-pipeline extension).",
     tags=("dedup", "llm", "simhash"),
 )(build_dedup_simhash)
+
+
+# ---------------------------------------------------------------------------
+# dedup_components — near-dup CLUSTERS, not just pairs: connected components
+# over the verified ngram-Jaccard edge set, labeled by min doc_id. The
+# iterative pattern done Spark-idiomatic: min-label propagation — each round
+# is one (edges ⋈ labels) join + min-aggregate, labels only ever decrease,
+# convergence checked with a single cheap sum action (monotone ⇒ sum is a
+# fixpoint witness). Near-dup clusters are low-diameter (quasi-cliques), so
+# 2-3 rounds converge; at 10⁹+ docs with adversarial chain shapes you'd
+# switch to large-star/small-star (Kiveris et al., "Connected Components in
+# MapReduce"), which is O(log d) rounds of the same join shape. Singletons
+# (no edges) keep their own id.
+# ---------------------------------------------------------------------------
+
+COMPONENTS_MAX_ITERS = 10
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+sym AS (
+    SELECT doc1 AS a, doc2 AS b FROM pairs
+    UNION ALL
+    SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.src, sym.b FROM reach JOIN sym ON reach.dst = sym.a
+)
+SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+"""
+
+
+def components_from(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """(doc_id) + (doc1, doc2) undirected edges -> (doc_id, component)."""
+    sym = edges.select(F.col("doc1").alias("a"), F.col("doc2").alias("b")).union(
+        edges.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    prev_sum = None
+    for _ in range(COMPONENTS_MAX_ITERS):
+        nmin = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("b"), "component"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        labels = (
+            labels.join(nmin, labels.doc_id == nmin.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()  # truncate lineage growth per round (checkpoint at scale)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def build_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    edges = ngram_jaccard_from(docs).select("doc1", "doc2")
+    return components_from(docs.select("doc_id"), edges)
+
+
+register(
+    "dedup_components",
+    oracle=DEDUP_COMPONENTS_ORACLE,
+    doc="Near-dup clusters: connected components (min-label propagation, "
+    "sum-fixpoint convergence) over verified ngram-Jaccard edges; oracle "
+    "is a recursive-CTE transitive closure (LLM-pipeline extension).",
+    tags=("dedup", "llm", "iterative", "graph"),
+)(build_dedup_components)

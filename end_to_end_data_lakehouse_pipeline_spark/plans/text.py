@@ -551,3 +551,144 @@ register(
     "(Arrow per-group frames, vectorized numpy; SQL-window oracle).",
     tags=("text", "pandas", "window"),
 )(build_user_gap_stats)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — per-document top-k distinctive terms. tf and df are
+# exact integer aggregates; the idf factor is the LINEAR rarity ratio N/df
+# (an exact IEEE divide, bit-identical across engines) rather than log
+# idf — java Math.log and DuckDB ln are each <=1ulp but not guaranteed the
+# SAME ulp, which would poison an exact-hash comparison. Monotone in 1/df,
+# so the ranking is the classic tf-idf ranking; the score column is
+# documented as linear-idf. Scale shape: explode -> two hash aggregates
+# (term-level df is a broadcast-size side; tf agg has map-side combine) ->
+# per-doc window top-k.
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lower(unnest({_sql_tokens()})) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+               AS tfidf_linear,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE)
+                        * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+                        tf.term
+           ) AS rnk
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_linear, CAST(rnk AS INTEGER) AS rnk
+FROM scored WHERE rnk <= {TFIDF_K}
+"""
+
+
+def build_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    n_docs = docs.count()  # S12 scalar fetch (oracle's scalar subquery)
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t")).select(
+        "doc_id", F.lower("t").alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf").cast("double") * (
+        F.lit(float(n_docs)) / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            score.alias("tfidf_linear"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TFIDF_K)
+    )
+
+
+register(
+    "tfidf_top_terms",
+    oracle=TFIDF_ORACLE,
+    doc=f"Per-document top-{TFIDF_K} tf-idf terms (linear rarity N/df — "
+    "exact IEEE, cross-engine bit-identical; log-idf gives the same "
+    "ranking); explode -> tf/df aggregates -> window top-k "
+    "(LLM-pipeline extension).",
+    tags=("text", "llm", "topk", "join"),
+)(build_tfidf_top_terms)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — per-language deterministic sampling: high-resource
+# languages downsampled hard, low-resource kept — the data-mixing move
+# every multilingual training pipeline makes. The sample decision is a
+# pure per-row md5-bucket threshold (same literal CASE on both engines):
+# reproducible, shuffle-free, join-free, and at 100 TB it composes with
+# partition pruning (the filter pushes to the scan).
+# ---------------------------------------------------------------------------
+
+STRATA_PERMILLE = {"en": 200, "zh": 500, "es": 500, "fr": 500, "de": 500}
+STRATA_DEFAULT = 1000  # unknown languages kept whole
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {p}" for lang, p in sorted(STRATA_PERMILLE.items())
+    )
+    return f"CASE lang {whens} ELSE {STRATA_DEFAULT} END"
+
+
+STRATIFIED_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(list_sum(list_transform(generate_series(0, 7), i ->
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1 + i, 1)) - 1 AS BIGINT)
+               * (CAST(1 AS BIGINT) << (4 * (7 - i))))) % 1000 AS BIGINT) AS bucket
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, bucket
+FROM h
+WHERE bucket < ({_strata_case_sql()})
+"""
+
+
+def build_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    threshold = F.lit(STRATA_DEFAULT)
+    for lang, p in sorted(STRATA_PERMILLE.items()):
+        threshold = F.when(F.col("lang") == lang, F.lit(p)).otherwise(threshold)
+    return docs.select(
+        "doc_id", "lang", "n_chars", bucket.alias("bucket")
+    ).filter(F.col("bucket") < threshold)
+
+
+register(
+    "stratified_sample",
+    oracle=STRATIFIED_ORACLE,
+    doc="Per-language stratified sample via deterministic md5-bucket "
+    "thresholds (en 20%, others 50%): reproducible, shuffle-free, filter "
+    "pushes to the scan (LLM-pipeline extension).",
+    tags=("text", "llm", "sampling"),
+)(build_stratified_sample)
