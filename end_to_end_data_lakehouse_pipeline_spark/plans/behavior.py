@@ -1,0 +1,194 @@
+"""Behavioral analytics over the event stream: funnel, retention, histogram.
+
+The ClickHouse-style product-analytics family (the reference's event tables
+feed dashboards; these are the standard queries such dashboards run),
+expressed as exact-arithmetic Spark aggregations:
+
+- **funnel**: ordered-step conversion (view -> click -> purchase) computed
+  from per-user MIN timestamps per step — one hash aggregate over the
+  events scan + per-user step comparisons; no self-joins, no window over
+  the raw stream, so the shuffle carries one row per (user, step-mins).
+- **retention**: classic cohort grid — first-activity day per user (one
+  agg) joined back and bucketed by day offset; both aggregates are exact
+  integer counts.
+- **histogram**: fixed-width value buckets per event type — pure integer
+  floor bucketing, pushes the entire computation into one partial+final
+  hash aggregate.
+
+All timestamps resolve through catalog.table's UTC pinning, so day
+arithmetic agrees with the UTC-naive oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# event_funnel — per-user ordered conversion view -> click -> purchase.
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH m AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+),
+f AS (
+    SELECT user_id,
+           t_view IS NOT NULL AS s1,
+           t_view IS NOT NULL AND t_click > t_view AS s2,
+           t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click AS s3
+    FROM m
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase,
+    ROUND(CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS DOUBLE)
+          / SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 6) AS view_to_purchase_rate
+FROM f
+"""
+
+
+def build_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    m = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    f = m.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    one = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one("s1").alias("reached_view"),
+        one("s2").alias("reached_click"),
+        one("s3").alias("reached_purchase"),
+        F.round(
+            one("s3").cast("double") / one("s1"), 6
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+register(
+    "event_funnel",
+    oracle=FUNNEL_ORACLE,
+    doc="Ordered-step funnel (view->click->purchase) from per-user MIN "
+    "timestamps per step — one aggregate over the scan, no self-joins.",
+    tags=("behavior", "agg", "funnel"),
+)(build_event_funnel)
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — users by first-activity day × day offset.
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH first_day AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+)
+SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+"""
+
+
+def build_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    ed = F.col("ts").cast("date")
+    first_day = events.groupBy("user_id").agg(F.min(ed).alias("cohort_day"))
+    activity = (
+        events.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(ed, F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+register(
+    "retention_cohorts",
+    oracle=RETENTION_ORACLE,
+    doc="Cohort retention grid: first-activity day per user joined back "
+    "and bucketed by day offset (<=7); exact integer counts.",
+    tags=("behavior", "agg", "join"),
+)(build_retention_cohorts)
+
+
+# ---------------------------------------------------------------------------
+# value_histogram — fixed-width buckets per event type.
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 10  # value in [0, ~100): 10 buckets
+
+HISTOGRAM_ORACLE = f"""
+SELECT
+    event_type,
+    CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+    CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH} AS bucket_lo,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS bucket_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type, bucket
+"""
+
+
+def build_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    bucket = F.floor(F.col("value") / HIST_WIDTH).cast("long")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                / 100.0
+            ).alias("bucket_value"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("bucket_lo"),
+            "n",
+            "bucket_value",
+        )
+    )
+
+
+register(
+    "value_histogram",
+    oracle=HISTOGRAM_ORACLE,
+    doc="Fixed-width value histogram per event type — one partial+final "
+    "hash aggregate, exact integer bucketing and cent sums.",
+    tags=("behavior", "agg", "histogram"),
+)(build_value_histogram)
