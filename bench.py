@@ -52,8 +52,17 @@ HEADLINE = [
     "mv_daily_sales_approx",  # HLL no-Expand variant of mv_daily_sales
     "hash_sample",            # deterministic hash sampling
     "knn_bruteforce_cosine",  # exact ANN baseline over embeddings
-    "knn_lsh_bucketed",       # LSH-bucketed ANN scale path
-    "knn_ivf",                # IVF cell-restricted ANN
+    "knn_lsh_bucketed",       # banded multi-table LSH ANN scale path
+    "knn_ivf",                # IVF cell-restricted ANN (seeded, nprobe)
+    # round-2 additions
+    "dedup_components",       # near-dup clusters: iterative min-label CC
+    "events_asof_last_order", # AS-OF join via union + running window
+    "stratified_sample",      # per-language hash-threshold sampling
+    "event_funnel",           # ordered-step conversion funnel
+    "retention_cohorts",      # first-activity cohort grid
+    "tfidf_top_terms",        # per-doc tf-idf top-k (explode + window)
+    "tpch_q5",                # 6-way join, 4 broadcast dims + fact shuffle
+    "tpch_q18",               # HAVING-agg broadcast back onto fact join
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
