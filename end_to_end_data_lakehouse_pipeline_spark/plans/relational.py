@@ -1485,3 +1485,41 @@ register(
     "and sums in a single scan+agg pass.",
     tags=("relational", "agg", "conditional"),
 )(build_conditional_aggregates)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — explicit set list (the general form of rollup/cube;
+# DataFrame.groupingSets is new in Spark 4.x).
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_ORACLE = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def build_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+register(
+    "grouping_sets_sales",
+    oracle=GROUPING_SETS_ORACLE,
+    doc="Explicit GROUPING SETS ((status, priority), (status), ()) with "
+    "grouping_id — the general grouping-sets form (rollup/cube are its "
+    "special cases; one Expand + one hash agg).",
+    tags=("relational", "agg", "groupingsets"),
+)(build_grouping_sets_sales)

@@ -787,3 +787,60 @@ register(
     "deterministic seeds/tie-breaks; rows-only check (iterative).",
     tags=("similarity", "llm", "iterative"),
 )(build_kmeans_embeddings)
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — embedding-level near-dup DEDUP (the survivor
+# pass over similar_pairs_lsh): drop every vector that is >= PAIR_THRESHOLD
+# cosine-similar to a lower-id vector. Keep-lowest-id is the deterministic
+# greedy rule; transitive-closure canonicalization is dedup_components.
+# ---------------------------------------------------------------------------
+
+DEDUP_EMB_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, {_sql_quantized()} AS qa FROM embeddings
+),
+n AS (
+    SELECT vec_id, qa, {_sql_ssq('qa')} AS ssq FROM q
+),
+sig AS ({_sql_band_signatures('n')}),
+ok AS (
+    SELECT band, key FROM sig GROUP BY band, key HAVING COUNT(*) <= {BUCKET_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+    FROM sig a
+    JOIN ok ON a.band = ok.band AND a.key = ok.key
+    JOIN sig b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+drops AS (
+    SELECT DISTINCT cand.vec2 AS vec_id
+    FROM cand
+    JOIN n a ON cand.vec1 = a.vec_id
+    JOIN n b ON cand.vec2 = b.vec_id
+    WHERE {_sql_cosine(_sql_int_dot('a.qa', 'b.qa'), 'a.ssq', 'b.ssq')} >= {PAIR_THRESHOLD}
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+def build_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the pair miner is the banded-LSH candidate join
+    (linear via the bucket cap); the survivor pass is one anti-join on
+    vec_id. No all-pairs stage anywhere."""
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    n = emb.select("vec_id", quantized().alias("qa")).withColumn("ssq", ssq(F.col("qa")))
+    drops = similar_pairs_from(n).select(F.col("vec2").alias("vec_id")).distinct()
+    return emb.select("vec_id", "label").join(drops, "vec_id", "left_anti")
+
+
+register(
+    "dedup_embedding_cosine",
+    oracle=DEDUP_EMB_ORACLE,
+    doc=f"Embedding-cosine near-dup dedup: banded-LSH pair mining + "
+    f"keep-lowest-id anti-join (threshold {PAIR_THRESHOLD}; LLM-pipeline "
+    "extension, completes the dedup family).",
+    tags=("similarity", "llm", "dedup", "lsh"),
+)(build_dedup_embedding_cosine)
