@@ -19,7 +19,9 @@ Reference semantics reproduced Spark-first:
 - W1/P5 last-write-wins + delete filtering (batch_silver.py:107-115).
 
 Atomicity on a plain filesystem: write to ``<path>/_staging_vN`` then
-``rename`` over the live dir — readers see old or new, never partial.
+``rename`` over the live dir — readers see old or new data, never a
+partial mix, though the two-rename swap has a brief not-found window
+(see ``overwrite``; ``VersionedTable`` closes it via pointer files).
 """
 
 from __future__ import annotations
