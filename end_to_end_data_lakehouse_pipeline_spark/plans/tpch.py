@@ -3,9 +3,15 @@
 The reference's relational surface (joins + grouped aggregates over the
 Olist schema — batch_gold.py, load_warehouse.py) is exercised throughout
 plans/gold.py and plans/star.py; this module adds the canonical TPC-H
-multi-join/agg shapes the test tables support (no partsupp /
-commitdate / shipmode columns, so Q2/Q4/Q12-style queries are out of
-scope). Q1 lives in plans/relational.py.
+multi-join/agg shapes the test tables support. Q1 lives in
+plans/relational.py. The schema has no partsupp / commitdate /
+receiptdate / shipmode / container / phone / comment columns, so queries
+touching them are ADAPTED, preserving the published plan shape with a
+documented stand-in predicate (Q4: late-shipment EXISTS; Q11/Q16:
+lineitem as the partsupp proxy; Q13: priority for the comment pattern;
+Q17/Q19: brand/size for container/shipmode; Q22: nationkey for the phone
+country code, recent-order NOT EXISTS). Q2/Q12/Q20/Q21 would be pure
+invention without those columns and stay out of scope.
 
 Each query is the standard published TPC-H formulation re-expressed as a
 DataFrame plan; constants are adapted to the driver testdata's date range
@@ -25,7 +31,7 @@ DataFrame plan; constants are adapted to the driver testdata's date range
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
@@ -351,3 +357,621 @@ register(
     "broadcast back onto the orders/customer join, deterministic top-100.",
     tags=("relational", "join", "tpch"),
 )(build_tpch_q18)
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (adapted). The schema has no
+# l_commitdate/l_receiptdate, so the EXISTS predicate becomes the
+# late-shipment proxy: a lineitem shipped >90 days after the order date.
+# Same shape: date-windowed orders, EXISTS semi-join, priority counts.
+# ---------------------------------------------------------------------------
+
+Q4_ORACLE = """
+SELECT
+    o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def build_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join on the order key with the non-equi lateness
+    predicate folded into the join condition — one hash semi-join
+    shuffle, no duplicate counting, then a tiny 5-group aggregate."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (_dt("o_orderdate") >= F.lit("1996-07-01")) & (_dt("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (_dt("l_shipdate") > F.date_add(_dt("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "tpch_q4",
+    oracle=Q4_ORACLE,
+    doc="TPC-H Q4 order-priority checking (late-shipment EXISTS proxy for "
+    "the absent commit/receipt dates): semi-join + priority counts.",
+    tags=("relational", "join", "tpch"),
+)(build_tpch_q4)
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations: supplier nation vs customer
+# nation, revenue per (supp_nation, cust_nation, year).
+# ---------------------------------------------------------------------------
+
+Q7_ORACLE = f"""
+SELECT
+    supp_nation,
+    cust_nation,
+    l_year,
+    {o_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM (
+    SELECT
+        n1.n_name AS supp_nation,
+        n2.n_name AS cust_nation,
+        CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+        l_extendedprice,
+        l_discount
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def build_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both nation-tagged dims (supplier⋈n1, customer⋈n2) are filtered to
+    the two nations BEFORE touching the facts and broadcast, so the
+    supplier probe prunes lineitem early; the only shuffle is
+    lineitem ⋈ orders on the order key, then the cross-nation pair
+    filter and a 4-group aggregate."""
+    nation = table(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation.filter(pair)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation.filter(pair)), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = spread(table(spark, sf_dir, "lineitem"), spark).filter(
+        _dt("l_shipdate").between(F.lit("1996-01-01"), F.lit("1997-12-31"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(_dt("l_shipdate")).alias("l_year"),
+        )
+        .agg(exact_sum(_revenue(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    "tpch_q7",
+    oracle=Q7_ORACLE,
+    doc="TPC-H Q7 volume shipping: nation-pair predicate across the "
+    "supplier and customer sides, revenue per (nation, nation, year).",
+    tags=("relational", "join", "tpch"),
+)(build_tpch_q7)
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: target nation's revenue share of a region's
+# part-type market by order year. Exact-cents conditional ratio (the Q14
+# pattern) so the double division is identical cross-engine.
+# ---------------------------------------------------------------------------
+
+Q8_ORACLE = """
+SELECT
+    o_year,
+    CAST(SUM(CASE WHEN nation = 'NATION_6' THEN cents ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(cents) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT
+        CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS cents,
+        n2.n_name AS nation
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND p_type = 'ECONOMY'
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def build_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-way join, one fact shuffle: part (type-filtered), supplier⋈n2,
+    customer⋈n1⋈region (region-filtered) all broadcast; lineitem ⋈ orders
+    is the only exchange. The ratio aggregates exact cents on both sides
+    of one double division."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        _dt("o_orderdate").between(F.lit("1996-01-01"), F.lit("1997-12-31"))
+    )
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    cents = F.round(_revenue() * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(F.year(_dt("o_orderdate")).alias("o_year"), cents.alias("cents"), "nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_6", F.col("cents")).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum("cents").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    "tpch_q8",
+    oracle=Q8_ORACLE,
+    doc="TPC-H Q8 national market share: region/type-filtered 8-way join, "
+    "exact-cents conditional ratio per order year.",
+    tags=("relational", "join", "tpch"),
+)(build_tpch_q8)
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (adapted). No partsupp table, so
+# "value" is lineitem revenue per part; the HAVING threshold is the same
+# scalar-subquery fraction-of-total shape.
+# ---------------------------------------------------------------------------
+
+Q11_MULTIPLE = 1.5  # parts worth > 1.5x the average part value (scale-free)
+
+Q11_ORACLE = f"""
+WITH pv AS (
+    SELECT
+        l_partkey,
+        SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS cents
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT
+    l_partkey,
+    CAST(cents AS DOUBLE) / 100.0 AS part_value
+FROM pv
+WHERE CAST(cents AS DOUBLE) >
+      (SELECT CAST(SUM(cents) AS DOUBLE) FROM pv) * {Q11_MULTIPLE} / (SELECT COUNT(*) FROM pv)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def build_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial+final agg builds the per-part relation; the global
+    total is a 1-row re-aggregate of THAT (tiny) relation broadcast back
+    as the threshold — the fact is scanned and shuffled exactly once.
+    Exact long cents both sides of the double comparison."""
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    cents = F.round(_revenue() * 100, 0).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    total = pv.agg(F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cents").cast("double")
+            > F.col("total_cents").cast("double") * Q11_MULTIPLE / F.col("n_parts")
+        )
+        .select("l_partkey", (F.col("cents").cast("double") / 100.0).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+register(
+    "tpch_q11",
+    oracle=Q11_ORACLE,
+    doc="TPC-H Q11 important stock (lineitem-revenue adaptation of the "
+    "absent partsupp): per-part value vs a scalar multiple-of-average threshold.",
+    tags=("relational", "agg", "tpch"),
+)(build_tpch_q11)
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer distribution: histogram of per-customer order counts,
+# orders filtered INSIDE the left join (priority predicate replaces the
+# absent o_comment pattern).
+# ---------------------------------------------------------------------------
+
+Q13_ORACLE = """
+SELECT
+    c_count,
+    CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def build_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-condition filter is the point: customers with ONLY urgent
+    orders must still appear with c_count = 0, which a WHERE would
+    destroy. One outer-join shuffle on the customer key; both aggregates
+    are partial+final; the histogram re-agg is tiny."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+register(
+    "tpch_q13",
+    oracle=Q13_ORACLE,
+    doc="TPC-H Q13 customer distribution: filtered LEFT JOIN (predicate in "
+    "the join condition), per-customer counts, count histogram.",
+    tags=("relational", "join", "tpch"),
+)(build_tpch_q13)
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: quarter revenue per supplier, select the max via a
+# scalar subquery. Equality is tested on exact long cents, never doubles.
+# ---------------------------------------------------------------------------
+
+Q15_ORACLE = """
+WITH revenue0 AS (
+    SELECT
+        l_suppkey,
+        SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS cents
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT
+    s_suppkey,
+    s_name,
+    CAST(cents AS DOUBLE) / 100.0 AS total_revenue
+FROM supplier
+JOIN revenue0 ON s_suppkey = l_suppkey
+WHERE cents = (SELECT MAX(cents) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+def build_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The view-equivalent per-supplier agg is computed once; its 1-row
+    max re-aggregate broadcasts back as the filter (ties all surface,
+    exactly as the spec's = subquery does). Supplier joins broadcast."""
+    li = spread(table(spark, sf_dir, "lineitem"), spark).filter(
+        (_dt("l_shipdate") >= F.lit("1996-01-01")) & (_dt("l_shipdate") < F.lit("1996-04-01"))
+    )
+    cents = F.round(_revenue() * 100, 0).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("cents"))
+    mx = rev.agg(F.max("cents").alias("max_cents"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("cents").cast("double") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "tpch_q15",
+    oracle=Q15_ORACLE,
+    doc="TPC-H Q15 top supplier: per-supplier quarter revenue, scalar MAX "
+    "subquery equality on exact cents (ties surface deterministically).",
+    tags=("relational", "agg", "tpch"),
+)(build_tpch_q15)
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted): distinct suppliers per
+# (brand, type, size) from lineitem (the partsupp proxy), excluding
+# low-balance suppliers via NOT IN (the complaints-pattern proxy).
+# ---------------------------------------------------------------------------
+
+Q16_ORACLE = """
+SELECT
+    p_brand,
+    p_type,
+    p_size,
+    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def build_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast anti-join for the NOT IN (supplier side is tiny and
+    null-free), broadcast filtered part, then a distinct-count aggregate
+    — Catalyst expands it to a two-phase (partial distinct, final count)
+    plan, no driver involvement."""
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+register(
+    "tpch_q16",
+    oracle=Q16_ORACLE,
+    doc="TPC-H Q16 parts/supplier relationship (lineitem as the partsupp "
+    "proxy, balance filter as the complaints proxy): anti-join + "
+    "count-distinct per (brand, type, size).",
+    tags=("relational", "join", "tpch"),
+)(build_tpch_q16)
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: lineitems under 20% of their part's
+# average quantity (correlated AVG as a window over the part key).
+# Container predicate absent from the schema -> brand-only filter.
+# ---------------------------------------------------------------------------
+
+Q17_ORACLE = """
+SELECT
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        / 100.0 / 7.0 AS avg_yearly
+FROM (
+    SELECT
+        l_extendedprice,
+        l_quantity,
+        SUM(l_quantity) OVER (PARTITION BY l_partkey) AS sq,
+        COUNT(*) OVER (PARTITION BY l_partkey) AS cq
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+) t
+WHERE l_quantity < 0.2 * (sq / cq)
+"""
+
+
+def build_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brand filter broadcasts onto lineitem FIRST, so the correlated
+    per-part average (a window over l_partkey) runs only on the brand's
+    rows — one shuffle on the part key, no self-join, no second fact
+    scan. Quantities are integral doubles, so sum/count/0.2× is the same
+    IEEE sequence on both engines; the final sum is exact cents."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    w = Window.partitionBy("l_partkey")
+    t = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("sq", F.sum("l_quantity").over(w))
+        .withColumn("cq", F.count(F.lit(1)).over(w))
+    )
+    return t.filter(F.col("l_quantity") < 0.2 * (F.col("sq") / F.col("cq"))).agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).cast("double")
+            / 100.0
+            / 7.0
+        ).alias("avg_yearly")
+    )
+
+
+register(
+    "tpch_q17",
+    oracle=Q17_ORACLE,
+    doc="TPC-H Q17 small-quantity revenue: correlated per-part AVG as a "
+    "window over the brand-filtered fact, exact-cents final sum / 7.",
+    tags=("relational", "window", "tpch"),
+)(build_tpch_q17)
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunction of brand/size/quantity conjuncts
+# (shipmode/container absent -> size ranges stand in). The OR pushes into
+# one scan; Catalyst still prunes on the common part join.
+# ---------------------------------------------------------------------------
+
+Q19_ORACLE = f"""
+SELECT
+    {o_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def build_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part prunes to the three brands before broadcast (the union of the
+    disjuncts' part-side constraints); the mixed part/lineitem disjunction
+    evaluates post-join inside one codegen stage. Single-row output."""
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#15", "Brand#18") & (F.col("p_size") >= 1)
+    )
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#18") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(exact_sum(_revenue(), "revenue"))
+    )
+
+
+register(
+    "tpch_q19",
+    oracle=Q19_ORACLE,
+    doc="TPC-H Q19 discounted revenue: three-way brand/size/quantity "
+    "disjunction over the part join, single exact-cents aggregate.",
+    tags=("relational", "join", "tpch"),
+)(build_tpch_q19)
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (adapted): rich-but-inactive customers.
+# No phone column -> nationkey stands in for the country code; the
+# positive-balance average is the same scalar subquery.
+# ---------------------------------------------------------------------------
+
+Q22_ORACLE = f"""
+WITH pos AS (
+    SELECT
+        CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 100.0 / COUNT(*) AS avg_bal
+    FROM customer
+    WHERE c_acctbal > 0.0
+)
+SELECT
+    c_nationkey,
+    CAST(COUNT(*) AS BIGINT) AS numcust,
+    {o_sum('c_acctbal', 'totacctbal')}
+FROM customer, pos
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def build_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar average is a 1-row broadcast (exact cents / COUNT(*),
+    identical IEEE sequence both engines); the NOT EXISTS is a LEFT ANTI
+    join against orders — at scale that anti-join shuffles on the
+    customer key and is the only exchange."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(_dt("o_orderdate") >= F.lit("1999-01-01"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).cast("double")
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+register(
+    "tpch_q22",
+    oracle=Q22_ORACLE,
+    doc="TPC-H Q22 global sales opportunity (nationkey for the absent "
+    "phone country code): scalar positive-balance average, anti-join "
+    "against recent orders, per-nation rollup.",
+    tags=("relational", "join", "tpch"),
+)(build_tpch_q22)
