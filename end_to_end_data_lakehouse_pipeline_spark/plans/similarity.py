@@ -844,3 +844,48 @@ register(
     "extension, completes the dedup family).",
     tags=("similarity", "llm", "dedup", "lsh"),
 )(build_dedup_embedding_cosine)
+
+
+# ---------------------------------------------------------------------------
+# label_centroids — per-label mean embedding (the IVF coarse-quantizer /
+# class-prototype computation) as (label, dim, value) rows on exact
+# integer sums.
+# ---------------------------------------------------------------------------
+
+LABEL_CENTROIDS_ORACLE = f"""
+WITH q AS (
+    SELECT label, {_sql_quantized()} AS qa FROM embeddings
+)
+SELECT
+    label,
+    CAST(d.dim AS INTEGER) AS dim,
+    CAST(SUM(qa[d.dim]) AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid
+FROM q, generate_series(1, {DIM}) AS d(dim)
+GROUP BY label, d.dim
+"""
+
+
+def build_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode → one partial+final hash agg on (label, dim): the
+    shuffle carries 64 partial sums per (label, dim) group, not vectors.
+    Integer micro-unit sums are exact; the final double division is the
+    same IEEE sequence both engines. At 100 TB this is the centroid
+    update step of kmeans_embeddings, shared shape."""
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    e = emb.select("label", F.posexplode(quantized()).alias("p", "v"))
+    return (
+        e.groupBy("label", (F.col("p") + 1).cast("int").alias("dim"))
+        .agg(
+            (F.sum("v").cast("double") / 1000000.0 / F.count(F.lit(1))).alias("centroid")
+        )
+    )
+
+
+register(
+    "label_centroids",
+    oracle=LABEL_CENTROIDS_ORACLE,
+    doc="Per-label mean embedding as (label, dim, centroid) rows — the "
+    "class-prototype / IVF coarse-quantizer computation on exact integer "
+    "sums (LLM-pipeline extension).",
+    tags=("similarity", "llm"),
+)(build_label_centroids)

@@ -692,3 +692,159 @@ register(
     "pushes to the scan (LLM-pipeline extension).",
     tags=("text", "llm", "sampling"),
 )(build_stratified_sample)
+
+
+# ---------------------------------------------------------------------------
+# text_normalize — canonical whitespace/case normalization, the first stage
+# of every training-data text pipeline. The corpus is already clean, so the
+# query deterministically dirties each doc (same expression both engines)
+# and then normalizes it — the op is exercised for real, not as a no-op.
+# ---------------------------------------------------------------------------
+
+TEXT_NORMALIZE_ORACLE = """
+WITH d AS (
+    SELECT doc_id, '  ' || upper(text) || chr(9) || ' END  ' AS dirty
+    FROM documents
+)
+SELECT
+    doc_id,
+    lower(trim(regexp_replace(dirty, '\\s+', ' ', 'g'))) AS normalized,
+    CAST(length(dirty) AS INTEGER) AS n_chars_before,
+    CAST(length(lower(trim(regexp_replace(dirty, '\\s+', ' ', 'g')))) AS INTEGER)
+        AS n_chars_after
+FROM d
+"""
+
+
+def build_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure Catalyst string expressions (codegen, zero Python) — scales
+    linearly; no shuffle at all (map-only plan)."""
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    dirty = F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("\t END  "))
+    norm = F.lower(F.trim(F.regexp_replace(dirty, r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.length(dirty).cast("int").alias("n_chars_before"),
+        F.length(norm).cast("int").alias("n_chars_after"),
+    )
+
+
+register(
+    "text_normalize",
+    oracle=TEXT_NORMALIZE_ORACLE,
+    doc="Whitespace/case normalization over a deterministically-dirtied "
+    "corpus: lower + trim + \\s+ collapse, map-only codegen plan "
+    "(LLM-pipeline extension).",
+    tags=("text", "llm"),
+)(build_text_normalize)
+
+
+# ---------------------------------------------------------------------------
+# pii_redact — regex PII scrubbing (emails, phone numbers). The corpus has
+# no PII, so each doc gets a deterministic synthetic email+phone appended
+# (same expression both engines) before redaction — proving the patterns
+# match and the replacement is total.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+PII_REDACT_ORACLE = f"""
+WITH d AS (
+    SELECT
+        doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or 555-123-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+    FROM documents
+)
+SELECT
+    doc_id,
+    regexp_replace(
+        regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM d
+"""
+
+
+def build_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained JVM regexp_replace calls (Java regex ≡ RE2 for this
+    pattern subset) — map-only, no shuffle, codegen'd; the standard
+    pre-training scrub stage."""
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
+
+
+register(
+    "pii_redact",
+    oracle=PII_REDACT_ORACLE,
+    doc="Regex PII redaction (email + phone patterns) over deterministically "
+    "PII-seeded docs — map-only scrub stage (LLM-pipeline extension).",
+    tags=("text", "llm"),
+)(build_pii_redact)
+
+
+# ---------------------------------------------------------------------------
+# repetition_ratio — repetition-based quality signal: distinct-token ratio
+# and the share of the single most frequent token. High top-token share /
+# low distinct ratio flags boilerplate and degenerate generations.
+# ---------------------------------------------------------------------------
+
+REPETITION_RATIO_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+)
+SELECT
+    doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS distinct_ratio,
+    CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_share
+FROM tf
+GROUP BY doc_id
+"""
+
+
+def build_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → (doc, token) counts → per-doc rollup. Both aggregates are
+    partial+final; the shuffle key is (doc_id, tok) then doc_id — high
+    cardinality, no skew. Ratios divide exact longs, bit-identical."""
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_token_share"
+        ),
+    )
+
+
+register(
+    "repetition_ratio",
+    oracle=REPETITION_RATIO_ORACLE,
+    doc="Repetition quality signal: per-doc distinct-token ratio and top "
+    "token share via token-frequency rollup (LLM-pipeline extension).",
+    tags=("text", "llm", "quality"),
+)(build_repetition_ratio)
