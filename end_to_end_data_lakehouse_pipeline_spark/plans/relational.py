@@ -1523,3 +1523,58 @@ register(
     "special cases; one Expand + one hash agg).",
     tags=("relational", "agg", "groupingsets"),
 )(build_grouping_sets_sales)
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions — ntile / percent_rank / cume_dist /
+# first_value / nth_value / last_value (the analytic-function surface
+# window_analytics doesn't cover). Deterministic under the UNIQUE
+# (o_totalprice, o_orderkey) order, so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT
+    o_custkey,
+    o_orderkey,
+    o_totalprice,
+    CAST(NTILE(4) OVER w AS INTEGER) AS spend_quartile,
+    PERCENT_RANK() OVER w AS pct_rank,
+    CUME_DIST() OVER w AS cume,
+    FIRST_VALUE(o_totalprice) OVER wf AS min_total,
+    NTH_VALUE(o_totalprice, 2) OVER wf AS second_total,
+    LAST_VALUE(o_totalprice) OVER wf AS max_total
+FROM orders
+WINDOW
+    w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+    wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def build_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on o_custkey serves every function (same partition +
+    order); the full-frame trio shares the single sorted pass. At scale
+    the customer key is high-cardinality — no single-partition sort."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_totalprice").over(wf).alias("min_total"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_total"),
+        F.last("o_totalprice").over(wf).alias("max_total"),
+    )
+
+
+register(
+    "window_distribution",
+    oracle=WINDOW_DISTRIBUTION_ORACLE,
+    doc="ntile/percent_rank/cume_dist + full-frame first/nth/last value "
+    "over a unique total order (analytic-function completeness).",
+    tags=("relational", "window"),
+)(build_window_distribution)

@@ -31,7 +31,7 @@ milli-units) injected into both the Spark plan and the oracle SQL.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
@@ -889,3 +889,161 @@ register(
     "sums (LLM-pipeline extension).",
     tags=("similarity", "llm"),
 )(build_label_centroids)
+
+
+# ---------------------------------------------------------------------------
+# knn_pq_adc — product quantization with asymmetric-distance scoring, the
+# memory-bound ANN scale path (IVF prunes candidates; PQ compresses them:
+# 64 dims × 8 bytes -> 8 one-byte codes). Codebooks here are seeded
+# deterministic draws (matched to the corpus component scale), NOT
+# k-means-trained — the operator shape (encode once, LUT per query, ADC
+# scan over codes) is the real thing; training quality is orthogonal and
+# lives in kmeans_embeddings.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_SUB = DIM // PQ_M
+
+_rs_pq = np.random.RandomState(7)
+# micro-unit integer centroids at the corpus component scale (unit-norm
+# 64-dim vectors -> component std ~= 1/8)
+PQ_CENTROIDS: list[list[list[int]]] = [
+    [
+        [int(x) for x in np.round(_rs_pq.normal(size=PQ_SUB) * 0.125 * 1000000)]
+        for _ in range(PQ_K)
+    ]
+    for _ in range(PQ_M)
+]
+
+
+def _pq_cent_values_sql() -> str:
+    rows = []
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            lst = "[" + ", ".join(str(v) for v in PQ_CENTROIDS[m][k]) + "]"
+            rows.append(f"({m}, {k}, {lst})")
+    return ", ".join(rows)
+
+
+_PQ_D2 = (
+    "list_sum(list_transform(generate_series(1, {sub}), "
+    "i -> ({qa}[{off} + i] - {c}[i]) * ({qa}[{off} + i] - {c}[i])))"
+)
+
+KNN_PQ_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label, {_sql_quantized()} AS qa FROM embeddings
+),
+cent(m, k, c) AS (VALUES {_pq_cent_values_sql()}),
+enc0 AS (
+    SELECT q.vec_id, cent.m, cent.k,
+           {_PQ_D2.format(sub=PQ_SUB, qa='q.qa', off='cent.m * ' + str(PQ_SUB), c='cent.c')} AS d2
+    FROM q, cent
+),
+enc AS (
+    SELECT vec_id, m, k AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM enc0
+    ) WHERE rn = 1
+),
+query AS (
+    SELECT qa FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+lut AS (
+    SELECT cent.m, cent.k,
+           {_PQ_D2.format(sub=PQ_SUB, qa='query.qa', off='cent.m * ' + str(PQ_SUB), c='cent.c')} AS d2q
+    FROM query, cent
+),
+score AS (
+    SELECT e.vec_id, SUM(l.d2q) AS qd
+    FROM enc e
+    JOIN lut l ON e.m = l.m AND e.code = l.k
+    WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    GROUP BY e.vec_id
+)
+SELECT
+    s.vec_id,
+    q.label,
+    CAST(s.qd AS DOUBLE) / 1000000000000.0 AS approx_dist
+FROM score s
+JOIN q ON s.vec_id = q.vec_id
+ORDER BY approx_dist, s.vec_id
+LIMIT {KNN_K}
+"""
+
+
+def build_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode: posexplode -> per-(vec, subspace) pivot (map-side partial
+    agg, 8 rows/vector shuffled) -> broadcast 128-row codebook ->
+    row_number argmin. In production the code table is written once and
+    the scan reads ONLY codes — 64x less IO than raw vectors. Query time:
+    the 8x16 LUT of exact integer distances is built on the driver
+    (serving shape) and broadcast; the ADC scan is a code join + one sum
+    per vector — no vector arithmetic at scan time. All distances are
+    exact micro^2 integers, so both engines rank identically."""
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    n = emb.select("vec_id", "label", quantized().alias("qa"))
+    # --- corpus encode (precomputed in a real deployment) ---
+    e = n.select("vec_id", F.posexplode("qa").alias("i0", "v")).select(
+        "vec_id",
+        F.floor(F.col("i0") / PQ_SUB).cast("int").alias("m"),
+        (F.col("i0") % PQ_SUB).cast("int").alias("j"),
+        "v",
+    )
+    sub = e.groupBy("vec_id", "m").agg(
+        *[F.max(F.when(F.col("j") == x, F.col("v"))).alias(f"s{x}") for x in range(PQ_SUB)]
+    )
+    cent_rows = [
+        (m, k, *PQ_CENTROIDS[m][k]) for m in range(PQ_M) for k in range(PQ_K)
+    ]
+    cent = spark.createDataFrame(
+        cent_rows, ["m", "k", *[f"c{x}" for x in range(PQ_SUB)]]
+    )
+    d2 = None
+    for x in range(PQ_SUB):
+        term = (F.col(f"s{x}") - F.col(f"c{x}")) * (F.col(f"s{x}") - F.col(f"c{x}"))
+        d2 = term if d2 is None else d2 + term
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    enc = (
+        sub.join(F.broadcast(cent), "m")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    # --- query LUT (driver-side serving shape; exact ints) ---
+    qid, q_qa, _ = _query_row(emb)
+    lut_rows = []
+    for m in range(PQ_M):
+        qs = q_qa[m * PQ_SUB : (m + 1) * PQ_SUB]
+        for k in range(PQ_K):
+            d2q = sum((a - b) * (a - b) for a, b in zip(qs, PQ_CENTROIDS[m][k]))
+            lut_rows.append((m, k, d2q))
+    lut = spark.createDataFrame(lut_rows, ["m", "code", "d2q"])
+    score = (
+        enc.filter(F.col("vec_id") != qid)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2q").alias("qd"))
+    )
+    return (
+        score.join(n.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            (F.col("qd").cast("double") / 1000000000000.0).alias("approx_dist"),
+        )
+        .orderBy("approx_dist", "vec_id")
+        .limit(KNN_K)
+    )
+
+
+register(
+    "knn_pq_adc",
+    oracle=KNN_PQ_ORACLE,
+    doc=f"Product-quantization ANN ({PQ_M} subspaces x {PQ_K} codes, "
+    "seeded codebooks): distributed encode, driver-built asymmetric-"
+    "distance LUT, code-join ADC scan — the memory-bound scale path "
+    "(LLM-pipeline extension).",
+    tags=("similarity", "llm", "pq", "topk"),
+)(build_knn_pq_adc)
