@@ -503,3 +503,70 @@ register(
     "oracle asserts exact equality with the plain LEFT JOIN.",
     tags=("join", "skew"),
 )(build_salted_customer_join)
+
+
+# ---------------------------------------------------------------------------
+# mv_incremental_refresh — SummingMergeTree-style incremental maintenance
+# IN the oracle surface (A16's batch analog): the stored MV state is the
+# partial aggregate of the base slice; an append re-aggregates ONLY the
+# union of stored partials + new partials, never the base fact. The
+# oracle is the full recompute — proving merge(partials) == recompute.
+# ---------------------------------------------------------------------------
+
+INCR_CUTOFF = "1999-01-01"  # ship dates >= this are "the new batch"
+
+MV_INCR_ORACLE = f"""
+SELECT
+    CAST(l_shipdate AS DATE) AS ship_date,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    SUM(l_quantity) AS total_qty,
+    {o_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def _daily_partials(li: DataFrame) -> DataFrame:
+    cents = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0
+    ).cast("long")
+    return li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum(cents).alias("cents"),
+    )
+
+
+def build_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only summable metrics (counts, sums of exact ints) — the metrics a
+    SummingMergeTree can actually merge; countDistinct needs sketch state
+    and lives in mv_daily_sales_approx. At 100 TB the base partials are a
+    tiny stored table; each refresh shuffles only the new batch."""
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    base = _daily_partials(li.filter(F.col("l_shipdate").cast("date") < F.lit(INCR_CUTOFF)))
+    incr = _daily_partials(li.filter(F.col("l_shipdate").cast("date") >= F.lit(INCR_CUTOFF)))
+    merged = (
+        base.unionByName(incr)
+        .groupBy("ship_date")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("total_qty").alias("total_qty"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return merged.select(
+        "ship_date",
+        "n_items",
+        "total_qty",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+register(
+    "mv_incremental_refresh",
+    oracle=MV_INCR_ORACLE,
+    doc="Incremental MV maintenance (SummingMergeTree merge semantics, "
+    "A16 batch analog): stored base partials + new-batch partials "
+    "re-aggregated; oracle is the full recompute.",
+    tags=("mv", "agg", "incremental"),
+)(build_mv_incremental_refresh)

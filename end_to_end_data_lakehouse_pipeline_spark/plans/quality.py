@@ -1,0 +1,103 @@
+"""Data-quality constraint checking — the validation stage every lakehouse
+pipeline runs between bronze and silver (the reference enforces these as
+PostgreSQL DDL constraints: postgres_init NOT NULL / PRIMARY KEY / CHECK;
+this engine evaluates them declaratively and reports violation counts).
+
+Shape notes for 100 TB: each table contributes ONE scan producing every
+rule's count as a column of a single partial+final aggregate (no
+rule-per-scan), then the one-row aggregates are unpivoted and unioned —
+constant-size shuffles. The referential-integrity rule is a broadcast/
+shuffled ANTI join, the same plan as P6/J6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from .registry import register
+
+DQ_ORACLE = """
+SELECT 'lineitem_discount_out_of_range' AS rule,
+       CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT)
+           AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST(COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_dup_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_nonpositive_total',
+       CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_orderdate_out_of_range',
+       CAST(COUNT(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                         OR CAST(o_orderdate AS DATE) > DATE '2005-12-31' THEN 1 END)
+            AS BIGINT)
+FROM orders
+ORDER BY rule
+"""
+
+
+def _flag(cond) -> F.Column:  # type: ignore[name-defined]
+    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+
+def build_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+
+    o_agg = orders.agg(
+        _flag(F.col("o_custkey").isNull()).alias("null_custkey"),
+        _flag(F.col("o_totalprice") <= 0).alias("nonpositive_total"),
+        _flag(
+            (F.col("o_orderdate").cast("date") < F.lit("1990-01-01"))
+            | (F.col("o_orderdate").cast("date") > F.lit("2005-12-31"))
+        ).alias("orderdate_range"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    l_agg = li.agg(
+        _flag((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("disc_range"),
+        _flag(F.col("l_quantity") <= 0).alias("qty_nonpos"),
+    )
+    orphans = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def row(src: DataFrame, col: str, rule: str) -> DataFrame:
+        return src.select(F.lit(rule).alias("rule"), F.col(col).alias("n_violations"))
+
+    out = (
+        row(l_agg, "disc_range", "lineitem_discount_out_of_range")
+        .unionByName(row(l_agg, "qty_nonpos", "lineitem_nonpositive_qty"))
+        .unionByName(row(orphans, "n", "lineitem_orphan_orderkey"))
+        .unionByName(row(o_agg, "dup_orderkey", "orders_dup_orderkey"))
+        .unionByName(row(o_agg, "null_custkey", "orders_null_custkey"))
+        .unionByName(row(o_agg, "nonpositive_total", "orders_nonpositive_total"))
+        .unionByName(row(o_agg, "orderdate_range", "orders_orderdate_out_of_range"))
+    )
+    return out.orderBy("rule")
+
+
+register(
+    "dq_checks",
+    oracle=DQ_ORACLE,
+    doc="Declarative data-quality rules (null/range/uniqueness/referential "
+    "integrity — postgres_init DDL constraints as queries): one aggregate "
+    "scan per table + one anti-join, violation counts per rule.",
+    tags=("quality", "agg"),
+)(build_dq_checks)

@@ -1578,3 +1578,51 @@ register(
     "over a unique total order (analytic-function completeness).",
     tags=("relational", "window"),
 )(build_window_distribution)
+
+
+# ---------------------------------------------------------------------------
+# Z-order codes — the multi-dimensional clustering key used by the
+# lakehouse write path (sources/lakehouse.py overwrite(zorder_by=...),
+# functions/zorder.py). Registered so the interleave arithmetic itself is
+# oracle-verified bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from ..functions.zorder import morton2, sql_morton2  # noqa: E402
+
+ZORDER_ORACLE = f"""
+SELECT
+    o_orderkey,
+    (o_custkey & 65535) AS x,
+    (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535) AS y,
+    {sql_morton2('(o_custkey & 65535)',
+                 "(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535)")}
+        AS zcode
+FROM orders
+"""
+
+
+def build_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only codegen plan (32 shift/mask/add terms, no UDF, no
+    shuffle); at write time the same expression feeds repartitionByRange
+    so min/max file stats prune on either dimension."""
+    orders = table(spark, sf_dir, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    y = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    ).bitwiseAND(F.lit(65535))
+    return orders.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        morton2(x, y).alias("zcode"),
+    )
+
+
+register(
+    "zorder_code",
+    oracle=ZORDER_ORACLE,
+    doc="Morton/Z-order interleave of (custkey, epoch-day) — the "
+    "multi-dimensional clustering key of the lakehouse write path, "
+    "verified bit-for-bit.",
+    tags=("relational", "zorder"),
+)(build_zorder_code)

@@ -144,8 +144,18 @@ class LakehouseTable:
         df: DataFrame,
         partition_by: Sequence[str] = (),
         sort_within_by: Sequence[str] = (),
+        zorder_by: Sequence[str] = (),
+        zorder_files: int | None = None,
     ) -> None:
         """S6 gold full refresh via staging dir + rename swap.
+
+        ``zorder_by=(a, b)`` range-partitions and clusters rows by the
+        Morton interleave of the two keys (functions/zorder.py — the
+        Delta ``OPTIMIZE ZORDER BY`` analog), so min/max file stats prune
+        lookups on EITHER key, not just the leading sort key.
+        ``zorder_files`` pins the output file count (sized so each file is
+        ~128 MB-1 GB at scale); left None, AQE picks — and may coalesce
+        tiny tables to one file, which defeats stats pruning.
 
         The swap is two os.rename calls, not one atomic commit: a reader
         (or crash) between them sees a brief table-not-found window — the
@@ -154,6 +164,24 @@ class LakehouseTable:
         ``VersionedTable`` (pointer-file indirection) gives genuinely
         atomic cutover when that window is unacceptable."""
         staging = f"{self.path}_staging_{uuid.uuid4().hex[:8]}"
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from ..functions.zorder import ZORDER_BITS, morton2
+
+            a, b = zorder_by
+            mask = (1 << ZORDER_BITS) - 1
+            code = morton2(
+                F.col(a).cast("long").bitwiseAND(F.lit(mask)),
+                F.col(b).cast("long").bitwiseAND(F.lit(mask)),
+            )
+            df = df.withColumn("_zorder", code)
+            df = (
+                df.repartitionByRange(zorder_files, "_zorder")
+                if zorder_files
+                else df.repartitionByRange("_zorder")
+            )
+            df = df.sortWithinPartitions("_zorder").drop("_zorder")
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
         w = df.write.format(self.fmt).mode("overwrite")

@@ -306,3 +306,47 @@ def test_cdc_source_struct_propagates(spark):
     assert parsed["o9"]._source_table == "orders"
     assert parsed["o9"]._source_lsn == 123456789
     assert parsed["o8"]._source_table is None and parsed["o8"]._source_lsn is None
+
+
+def test_morton2_interleaves_bits(spark):
+    from end_to_end_data_lakehouse_pipeline_spark.functions.zorder import morton2
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (65535, 0), (0, 65535)], ["x", "y"])
+    got = [r.z for r in df.select(morton2(F.col("x"), F.col("y")).alias("z")).collect()]
+    # x bits land at even positions, y bits at odd
+    assert got == [
+        0b111,  # x=11, y=01 -> 1(y0)1(x1)... = 4+2+1
+        0,
+        sum(1 << (2 * i) for i in range(16)),
+        sum(1 << (2 * i + 1) for i in range(16)),
+    ]
+
+
+def test_zorder_write_prunes_on_both_keys(spark, tmp_path):
+    """Z-ordered files must have narrow min/max on BOTH dimensions, so a
+    point lookup on either key touches a strict subset of files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 64
+    grid = spark.range(n * n).selectExpr(f"id % {n} AS x", f"id DIV {n} AS y", "id AS payload")
+    t = LakehouseTable(spark, str(tmp_path / "z"))
+    # 16 files => ~4x4 z-curve quadrants; enough per-dim granularity that
+    # range-boundary sampling jitter can't push a point lookup past half
+    # the files (at 8 files a lookup legitimately hits 4-5 of 8).
+    t.overwrite(grid.repartition(8), zorder_by=("x", "y"), zorder_files=16)
+
+    files = glob.glob(str(tmp_path / "z" / "*.parquet"))
+    assert len(files) >= 8  # enough files for pruning to mean anything
+    spans = []
+    for f in files:
+        md = pq.read_table(f, columns=["x", "y"])
+        xs, ys = md.column("x").to_pylist(), md.column("y").to_pylist()
+        spans.append(((min(xs), max(xs)), (min(ys), max(ys))))
+    for dim in (0, 1):
+        # an off-boundary point lookup must skip at least half the files
+        # (a plain (x, y) lexicographic sort leaves every file spanning the
+        # FULL y domain, so any y lookup would hit all of them)
+        hit = sum(1 for s in spans if s[dim][0] <= 8 <= s[dim][1])
+        assert hit <= len(files) // 2, (dim, spans)
