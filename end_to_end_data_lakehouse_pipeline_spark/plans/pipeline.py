@@ -1,0 +1,373 @@
+"""Training-corpus composition operators — the end of the LLM data pipeline.
+
+The dedup/text/similarity modules score and prune documents; this module
+covers the steps that turn a scored corpus into training input, each one a
+single declarative Spark plan with a DuckDB oracle:
+
+- ``quality_gate``        — ordered filter chain with a reject *reason* per
+                            document (the audit trail a curation pipeline
+                            needs, not just a boolean).
+- ``corpus_pack_chunks``  — token-budget sequence packing: concatenate docs
+                            in deterministic order and assign each to a
+                            fixed-token-budget training chunk (running-sum
+                            window, integer arithmetic).
+- ``train_val_test_split``— deterministic hash split (80/10/10): stable
+                            under re-runs and appends, no RANDOM(), no
+                            global sort — the only split that survives
+                            100 TB (same rationale as hash_sample).
+- ``contamination_ngrams``— benchmark-overlap decontamination: 3-gram
+                            shingle intersection of every corpus doc
+                            against a (small) benchmark set, broadcast to
+                            every executor — the corpus is scanned once and
+                            never shuffled.
+- ``vocab_oov_rate``      — top-K vocabulary coverage: global term top-K
+                            (deterministic tie-break), then per-source
+                            out-of-vocabulary token rate via one broadcast
+                            left join over the exploded tokens.
+
+Scale notes (100 TB): quality_gate and the split are stateless scans
+(codegen'd projections, no shuffle). Packing shuffles once on `source` and
+computes the running sum within partitions. Contamination broadcasts only
+the benchmark shingle set (eval suites are MBs, corpora are TBs).
+vocab_oov_rate's top-K aggregate is partial+final with a K-row result that
+broadcasts back; the token explode never leaves its input partitions.
+
+Reference provenance: the reference pipeline has no training-data stage —
+these extend the engine for the LLM-pipeline mandate (BASELINE.json north
+star), composing the same shingle/token primitives as plans/dedup.py and
+plans/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from .dedup import _hex8_sql, _sql_shingles, shingles_col
+from .registry import register
+from .text import _sql_tokens, tokens_col
+
+# ---------------------------------------------------------------------------
+# quality_gate — ordered filter chain with per-document reject reasons.
+#
+# Thresholds compare INTEGERS (counts scaled by the ratio denominator), so
+# both engines decide each rule on exact arithmetic — no float thresholds.
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20  # too_short below this
+ALPHA_PCT = 60  # low_alpha below alpha_chars/n_chars = 0.60
+DIVERSITY_PCT = 30  # low_diversity below distinct/total tokens = 0.30
+
+QUALITY_GATE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, n_chars,
+           len({_sql_tokens()}) AS n_tokens,
+           len(list_distinct({_sql_tokens()})) AS n_distinct,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+    FROM documents
+)
+SELECT
+    doc_id, source, n_tokens,
+    CASE
+        WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+        WHEN alpha_chars * 100 < n_chars * {ALPHA_PCT} THEN 'low_alpha'
+        WHEN n_distinct * 100 < n_tokens * {DIVERSITY_PCT} THEN 'low_diversity'
+    END AS reject_reason,
+    CASE
+        WHEN n_tokens >= {MIN_TOKENS}
+         AND alpha_chars * 100 >= n_chars * {ALPHA_PCT}
+         AND n_distinct * 100 >= n_tokens * {DIVERSITY_PCT}
+        THEN 1 ELSE 0
+    END AS passed
+FROM t
+"""
+
+
+def build_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("alpha_chars") * 100 < F.col("n_chars") * ALPHA_PCT, "low_alpha")
+        .when(
+            F.col("n_distinct") * 100 < F.col("n_tokens") * DIVERSITY_PCT,
+            "low_diversity",
+        )
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        reason.alias("reject_reason"),
+        F.when(reason.isNull(), 1).otherwise(0).alias("passed"),
+    )
+
+
+register(
+    "quality_gate",
+    oracle=QUALITY_GATE_ORACLE,
+    doc="Ordered quality-filter chain with per-doc reject reason "
+    "(too_short → low_alpha → low_diversity); stateless codegen scan, "
+    "integer-arithmetic thresholds.",
+    tags=("llm", "text", "filter"),
+)(build_quality_gate)
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_chunks — token-budget sequence packing.
+#
+# Documents are concatenated per source in doc_id order; a doc starts in
+# chunk floor(tokens_before / CHUNK_TOKENS). This is the standard
+# "concatenate-then-chunk" LLM pretraining layout (docs may straddle a
+# chunk boundary). One shuffle on source; the running sum is computed
+# within the source partitions.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 512
+
+PACK_CHUNKS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, len({_sql_tokens()}) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {CHUNK_TOKENS} AS BIGINT) AS chunk_id
+FROM c
+"""
+
+
+def build_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.size(tokens_col()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / CHUNK_TOKENS)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+
+
+register(
+    "corpus_pack_chunks",
+    oracle=PACK_CHUNKS_ORACLE,
+    doc=f"Token-budget sequence packing: deterministic per-source running "
+    f"token sum assigns each doc its {CHUNK_TOKENS}-token training chunk "
+    "(single shuffle on source).",
+    tags=("llm", "window"),
+)(build_corpus_pack_chunks)
+
+
+# ---------------------------------------------------------------------------
+# train_val_test_split — deterministic 80/10/10 hash split + per-split
+# token accounting. The md5-bucket is the same cross-engine primitive as
+# hash_sample (relational.py); stability under appends is the point — a
+# doc's split never changes when the corpus grows.
+# ---------------------------------------------------------------------------
+
+SPLIT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           len({_sql_tokens()}) AS n_tokens,
+           {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100 AS bucket
+    FROM documents
+)
+SELECT
+    CASE WHEN bucket < 80 THEN 'train'
+         WHEN bucket < 90 THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM t
+GROUP BY 1
+"""
+
+
+def build_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    t = docs.select(
+        F.size(tokens_col()).alias("n_tokens"),
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return t.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+register(
+    "train_val_test_split",
+    oracle=SPLIT_ORACLE,
+    doc="Deterministic 80/10/10 md5-bucket split with per-split token "
+    "accounting — reproducible, append-stable, shuffle-free assignment.",
+    tags=("llm", "sampling"),
+)(build_train_val_test_split)
+
+
+# ---------------------------------------------------------------------------
+# contamination_ngrams — benchmark-overlap decontamination.
+#
+# Docs from BENCH_SOURCE play the held-out benchmark; every other doc is
+# checked for 3-gram shingle overlap against it. The benchmark shingle set
+# is broadcast (eval suites are small); the corpus explode never shuffles.
+# shingles_col() arrays are distinct, so the per-doc match count IS the
+# distinct-overlap count.
+# ---------------------------------------------------------------------------
+
+BENCH_SOURCE = "src0"
+
+CONTAMINATION_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, source, {_sql_shingles("toks")} AS sh FROM t
+    WHERE len({_sql_shingles("toks")}) > 0
+),
+bench_g AS (
+    SELECT DISTINCT unnest(sh) AS g FROM s WHERE source = '{BENCH_SOURCE}'
+),
+corpus_e AS (
+    SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+    FROM s WHERE source <> '{BENCH_SOURCE}'
+)
+SELECT
+    corpus_e.doc_id,
+    n_shingles,
+    CAST(COUNT(*) AS BIGINT) AS n_overlap,
+    CAST(COUNT(*) AS DOUBLE) / n_shingles AS contamination
+FROM corpus_e
+JOIN bench_g ON corpus_e.g = bench_g.g
+GROUP BY corpus_e.doc_id, n_shingles
+"""
+
+
+def build_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    s = docs.select(
+        "doc_id", "source", shingles_col(tokens_col()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    bench_g = (
+        s.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus_e = s.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    )
+    return (
+        corpus_e.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+register(
+    "contamination_ngrams",
+    oracle=CONTAMINATION_ORACLE,
+    doc="Benchmark decontamination: per-doc distinct 3-gram overlap vs a "
+    "broadcast benchmark shingle set (corpus scanned once, never shuffled).",
+    tags=("llm", "dedup", "join"),
+)(build_contamination_ngrams)
+
+
+# ---------------------------------------------------------------------------
+# vocab_oov_rate — top-K vocabulary coverage per source.
+#
+# The vocabulary is the global top-K terms (count DESC, term ASC — total
+# order, deterministic cut). OOV rate = token INSTANCES outside the vocab
+# over all instances, summed per source: a single division of exact
+# integers on both engines.
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 200
+
+VOCAB_OOV_ORACLE = f"""
+WITH e AS (
+    SELECT doc_id, source, unnest({_sql_tokens()}) AS term
+    FROM documents
+),
+vocab AS (
+    SELECT term FROM e GROUP BY term
+    ORDER BY COUNT(*) DESC, term ASC
+    LIMIT {VOCAB_K}
+)
+SELECT
+    source,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) - COUNT(vocab.term) AS BIGINT) AS n_oov,
+    CAST(COUNT(*) - COUNT(vocab.term) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM e
+LEFT JOIN vocab ON e.term = vocab.term
+GROUP BY source
+"""
+
+
+def build_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    e = docs.select("source", F.explode(tokens_col()).alias("term"))
+    vocab = (
+        e.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    joined = e.join(F.broadcast(vocab), "term", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
+register(
+    "vocab_oov_rate",
+    oracle=VOCAB_OOV_ORACLE,
+    doc=f"Top-{VOCAB_K} vocabulary coverage: deterministic global term "
+    "top-K, then per-source OOV token rate via one broadcast left join.",
+    tags=("llm", "text", "join"),
+)(build_vocab_oov_rate)

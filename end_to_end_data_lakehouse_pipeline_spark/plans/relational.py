@@ -1161,7 +1161,11 @@ GROUP BY user_id, session_seq
 def build_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # events.ts may arrive as TIMESTAMP_NTZ (parquet without isAdjustedToUTC);
+    # unix_micros requires TIMESTAMP, and the session tz is UTC so the cast
+    # preserves wall-clock epochs identically to DuckDB's epoch_us.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
     marked = events.withColumn(
         "is_new",
         F.when(
