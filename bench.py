@@ -63,6 +63,8 @@ HEADLINE = [
     "tfidf_top_terms",        # per-doc tf-idf top-k (explode + window)
     "tpch_q5",                # 6-way join, 4 broadcast dims + fact shuffle
     "tpch_q18",               # HAVING-agg broadcast back onto fact join
+    "quality_gate",           # corpus filter chain with reject reasons
+    "contamination_ngrams",   # broadcast benchmark-overlap decontamination
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
