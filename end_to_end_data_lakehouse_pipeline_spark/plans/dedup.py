@@ -24,7 +24,7 @@ The testdata corpus has planted near-duplicates (max shingle-Jaccard ≈
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
@@ -613,3 +613,125 @@ register(
     "is a recursive-CTE transitive closure (LLM-pipeline extension).",
     tags=("dedup", "llm", "iterative", "graph"),
 )(build_dedup_components)
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — the production dedup shape: dedup a NEW BATCH against
+# an existing corpus (never batch-vs-batch, never full-corpus-vs-itself).
+# At 100 TB the corpus shingle index is precomputed and bucket-written;
+# each incoming batch joins only against it, so daily work scales with the
+# batch, not the corpus. Membership is a deterministic doc_id rule
+# (doc_id % 5 == 0 → batch, 20%) so the query is scale-independent.
+#
+# Candidates come from the DF-capped corpus posting list (same recall
+# contract as dedup_ngram_jaccard); the verify intersects full shingle
+# sets, and the winner per batch doc is total-order deterministic
+# (jaccard DESC, corpus doc_id ASC). match_type separates byte-identical
+# normalized text ('exact', via the dedup_exact fingerprint) from
+# near-duplicates ('near').
+# ---------------------------------------------------------------------------
+
+BATCH_MOD = 5  # doc_id % 5 == 0 → incoming batch, else corpus
+
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_FP_SQL} AS fp, {_sql_tokens()} AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, fp, {_sql_shingles('toks')} AS sh FROM t
+    WHERE len({_sql_shingles('toks')}) > 0
+),
+corpus AS (SELECT * FROM s WHERE doc_id % {BATCH_MOD} <> 0),
+batch  AS (SELECT * FROM s WHERE doc_id % {BATCH_MOD} = 0),
+ce AS (SELECT doc_id, unnest(sh) AS g FROM corpus),
+rare AS (SELECT g FROM ce GROUP BY g HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+be AS (SELECT doc_id, unnest(sh) AS g FROM batch),
+cand AS (
+    SELECT DISTINCT be.doc_id AS batch_doc, ce.doc_id AS corpus_doc
+    FROM be JOIN rare ON be.g = rare.g JOIN ce ON be.g = ce.g
+),
+v AS (
+    SELECT cand.batch_doc, cand.corpus_doc,
+           CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+               / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard,
+           CASE WHEN b.fp = c.fp THEN 'exact' ELSE 'near' END AS match_type
+    FROM cand
+    JOIN batch  b ON cand.batch_doc  = b.doc_id
+    JOIN corpus c ON cand.corpus_doc = c.doc_id
+),
+w AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY batch_doc ORDER BY jaccard DESC, corpus_doc ASC) AS rn
+    FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT batch_doc, corpus_doc, jaccard, match_type
+FROM w WHERE rn = 1
+"""
+
+
+def build_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    s = docs.select(
+        "doc_id", fp.alias("fp"), shingles_col(tokens_col()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    corpus = s.filter(F.col("doc_id") % BATCH_MOD != 0)
+    batch = s.filter(F.col("doc_id") % BATCH_MOD == 0)
+    ce = corpus.select(F.col("doc_id").alias("corpus_doc"), F.explode("sh").alias("g"))
+    rare = (
+        ce.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("g")
+    )
+    be = batch.select(F.col("doc_id").alias("batch_doc"), F.explode("sh").alias("g"))
+    cand = (
+        be.join(rare, "g").join(ce, "g").select("batch_doc", "corpus_doc").distinct()
+    )
+    b = batch.select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("sh").alias("b_sh"),
+        F.col("fp").alias("b_fp"),
+    )
+    c = corpus.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("sh").alias("c_sh"),
+        F.col("fp").alias("c_fp"),
+    )
+    n_common = F.size(F.array_intersect("b_sh", "c_sh"))
+    jaccard = n_common.cast("double") / (
+        F.size("b_sh") + F.size("c_sh") - n_common
+    )
+    v = (
+        cand.join(b, "batch_doc")
+        .join(c, "corpus_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            jaccard.alias("jaccard"),
+            F.when(F.col("b_fp") == F.col("c_fp"), "exact")
+            .otherwise("near")
+            .alias("match_type"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_doc").asc()
+    )
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+register(
+    "dedup_incremental",
+    oracle=DEDUP_INCREMENTAL_ORACLE,
+    doc="Incremental dedup: new batch (20% by doc_id rule) against the "
+    "corpus shingle index only — batch-sized work, DF-capped candidates, "
+    "exact-verified winner per batch doc with exact/near classification.",
+    tags=("dedup", "llm", "join", "incremental"),
+)(build_dedup_incremental)

@@ -371,3 +371,95 @@ register(
     "top-K, then per-source OOV token rate via one broadcast left join.",
     tags=("llm", "text", "join"),
 )(build_vocab_oov_rate)
+
+
+# ---------------------------------------------------------------------------
+# training_manifest — the end-of-pipeline composition: quality gate →
+# deterministic split → per-split sequence packing, in ONE declarative
+# plan. Chunks are packed WITHIN a split (a chunk must never mix train and
+# held-out text) in doc_id order. Catalyst pipelines the gate and split
+# projections into the scan; the only shuffle is the per-split window.
+# ---------------------------------------------------------------------------
+
+MANIFEST_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, n_chars,
+           len({_sql_tokens()}) AS n_tokens,
+           len(list_distinct({_sql_tokens()})) AS n_distinct,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+    FROM documents
+),
+pass AS (
+    SELECT doc_id, n_tokens FROM t
+    WHERE n_tokens >= {MIN_TOKENS}
+      AND alpha_chars * 100 >= n_chars * {ALPHA_PCT}
+      AND n_distinct * 100 >= n_tokens * {DIVERSITY_PCT}
+),
+sp AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100 < 80
+                THEN 'train'
+                WHEN {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM pass
+),
+c AS (
+    SELECT doc_id, split, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM sp
+)
+SELECT doc_id, split, n_tokens,
+       CAST((cum_tokens - n_tokens) // {CHUNK_TOKENS} AS BIGINT) AS chunk_id
+FROM c
+"""
+
+
+def build_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
+    )
+    passing = t.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("alpha_chars") * 100 >= F.col("n_chars") * ALPHA_PCT)
+        & (F.col("n_distinct") * 100 >= F.col("n_tokens") * DIVERSITY_PCT)
+    ).select("doc_id", "n_tokens")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    sp = passing.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = sp.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / CHUNK_TOKENS)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+
+
+register(
+    "training_manifest",
+    oracle=MANIFEST_ORACLE,
+    doc="End-of-pipeline composition: quality gate → md5 split → per-split "
+    f"{CHUNK_TOKENS}-token packing in one plan (gate and split fuse into "
+    "the scan; single per-split window shuffle).",
+    tags=("llm", "window", "filter"),
+)(build_training_manifest)

@@ -1047,3 +1047,48 @@ register(
     "(LLM-pipeline extension).",
     tags=("similarity", "llm", "pq", "topk"),
 )(build_knn_pq_adc)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_lsh — ANN quality evaluation as a first-class query: recall@K
+# of the banded-LSH path against the exact brute-force top-K for the same
+# query vector. The production tuning loop (raise bands/bits until recall
+# clears the bar) is exactly this query run over a sample of query
+# vectors; both sides reuse the registered plans, so the metric can never
+# drift from what the engine actually serves.
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_ORACLE = f"""
+WITH bf AS (SELECT vec_id FROM ({KNN_BRUTE_ORACLE})),
+lshk AS (SELECT vec_id FROM ({KNN_LSH_ORACLE}))
+SELECT
+    CAST({KNN_K} AS BIGINT) AS k,
+    CAST(COUNT(lshk.vec_id) AS BIGINT) AS n_overlap,
+    CAST(COUNT(lshk.vec_id) AS DOUBLE) / {KNN_K} AS recall_at_k
+FROM bf LEFT JOIN lshk ON bf.vec_id = lshk.vec_id
+"""
+
+
+def build_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = build_knn_bruteforce_cosine(spark, sf_dir).select("vec_id")
+    lsh = build_knn_lsh_bucketed(spark, sf_dir).select(
+        F.col("vec_id").alias("lsh_vec_id")
+    )
+    joined = bf.join(
+        F.broadcast(lsh), bf.vec_id == F.col("lsh_vec_id"), "left"
+    )
+    return joined.agg(
+        F.lit(KNN_K).cast("long").alias("k"),
+        F.count("lsh_vec_id").alias("n_overlap"),
+        (F.count("lsh_vec_id").cast("double") / KNN_K).alias("recall_at_k"),
+    )
+
+
+register(
+    "ann_recall_lsh",
+    oracle=ANN_RECALL_ORACLE,
+    doc=f"ANN evaluation: recall@{KNN_K} of banded-LSH candidates vs the "
+    "exact brute-force top-K, composed from the two registered plans "
+    "(the production LSH tuning loop as a query).",
+    tags=("similarity", "llm", "evaluation"),
+)(build_ann_recall_lsh)
