@@ -463,3 +463,84 @@ register(
     "the scan; single per-split window shuffle).",
     tags=("llm", "window", "filter"),
 )(build_training_manifest)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_byte_stats — the multimodal decode path as a DRIVER-CHECKED
+# query. Payloads are built from the documents table (utf-8 encode — the
+# corpus is ASCII, verified in testdata), then an Arrow-batched
+# mapInPandas stage computes per-payload byte statistics with vectorized
+# numpy — the exact pipeline shape of multimodal/columns.py
+# decode_features, but with a cross-engine oracle: for ASCII text, byte
+# values equal code points, so DuckDB reproduces the stats from ord().
+#
+# Scale notes: payload bytes move through Arrow record batches (no Python
+# row loop); per-batch work is numpy frombuffer + bincount. This is the
+# template for real image/audio feature extraction at 100 TB.
+# ---------------------------------------------------------------------------
+
+MM_BYTE_STATS_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '.'), c -> ord(c)) AS codes
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(len(codes) AS BIGINT) AS n_bytes,
+       CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_bytes,
+       CAST(list_sum(codes) AS BIGINT) AS sum_bytes,
+       CAST(list_sum(codes) AS DOUBLE) / len(codes) AS mean_byte
+FROM b
+"""
+
+
+def build_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("n_distinct_bytes", T.LongType(), True),
+            T.StructField("sum_bytes", T.LongType(), True),
+            T.StructField("mean_byte", T.DoubleType(), True),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, n_distinct, sums = [], [], []
+            for payload in pdf["payload"]:
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_bytes.append(len(a))
+                n_distinct.append(int(np.unique(a).size))
+                sums.append(int(a.sum(dtype=np.int64)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "n_distinct_bytes": pd.Series(n_distinct, dtype="int64"),
+                    "sum_bytes": pd.Series(sums, dtype="int64"),
+                }
+            )
+            out["mean_byte"] = out["sum_bytes"].astype("float64") / out["n_bytes"]
+            yield out
+
+    return media.mapInPandas(stats, schema=schema)
+
+
+register(
+    "multimodal_byte_stats",
+    oracle=MM_BYTE_STATS_ORACLE,
+    doc="Binary-payload feature extraction via Arrow-batched mapInPandas "
+    "(numpy per batch, no row loop) — the multimodal decode template with "
+    "an exact byte-level oracle (ASCII corpus: bytes == code points).",
+    tags=("llm", "multimodal", "pandas"),
+)(build_multimodal_byte_stats)
