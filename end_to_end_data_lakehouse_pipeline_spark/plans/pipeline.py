@@ -544,3 +544,78 @@ register(
     "an exact byte-level oracle (ASCII corpus: bytes == code points).",
     tags=("llm", "multimodal", "pandas"),
 )(build_multimodal_byte_stats)
+
+
+# ---------------------------------------------------------------------------
+# source_mixture — data mixing: per-source sampling rates (the
+# upsample/downsample weights of a training mixture) applied via the
+# deterministic md5 bucket, so the kept set is reproducible and stable
+# under appends. Rates live in a map literal (create_map) — the Spark
+# analog of a broadcast mixture-config table.
+# ---------------------------------------------------------------------------
+
+MIXTURE_PCT: dict[str, int] = {  # source -> keep percentage
+    "src0": 100, "src1": 100, "src2": 75, "src3": 75, "src4": 50,
+    "src5": 50, "src6": 50, "src7": 25, "src8": 25, "src9": 25,
+}
+DEFAULT_PCT = 10  # unlisted sources are heavily downsampled
+
+
+def _mixture_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIXTURE_PCT.items()
+    )
+    return f"CASE {whens} ELSE {DEFAULT_PCT} END"
+
+
+SOURCE_MIXTURE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len({_sql_tokens()}) AS n_tokens,
+           {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100 AS bucket,
+           {_mixture_case_sql()} AS keep_pct
+    FROM documents
+)
+SELECT
+    source,
+    CAST(MAX(keep_pct) AS BIGINT) AS keep_pct,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) FILTER (WHERE bucket < keep_pct) AS BIGINT) AS n_kept,
+    CAST(SUM(n_tokens) FILTER (WHERE bucket < keep_pct) AS BIGINT) AS kept_tokens
+FROM t
+GROUP BY source
+"""
+
+
+def build_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_PCT.items() for x in kv]
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    t = docs.select(
+        "source",
+        F.size(tokens_col()).alias("n_tokens"),
+        bucket.alias("bucket"),
+        F.coalesce(rate_map[F.col("source")], F.lit(DEFAULT_PCT)).alias("keep_pct"),
+    )
+    kept = F.col("bucket") < F.col("keep_pct")
+    return t.groupBy("source").agg(
+        F.max("keep_pct").cast("long").alias("keep_pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),
+    )
+
+
+register(
+    "source_mixture",
+    oracle=SOURCE_MIXTURE_ORACLE,
+    doc="Training-mixture weighting: per-source keep rates from a map "
+    "literal applied via the deterministic md5 bucket (reproducible "
+    "up/downsampling; stateless scan + one agg).",
+    tags=("llm", "sampling"),
+)(build_source_mixture)

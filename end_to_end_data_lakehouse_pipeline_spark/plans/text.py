@@ -848,3 +848,73 @@ register(
     "token share via token-frequency rollup (LLM-pipeline extension).",
     tags=("text", "llm", "quality"),
 )(build_repetition_ratio)
+
+
+# ---------------------------------------------------------------------------
+# bigram_typicality — corpus-typicality scoring, the exact-arithmetic
+# analog of n-gram LM (KenLM-style) document scoring: build the corpus
+# bigram frequency table, then score every document by the mean corpus
+# frequency of its bigrams. The engineering shape is the real one — a
+# big n-gram relation joined back to per-doc n-grams — while staying on
+# integer counts + one final division (cross-engine exact, no logs).
+#
+# Scale notes: the bigram table aggregates partial+final (map-side
+# combine); the score join shuffles on the bigram key. At 100 TB the
+# table would be DF-capped and bucket-written once, then reused — same
+# contract as the dedup shingle index.
+# ---------------------------------------------------------------------------
+
+BIGRAM_TYPICALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+    FROM t WHERE len(toks) >= 2
+),
+e AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bg),
+freq AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bg_count FROM e GROUP BY bigram)
+SELECT
+    e.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(freq.bg_count) AS BIGINT) AS sum_freq,
+    CAST(SUM(freq.bg_count) AS DOUBLE) / COUNT(*) AS typicality
+FROM e JOIN freq ON e.bigram = freq.bigram
+GROUP BY e.doc_id
+"""
+
+
+def build_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    toks = tokens_col()
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    # adjacent-pair bigrams via slice + zip_with (same O(n) shape as
+    # shingles_col — no per-element re-tokenization)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    e = t.select("doc_id", F.explode(bigrams).alias("bigram"))
+    freq = e.groupBy("bigram").agg(F.count(F.lit(1)).alias("bg_count"))
+    return (
+        e.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bg_count").alias("sum_freq"),
+            (F.sum("bg_count").cast("double") / F.count(F.lit(1))).alias("typicality"),
+        )
+    )
+
+
+register(
+    "bigram_typicality",
+    oracle=BIGRAM_TYPICALITY_ORACLE,
+    doc="Corpus-typicality document scoring via the bigram frequency "
+    "table (n-gram-LM scoring shape on exact integer counts; "
+    "LLM-pipeline extension).",
+    tags=("text", "llm", "join"),
+)(build_bigram_typicality)
