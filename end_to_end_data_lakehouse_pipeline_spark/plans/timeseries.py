@@ -182,3 +182,86 @@ register(
     "by user at scale).",
     tags=("timeseries", "join", "range"),
 )(build_order_events_7d)
+
+
+# ---------------------------------------------------------------------------
+# daily_revenue_gapfill — gap-filled daily series with forward fill (the
+# ClickHouse ORDER BY ... WITH FILL / INTERPOLATE analog). A date spine is
+# generated with sequence()+explode from the observed min/max (two-row
+# driver fetch, S12 shape), left-joined to the daily aggregate, and
+# missing days carry the last observed revenue forward via
+# last(ignorenulls) over a running window.
+#
+# Scale notes: the spine is tiny (one row per calendar day — years fit in
+# one partition) and broadcast-joins to the daily aggregate; the forward
+# fill is one window over day order. For multi-entity gap-fill, partition
+# the window by the entity key — same plan shape.
+# ---------------------------------------------------------------------------
+
+GAPFILL_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {o_sum('o_totalprice', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+),
+spine AS (
+    SELECT unnest(generate_series((SELECT MIN(d) FROM daily),
+                                  (SELECT MAX(d) FROM daily),
+                                  INTERVAL 1 DAY))::DATE AS d
+),
+j AS (
+    SELECT spine.d, daily.revenue, daily.n_orders,
+           CASE WHEN daily.d IS NULL THEN 0 ELSE 1 END AS observed
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+)
+SELECT d,
+       observed,
+       COALESCE(n_orders, 0) AS n_orders,
+       LAST_VALUE(revenue IGNORE NULLS) OVER (
+           ORDER BY d ROWS UNBOUNDED PRECEDING) AS revenue_filled
+FROM j
+"""
+
+
+def build_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import exact_sum
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        exact_sum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    lo, hi = daily.agg(F.min("d"), F.max("d")).first()  # S12 scalar fetch
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("date"),
+                F.lit(hi).cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    j = spine.join(F.broadcast(daily), "d", "left").select(
+        "d",
+        F.when(F.col("n_orders").isNull(), 0).otherwise(1).alias("observed"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "revenue",
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "d",
+        "observed",
+        "n_orders",
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+    )
+
+
+register(
+    "daily_revenue_gapfill",
+    oracle=GAPFILL_ORACLE,
+    doc="Gap-filled daily revenue: sequence()+explode date spine, broadcast "
+    "left join, forward fill via last(ignorenulls) running window "
+    "(ClickHouse WITH FILL analog).",
+    tags=("timeseries", "window"),
+)(build_daily_revenue_gapfill)
