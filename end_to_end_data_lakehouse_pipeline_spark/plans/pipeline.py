@@ -40,13 +40,32 @@ plans/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
 from .dedup import _hex8_sql, _sql_shingles, shingles_col
 from .registry import register
 from .text import _sql_tokens, tokens_col
+
+
+def md5_bucket(col: str = "doc_id") -> Column:
+    """Deterministic 0-99 bucket from md5 of the key column.
+
+    SQL twin: ``{_hex8_sql("md5(CAST(<col> AS VARCHAR))", 1)} % 100`` —
+    the single source of truth for every split/sample/mixture decision in
+    this module, so they can never drift apart (same primitive as
+    hash_sample in plans/relational.py).
+    """
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def split_from_bucket(bucket: Column) -> Column:
+    """80/10/10 train/val/test assignment from an md5_bucket column."""
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
 # ---------------------------------------------------------------------------
 # quality_gate — ordered filter chain with per-document reject reasons.
@@ -84,17 +103,32 @@ FROM t
 """
 
 
-def build_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+def gate_stats(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-doc gate inputs (n_tokens / n_distinct / alpha_chars) — shared
+    by quality_gate and training_manifest so the manifest can never fork
+    from the gate it composes."""
     toks = tokens_col()
-    t = docs.select(
+    return docs.select(
         "doc_id",
-        "source",
+        *extra_cols,
         "n_chars",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
     )
+
+
+def gate_pass() -> Column:
+    """The three-rule pass predicate over gate_stats columns."""
+    return (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("alpha_chars") * 100 >= F.col("n_chars") * ALPHA_PCT)
+        & (F.col("n_distinct") * 100 >= F.col("n_tokens") * DIVERSITY_PCT)
+    )
+
+
+def build_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = gate_stats(table(spark, sf_dir, "documents"), "source")
     reason = (
         F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("alpha_chars") * 100 < F.col("n_chars") * ALPHA_PCT, "low_alpha")
@@ -153,23 +187,32 @@ FROM c
 """
 
 
-def build_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "source", F.size(tokens_col()).alias("n_tokens"))
-    w = (
-        Window.partitionBy("source")
+def pack_window(part_col: str) -> Window:
+    """Running-sum packing window, shared with training_manifest."""
+    return (
+        Window.partitionBy(part_col)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+
+
+def chunk_id_col() -> Column:
+    """Exact INTEGER division (SQL `div`) — stays correct past 2^53 where
+    double-floor would round across a chunk boundary; oracle twin uses
+    DuckDB's `//`."""
+    return F.expr(f"(cum_tokens - n_tokens) div {CHUNK_TOKENS}").cast("long")
+
+
+def build_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.size(tokens_col()).alias("n_tokens"))
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(pack_window("source")))
     return c.select(
         "doc_id",
         "source",
         "n_tokens",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / CHUNK_TOKENS)
-        .cast("long")
-        .alias("chunk_id"),
+        chunk_id_col().alias("chunk_id"),
     )
 
 
@@ -192,7 +235,7 @@ register(
 
 SPLIT_ORACLE = f"""
 WITH t AS (
-    SELECT doc_id, lang,
+    SELECT doc_id,
            len({_sql_tokens()}) AS n_tokens,
            {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100 AS bucket
     FROM documents
@@ -211,14 +254,10 @@ GROUP BY 1
 
 def build_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
     t = docs.select(
         F.size(tokens_col()).alias("n_tokens"),
         "doc_id",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        split_from_bucket(md5_bucket()).alias("split"),
     )
     return t.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -344,7 +383,7 @@ GROUP BY source
 
 
 def build_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     e = docs.select("source", F.explode(tokens_col()).alias("term"))
     vocab = (
         e.groupBy("term")
@@ -417,41 +456,15 @@ FROM c
 
 
 def build_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    t = docs.select(
-        "doc_id",
-        "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
-    )
-    passing = t.filter(
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("alpha_chars") * 100 >= F.col("n_chars") * ALPHA_PCT)
-        & (F.col("n_distinct") * 100 >= F.col("n_tokens") * DIVERSITY_PCT)
-    ).select("doc_id", "n_tokens")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    sp = passing.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
-    )
-    w = (
-        Window.partitionBy("split")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = sp.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    t = gate_stats(table(spark, sf_dir, "documents"))
+    passing = t.filter(gate_pass()).select("doc_id", "n_tokens")
+    sp = passing.withColumn("split", split_from_bucket(md5_bucket()))
+    c = sp.withColumn("cum_tokens", F.sum("n_tokens").over(pack_window("split")))
     return c.select(
         "doc_id",
         "split",
         "n_tokens",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / CHUNK_TOKENS)
-        .cast("long")
-        .alias("chunk_id"),
+        chunk_id_col().alias("chunk_id"),
     )
 
 
@@ -482,7 +495,7 @@ register(
 MM_BYTE_STATS_ORACLE = """
 WITH b AS (
     SELECT doc_id,
-           list_transform(regexp_extract_all(text, '.'), c -> ord(c)) AS codes
+           list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)) AS codes
     FROM documents
     WHERE length(text) > 0
 )
@@ -501,7 +514,9 @@ def build_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
     from pyspark.sql import types as T
 
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = spread(table(spark, sf_dir, "documents"), spark).filter(
+        F.length("text") > 0
+    )
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     schema = T.StructType(
@@ -592,14 +607,10 @@ def build_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate_map = F.create_map(
         *[F.lit(x) for kv in MIXTURE_PCT.items() for x in kv]
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
     t = docs.select(
         "source",
         F.size(tokens_col()).alias("n_tokens"),
-        bucket.alias("bucket"),
+        md5_bucket().alias("bucket"),
         F.coalesce(rate_map[F.col("source")], F.lit(DEFAULT_PCT)).alias("keep_pct"),
     )
     kept = F.col("bucket") < F.col("keep_pct")
