@@ -671,19 +671,23 @@ FROM w WHERE rn = 1
 """
 
 
-def build_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"), spark)
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    s = docs.select(
-        "doc_id", fp.alias("fp"), shingles_col(tokens_col()).alias("sh")
-    ).filter(F.size("sh") > 0)
-    corpus = s.filter(F.col("doc_id") % BATCH_MOD != 0)
-    batch = s.filter(F.col("doc_id") % BATCH_MOD == 0)
+def incremental_dedup_from(
+    corpus: DataFrame, batch: DataFrame, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Dedup a new batch against an existing corpus (both: doc_id, fp, sh).
+
+    Candidates come from the df-capped CORPUS posting list — a shingle
+    present in more than ``df_cap`` corpus docs is dropped from candidate
+    generation (it carries no dedup signal and would make the index join
+    fan out corpus-sized). The verify intersects full shingle sets, so
+    jaccard stays exact; the winner per batch doc is total-order
+    deterministic (jaccard DESC, corpus doc_id ASC).
+    """
     ce = corpus.select(F.col("doc_id").alias("corpus_doc"), F.explode("sh").alias("g"))
     rare = (
         ce.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .filter(F.col("df") <= df_cap)
         .select("g")
     )
     be = batch.select(F.col("doc_id").alias("batch_doc"), F.explode("sh").alias("g"))
@@ -725,6 +729,17 @@ def build_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def build_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    s = docs.select(
+        "doc_id", fp.alias("fp"), shingles_col(tokens_col()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    corpus = s.filter(F.col("doc_id") % BATCH_MOD != 0)
+    batch = s.filter(F.col("doc_id") % BATCH_MOD == 0)
+    return incremental_dedup_from(corpus, batch)
 
 
 register(

@@ -1630,3 +1630,61 @@ register(
     "verified bit-for-bit.",
     tags=("relational", "zorder"),
 )(build_zorder_code)
+
+
+# ---------------------------------------------------------------------------
+# join_key_skew_report — the diagnostic behind the skew operators
+# (operators/skew.py): per-key row counts on both sides of the
+# orders⋈lineitem join plus the output-rows product, top 20 hottest keys.
+# At 100 TB this is the query you run BEFORE choosing salt factors /
+# AQE skew thresholds; two partial+final aggs and a broadcast-sized
+# top-k — never materializes the join itself.
+# ---------------------------------------------------------------------------
+
+SKEW_REPORT_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+),
+l AS (
+    SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem GROUP BY 1
+)
+SELECT o.key, n_orders, n_lineitems,
+       n_orders * n_lineitems AS join_output_rows
+FROM o JOIN l ON o.key = l.key
+ORDER BY join_output_rows DESC, o.key ASC
+LIMIT 20
+"""
+
+
+def build_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    o = orders.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    li = lineitem.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_lineitems")
+    )
+    return (
+        o.join(li, "key")
+        .select(
+            "key",
+            "n_orders",
+            "n_lineitems",
+            (F.col("n_orders") * F.col("n_lineitems")).alias("join_output_rows"),
+        )
+        .orderBy(F.col("join_output_rows").desc(), F.col("key").asc())
+        .limit(20)
+    )
+
+
+register(
+    "join_key_skew_report",
+    oracle=SKEW_REPORT_ORACLE,
+    doc="Join-skew diagnostic: per-key cardinalities on both join sides "
+    "and the output-rows product, deterministic top-20 — the pre-flight "
+    "for salt factors / AQE skew thresholds (never runs the join).",
+    tags=("relational", "diagnostic", "skew"),
+)(build_join_key_skew_report)

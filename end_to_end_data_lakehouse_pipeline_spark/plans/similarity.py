@@ -1092,3 +1092,41 @@ register(
     "(the production LSH tuning loop as a query).",
     tags=("similarity", "llm", "evaluation"),
 )(build_ann_recall_lsh)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_ivf — same evaluation for the IVF path, completing the
+# recall@K family: every ANN variant ships with its measured recall
+# against the exact baseline, so parameter changes (IVF_K, IVF_NPROBE)
+# are judged by the same query that tunes the LSH path.
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_IVF_ORACLE = f"""
+WITH bf AS (SELECT vec_id FROM ({KNN_BRUTE_ORACLE})),
+ivfk AS (SELECT vec_id FROM ({KNN_IVF_ORACLE}))
+SELECT
+    CAST({KNN_K} AS BIGINT) AS k,
+    CAST(COUNT(ivfk.vec_id) AS BIGINT) AS n_overlap,
+    CAST(COUNT(ivfk.vec_id) AS DOUBLE) / {KNN_K} AS recall_at_k
+FROM bf LEFT JOIN ivfk ON bf.vec_id = ivfk.vec_id
+"""
+
+
+def build_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = build_knn_bruteforce_cosine(spark, sf_dir).select("vec_id")
+    ivf = build_knn_ivf(spark, sf_dir).select(F.col("vec_id").alias("ivf_vec_id"))
+    joined = bf.join(F.broadcast(ivf), bf.vec_id == F.col("ivf_vec_id"), "left")
+    return joined.agg(
+        F.lit(KNN_K).cast("long").alias("k"),
+        F.count("ivf_vec_id").alias("n_overlap"),
+        (F.count("ivf_vec_id").cast("double") / KNN_K).alias("recall_at_k"),
+    )
+
+
+register(
+    "ann_recall_ivf",
+    oracle=ANN_RECALL_IVF_ORACLE,
+    doc=f"ANN evaluation: recall@{KNN_K} of the IVF path (K={IVF_K}, "
+    f"nprobe={IVF_NPROBE}) vs the exact brute-force top-K.",
+    tags=("similarity", "llm", "evaluation"),
+)(build_ann_recall_ivf)

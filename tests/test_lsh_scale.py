@@ -120,3 +120,61 @@ def test_ngram_verify_uses_full_sets(spark):
     # intersection counts capped shingles too: 'common tail segment',
     # 'tail segment here' and 'shared rare phrase'
     assert r.n_common >= 3
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup scale contract (same df-cap mechanism, batch-vs-corpus)
+# --------------------------------------------------------------------------
+
+
+def _doc_df(spark, rows):
+    from end_to_end_data_lakehouse_pipeline_spark.plans.dedup import shingles_col
+    from end_to_end_data_lakehouse_pipeline_spark.plans.text import tokens_col
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return df.select(
+        "doc_id", fp.alias("fp"), shingles_col(tokens_col()).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def test_incremental_dedup_df_cap_bounds_candidates(spark):
+    # Every corpus doc shares one ubiquitous phrase; with a df_cap below the
+    # corpus size that shingle is dropped from candidate generation, so a
+    # batch doc containing ONLY the ubiquitous phrase yields zero matches
+    # (linear work), instead of fanning out to every corpus doc.
+    from end_to_end_data_lakehouse_pipeline_spark.plans.dedup import (
+        incremental_dedup_from,
+    )
+
+    common = "the common phrase"
+    corpus = _doc_df(
+        spark,
+        [(i, f"{common} unique{i} tail{i} words{i} here{i}") for i in range(60)],
+    )
+    batch = _doc_df(spark, [(1000, common)])
+    out = incremental_dedup_from(corpus, batch, df_cap=50)
+    assert out.count() == 0
+
+
+def test_incremental_dedup_finds_true_near_dup(spark):
+    # A batch doc nearly identical to one corpus doc is matched to exactly
+    # that doc, deterministically, and classified 'near' (fingerprints
+    # differ) while a byte-identical doc is classified 'exact'.
+    from end_to_end_data_lakehouse_pipeline_spark.plans.dedup import (
+        incremental_dedup_from,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = _doc_df(
+        spark,
+        [(0, base), (1, "totally different content words only here now")],
+    )
+    batch = _doc_df(
+        spark,
+        [(100, base + " lambda"), (101, base)],  # near-dup and exact dup
+    )
+    rows = {r.batch_doc: r for r in incremental_dedup_from(corpus, batch).collect()}
+    assert rows[100].corpus_doc == 0 and rows[100].match_type == "near"
+    assert rows[101].corpus_doc == 0 and rows[101].match_type == "exact"
+    assert rows[101].jaccard == 1.0
