@@ -192,3 +192,160 @@ register(
     "hash aggregate, exact integer bucketing and cent sums.",
     tags=("behavior", "agg", "histogram"),
 )(build_value_histogram)
+
+
+# ---------------------------------------------------------------------------
+# above_customer_avg_orders — the canonical correlated scalar subquery
+# ("orders above this customer's average"), decorrelated the way Catalyst
+# and every modern optimizer executes it: one per-customer aggregate, one
+# equi-join back to the fact, one residual comparison. Exact integer
+# average (cents) on both engines.
+# ---------------------------------------------------------------------------
+
+ABOVE_AVG_ORACLE = """
+WITH a AS (
+    SELECT o_custkey,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       CAST(a.sum_c AS DOUBLE) / 100.0 / a.n AS cust_avg
+FROM orders o
+JOIN a ON o.o_custkey = a.o_custkey
+WHERE CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) * a.n > a.sum_c
+"""
+
+
+def build_above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    a = orders.groupBy("o_custkey").agg(
+        F.sum(scaled_long("o_totalprice")).alias("sum_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    o = table(spark, sf_dir, "orders").alias("o")
+    # the comparison is exact: price_cents * n > sum_cents (no division)
+    return (
+        o.join(a.withColumnRenamed("o_custkey", "ck"), F.col("o.o_custkey") == F.col("ck"))
+        .filter(scaled_long(F.col("o.o_totalprice")) * F.col("n") > F.col("sum_c"))
+        .select(
+            "o.o_orderkey",
+            "o.o_custkey",
+            "o.o_totalprice",
+            (F.col("sum_c").cast("double") / 100.0 / F.col("n")).alias("cust_avg"),
+        )
+    )
+
+
+register(
+    "above_customer_avg_orders",
+    oracle=ABOVE_AVG_ORACLE,
+    doc="Correlated scalar subquery decorrelated into agg + equi-join "
+    "(orders above their customer's average); the comparison multiplies "
+    "through by n so it stays in exact integers.",
+    tags=("relational", "join", "subquery"),
+)(build_above_customer_avg_orders)
+
+
+# ---------------------------------------------------------------------------
+# purchase_gap_histogram — distribution of days between consecutive orders
+# per customer: lag window then fixed-width bucketing. The sequence-mining
+# primitive behind churn/frequency models.
+# ---------------------------------------------------------------------------
+
+GAP_HIST_ORACLE = """
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER w,
+               CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+)
+SELECT CAST(gap_days // 30 AS BIGINT) AS gap_bucket_30d,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+def build_purchase_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    g = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy(
+        F.expr("gap_days div 30").cast("long").alias("gap_bucket_30d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )
+
+
+register(
+    "purchase_gap_histogram",
+    oracle=GAP_HIST_ORACLE,
+    doc="Inter-purchase interval distribution: per-customer lag window, "
+    "30-day integer buckets (one keyed shuffle + one hash agg).",
+    tags=("relational", "window", "behavior"),
+)(build_purchase_gap_histogram)
+
+
+# ---------------------------------------------------------------------------
+# status_transition_matrix — consecutive order-status transition counts per
+# customer ordered by time: the Markov-chain transition-count primitive
+# (sessionized state machines, CDC state audits). Same single-shuffle lag
+# shape as the gap histogram.
+# ---------------------------------------------------------------------------
+
+TRANSITION_ORACLE = """
+WITH t AS (
+    SELECT o_custkey,
+           LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS from_status,
+           o_orderstatus AS to_status
+    FROM orders
+)
+SELECT from_status, to_status, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM t WHERE from_status IS NOT NULL
+GROUP BY from_status, to_status
+"""
+
+
+def build_status_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    t = orders.select(
+        F.lag("o_orderstatus").over(w).alias("from_status"),
+        F.col("o_orderstatus").alias("to_status"),
+    ).filter(F.col("from_status").isNotNull())
+    return t.groupBy("from_status", "to_status").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+register(
+    "status_transition_matrix",
+    oracle=TRANSITION_ORACLE,
+    doc="Markov transition counts over per-customer status sequences "
+    "(lag window + hash agg; state-machine audit primitive).",
+    tags=("relational", "window", "behavior"),
+)(build_status_transition_matrix)
