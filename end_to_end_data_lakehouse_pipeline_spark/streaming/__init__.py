@@ -7,3 +7,4 @@ streaming dedup (ST4 via dropDuplicatesWithinWatermark).
 
 from .bronze import fan_out, process_cdc_stream  # noqa: F401
 from .aggregates import streaming_daily_sales, streaming_dedup  # noqa: F401
+from .dedup_stream import incremental_dedup_sink  # noqa: F401

@@ -390,3 +390,50 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select order_id, amount from ss_join_test").collect()
     assert [(r.order_id, r.amount) for r in rows] == [("o1", 50.0)]
+
+
+def test_streaming_incremental_dedup_gate(spark, tmp_path):
+    # Seed a 2-doc corpus; stream 3 docs: an exact dup, a near dup, and a
+    # genuinely new doc. The gate admits only the new doc and records both
+    # rejections with the right classification.
+    import json as _json
+
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.dedup_stream import (
+        incremental_dedup_sink,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame([(0, base), (1, other)], ["doc_id", "text"]).write.parquet(
+        corpus_path
+    )
+
+    src = tmp_path / "incoming_docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 100, "text": base},                      # exact dup of 0
+        {"doc_id": 101, "text": base + " lambda"},          # near dup of 0
+        {"doc_id": 102, "text": "fresh words never seen anywhere before today"},
+    ]
+    (src / "batch.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = "doc_id BIGINT, text STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = incremental_dedup_sink(
+        stream,
+        corpus_path,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(corpus_path)
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 1, 102]
+
+    matches = {
+        r.batch_doc: r for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+    assert matches[100].corpus_doc == 0 and matches[100].match_type == "exact"
+    assert matches[101].corpus_doc == 0 and matches[101].match_type == "near"
