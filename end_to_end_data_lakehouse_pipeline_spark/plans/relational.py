@@ -1688,3 +1688,56 @@ register(
     "for salt factors / AQE skew thresholds (never runs the join).",
     tags=("relational", "diagnostic", "skew"),
 )(build_join_key_skew_report)
+
+
+# ---------------------------------------------------------------------------
+# window_value_functions — first_value / last_value / nth_value over an
+# explicit running frame (§2.5 completeness next to the lag/lead/rank and
+# distribution families). Total order (date, orderkey) makes every value
+# function deterministic; values pass through untouched (no arithmetic),
+# so cross-engine parity is structural.
+# ---------------------------------------------------------------------------
+
+WINDOW_VALUE_ORACLE = """
+SELECT
+    o_custkey,
+    o_orderkey,
+    o_totalprice,
+    FIRST_VALUE(o_totalprice) OVER w AS first_price,
+    LAST_VALUE(o_totalprice) OVER w AS latest_price,
+    NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+    MAX(o_totalprice) OVER w AS max_price_so_far
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def build_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.max("o_totalprice").over(w).alias("max_price_so_far"),
+    )
+
+
+register(
+    "window_value_functions",
+    oracle=WINDOW_VALUE_ORACLE,
+    doc="first/last/nth_value + running max over an explicit ROWS frame "
+    "with a total order (window value-function completeness).",
+    tags=("relational", "window"),
+)(build_window_value_functions)

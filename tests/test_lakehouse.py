@@ -350,3 +350,37 @@ def test_zorder_write_prunes_on_both_keys(spark, tmp_path):
         # FULL y domain, so any y lookup would hit all of them)
         hit = sum(1 for s in spans if s[dim][0] <= 8 <= s[dim][1])
         assert hit <= len(files) // 2, (dim, spans)
+
+
+def test_erasure_propagates_across_tables_atomically(spark, tmp_path):
+    # GDPR erasure: removing two subjects rewrites every table that carries
+    # the key, as new versions (time travel to pre-erasure still works
+    # until pruned), and returns a faithful audit trail.
+    from end_to_end_data_lakehouse_pipeline_spark.sources.erasure import erase_subjects
+    from end_to_end_data_lakehouse_pipeline_spark.sources.versioned import VersionedTable
+
+    customers = VersionedTable(spark, str(tmp_path / "customers"), keep_versions=10)
+    orders = VersionedTable(spark, str(tmp_path / "orders"), keep_versions=10)
+    customers.commit(
+        spark.createDataFrame([(1, "ann"), (2, "bob"), (3, "cas")], ["cust_id", "name"])
+    )
+    orders.commit(
+        spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 2), (13, 3)], ["order_id", "cust_id"]
+        )
+    )
+
+    subjects = spark.createDataFrame([(1,), (2,)], ["cust_id"])
+    audit = erase_subjects(
+        spark,
+        {"customers": (customers, "cust_id"), "orders": (orders, "cust_id")},
+        subjects,
+    )
+
+    by_table = {a.table: a for a in audit}
+    assert by_table["customers"].rows_erased == 2
+    assert by_table["orders"].rows_erased == 3
+    assert [r.cust_id for r in customers.read().collect()] == [3]
+    assert sorted(r.order_id for r in orders.read().collect()) == [13]
+    # pre-erasure versions still readable (legal-hold window), then prunable
+    assert customers.read_version(1).count() == 3
