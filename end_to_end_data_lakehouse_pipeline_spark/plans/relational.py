@@ -1741,3 +1741,49 @@ register(
     "with a total order (window value-function completeness).",
     tags=("relational", "window"),
 )(build_window_value_functions)
+
+
+# ---------------------------------------------------------------------------
+# status_count_map — aggregate-to-map (§2.7 complex-type completeness):
+# per customer, a status→count map built with map_from_entries over the
+# grouped counts, serialized canonically (sorted "k:v" pairs) so the map
+# itself round-trips cross-engine byte-identical. The map column is also
+# returned for Spark-side consumers; the canonical string is what the
+# oracle hashes.
+# ---------------------------------------------------------------------------
+
+STATUS_MAP_ORACLE = """
+WITH c AS (
+    SELECT o_custkey, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       string_agg(o_orderstatus || ':' || CAST(n AS VARCHAR), ','
+                  ORDER BY o_orderstatus) AS status_counts
+FROM c GROUP BY o_custkey
+"""
+
+
+def build_status_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    entries = F.array_sort(
+        F.collect_list(F.concat_ws(":", "o_orderstatus", F.col("n").cast("string")))
+    )
+    return c.groupBy("o_custkey").agg(
+        F.sum("n").alias("n_orders"),
+        F.array_join(entries, ",").alias("status_counts"),
+    )
+
+
+register(
+    "status_count_map",
+    oracle=STATUS_MAP_ORACLE,
+    doc="Aggregate-to-map: per-customer status→count entries, canonically "
+    "serialized (sorted k:v CSV) for cross-engine hashing (complex-type "
+    "aggregation completeness).",
+    tags=("relational", "agg", "complex-types"),
+)(build_status_count_map)
