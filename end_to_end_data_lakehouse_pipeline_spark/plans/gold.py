@@ -327,3 +327,173 @@ register(
     "(batch_gold.py:90-94, determinism upgrade).",
     tags=("gold", "agg", "deterministic-first"),
 )(build_payments_rollup)
+
+
+# ---------------------------------------------------------------------------
+# revenue_share_by_nation — ratio-to-report: each nation's revenue share of
+# the grand total via an unpartitioned window sum over the (tiny) nation
+# aggregate. The window runs over ≤25 rows, so the single-partition window
+# is free; shares divide exact integer cent sums (one division, both
+# engines identical).
+# ---------------------------------------------------------------------------
+
+REVENUE_SHARE_ORACLE = """
+WITH n AS (
+    SELECT n_name,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c AS DOUBLE) / SUM(rev_c) OVER () AS revenue_share
+FROM n
+"""
+
+
+def build_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .parity import scaled_long
+
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    n = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(scaled_long("o_totalprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy()  # 25-row aggregate: single-partition is the plan
+    return n.select(
+        "n_name",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.col("rev_c").cast("double") / F.sum("rev_c").over(w)).alias(
+            "revenue_share"
+        ),
+    )
+
+
+register(
+    "revenue_share_by_nation",
+    oracle=REVENUE_SHARE_ORACLE,
+    doc="Ratio-to-report: nation revenue share via window total over the "
+    "25-row nation aggregate (exact cent sums, one division).",
+    tags=("gold", "window", "bi"),
+)(build_revenue_share_by_nation)
+
+
+# ---------------------------------------------------------------------------
+# yoy_monthly_growth — year-over-year monthly revenue growth via lag(12)
+# over the (year, month) series. Growth divides exact cent integers;
+# months without a prior-year counterpart return NULL growth on both
+# engines (lag over missing offset).
+# ---------------------------------------------------------------------------
+
+YOY_ORACLE = """
+WITH m AS (
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y,
+           CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders GROUP BY 1, 2
+)
+SELECT y, m,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c - LAG(rev_c, 12) OVER w AS DOUBLE)
+           / LAG(rev_c, 12) OVER w AS yoy_growth
+FROM m
+WINDOW w AS (ORDER BY y, m)
+"""
+
+
+def build_yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("y"),
+        F.month(F.col("o_orderdate").cast("date")).alias("m"),
+    ).agg(F.sum(scaled_long("o_totalprice")).alias("rev_c"))
+    # the monthly series is calendar-sized (≤ a few hundred rows): the
+    # unpartitioned lag window is deliberate, as in daily_revenue_gapfill
+    w = Window.orderBy("y", "m")
+    prev = F.lag("rev_c", 12).over(w)
+    return m.select(
+        "y",
+        "m",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        ((F.col("rev_c") - prev).cast("double") / prev).alias("yoy_growth"),
+    )
+
+
+register(
+    "yoy_monthly_growth",
+    oracle=YOY_ORACLE,
+    doc="Year-over-year growth: lag(12) over the monthly revenue series "
+    "(exact cent integers; NULL where no prior-year month).",
+    tags=("gold", "window", "bi"),
+)(build_yoy_monthly_growth)
+
+
+# ---------------------------------------------------------------------------
+# cumulative_customer_reach — running distinct customers per day WITHOUT a
+# distinct-in-window (which neither engine does scalably): flag each
+# customer's FIRST order via row_number, count first-orders per day, then
+# a running sum — the standard decomposition that turns an O(n·days)
+# distinct scan into two hash aggregates + a calendar-sized window.
+# ---------------------------------------------------------------------------
+
+REACH_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+    FROM orders
+),
+daily AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS new_customers
+    FROM firsts WHERE rn = 1 GROUP BY d
+)
+SELECT d, new_customers,
+       CAST(SUM(new_customers) OVER (
+           ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_reach
+FROM daily
+"""
+
+
+def build_cumulative_customer_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w_first = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    firsts = orders.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w_first).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    daily = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_customers"))
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "d",
+        "new_customers",
+        F.sum("new_customers").over(w_run).cast("long").alias("total_reach"),
+    )
+
+
+register(
+    "cumulative_customer_reach",
+    oracle=REACH_ORACLE,
+    doc="Running distinct customers decomposed as first-order flags + "
+    "daily counts + running sum (no distinct-in-window; two hash aggs "
+    "and a calendar-sized window).",
+    tags=("gold", "window", "bi"),
+)(build_cumulative_customer_reach)
