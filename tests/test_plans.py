@@ -115,3 +115,28 @@ def test_exact_avg_null_semantics(spark):
     )
     out = df.groupBy("k").agg(exact_avg("x", "avg_x")).first()
     assert out.avg_x == 15.0  # not 10.0 (COUNT(*)=3 would give 30/3)
+
+
+def test_corpus_pipeline_broadcasts(spark):
+    # contamination: the benchmark shingle set broadcasts; vocab: the top-K
+    # vocabulary broadcasts; recall: the ANN candidate list broadcasts —
+    # in each case the corpus-sized side must never be the build side.
+    for name in ("contamination_ngrams", "vocab_oov_rate", "ann_recall_lsh"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+
+
+def test_multimodal_stage_is_arrow_map_in_pandas(spark):
+    # the binary feature-extract stage must compile to MapInPandas (Arrow
+    # batches), never a row-at-a-time PythonUDF eval
+    plan = _plan(spark, "multimodal_byte_stats")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gapfill_spine_join_broadcasts(spark):
+    # the calendar spine joins the daily aggregate via broadcast — the
+    # series never shuffles for the join
+    plan = _plan(spark, "daily_revenue_gapfill")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
