@@ -497,3 +497,114 @@ register(
     "and a calendar-sized window).",
     tags=("gold", "window", "bi"),
 )(build_cumulative_customer_reach)
+
+
+# ---------------------------------------------------------------------------
+# customer_pareto — revenue concentration (the 80/20 curve): customers
+# ranked by revenue, each with its cumulative share of the total. Two
+# exact-integer aggregates + one rank window over the customer aggregate
+# (orders-sized shuffle only in the first agg).
+# ---------------------------------------------------------------------------
+
+PARETO_ORACLE = """
+WITH c AS (
+    SELECT o_custkey,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS revenue_rank,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(rev_c) OVER (
+            ORDER BY rev_c DESC, o_custkey ASC
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / SUM(rev_c) OVER () AS cum_share
+FROM c
+WINDOW w AS (ORDER BY rev_c DESC, o_custkey ASC)
+"""
+
+
+def build_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .parity import scaled_long
+
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(scaled_long("o_totalprice")).alias("rev_c")
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("o_custkey").asc())
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return c.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("revenue_rank"),
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (
+            F.sum("rev_c").over(w_run).cast("double")
+            / F.sum("rev_c").over(w_all)
+        ).alias("cum_share"),
+    )
+
+
+register(
+    "customer_pareto",
+    oracle=PARETO_ORACLE,
+    doc="Revenue concentration curve: rank + cumulative share over the "
+    "customer aggregate (exact cent integers; total order tie-break).",
+    tags=("gold", "window", "bi"),
+)(build_customer_pareto)
+
+
+# ---------------------------------------------------------------------------
+# basket_part_pairs — market-basket pair mining: parts co-occurring in the
+# same order, top 20 pairs. The self-join is keyed on the order and order
+# sizes are small (≤7 items), so pair fan-out is bounded per key — the
+# same boundedness argument as the dedup candidate joins, with the pair
+# count as the mined signal rather than a similarity score.
+# ---------------------------------------------------------------------------
+
+BASKET_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_together
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders_together DESC, part1 ASC, part2 ASC
+LIMIT 20
+"""
+
+
+def build_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part2")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .orderBy(
+            F.col("n_orders_together").desc(),
+            F.col("part1").asc(),
+            F.col("part2").asc(),
+        )
+        .limit(20)
+    )
+
+
+register(
+    "basket_part_pairs",
+    oracle=BASKET_ORACLE,
+    doc="Market-basket pair mining: order-keyed self-join (pair fan-out "
+    "bounded by basket size), deterministic top-20 co-occurrences.",
+    tags=("gold", "join", "bi"),
+)(build_basket_part_pairs)
