@@ -1787,3 +1787,163 @@ register(
     "aggregation completeness).",
     tags=("relational", "agg", "complex-types"),
 )(build_status_count_map)
+
+
+# ---------------------------------------------------------------------------
+# median_price_by_status — EXACT grouped median (lower median) without any
+# approx-percentile sketch: row_number over the value order picks the
+# k-th element, k = (n+1)//2. Deterministic under ties (orderkey
+# tie-break selects the same VALUE regardless of tie order). The window
+# shuffles once on the group key — the exact-quantile decomposition that
+# percentile sketches approximate at scale.
+# ---------------------------------------------------------------------------
+
+MEDIAN_ORACLE = """
+WITH r AS (
+    SELECT o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+    FROM orders
+)
+SELECT o_orderstatus,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS median_price
+FROM r
+GROUP BY o_orderstatus
+"""
+
+
+def build_median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    r = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n_orders"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"), F.col("o_totalprice")
+            )
+        ).alias("median_price"),
+    )
+
+
+register(
+    "median_price_by_status",
+    oracle=MEDIAN_ORACLE,
+    doc="Exact grouped lower-median via row_number selection (k=(n+1)//2), "
+    "deterministic under ties — the decomposition percentile sketches "
+    "approximate.",
+    tags=("relational", "window", "agg"),
+)(build_median_price_by_status)
+
+
+# ---------------------------------------------------------------------------
+# similar_part_names — fuzzy string-similarity join: near-identical part
+# names (levenshtein ≤ 2) within the same (brand, type) block. The
+# blocking key bounds the self-join exactly like the dedup candidate
+# indexes bound theirs: pairs are per-block, never corpus × corpus.
+# levenshtein is an integer metric — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+SIMILAR_NAMES_ORACLE = """
+SELECT a.p_partkey AS part1, b.p_partkey AS part2,
+       a.p_name AS name1, b.p_name AS name2,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+           AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+"""
+
+
+def build_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spread(table(spark, sf_dir, "part"), spark)
+    a = part.select(
+        F.col("p_partkey").alias("part1"),
+        F.col("p_name").alias("name1"),
+        "p_brand",
+        "p_type",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part2"),
+        F.col("p_name").alias("name2"),
+        F.col("p_brand").alias("b2"),
+        F.col("p_type").alias("t2"),
+    )
+    d = F.levenshtein("name1", "name2")
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("b2"))
+            & (F.col("p_type") == F.col("t2"))
+            & (F.col("part1") < F.col("part2")),
+        )
+        .filter((d <= 2) & (F.col("name1") != F.col("name2")))
+        .select("part1", "part2", "name1", "name2", d.cast("int").alias("edit_distance"))
+    )
+
+
+register(
+    "similar_part_names",
+    oracle=SIMILAR_NAMES_ORACLE,
+    doc="Fuzzy-match join: levenshtein ≤ 2 within (brand, type) blocks — "
+    "blocking bounds the self-join the way dedup indexes bound theirs; "
+    "integer metric, bit-identical cross-engine.",
+    tags=("relational", "join", "fuzzy"),
+)(build_similar_part_names)
+
+
+# ---------------------------------------------------------------------------
+# hopping_event_counts — batch hopping (sliding) windows via Spark's
+# native window(ts, '1 hour', '30 minutes'): each event lands in 2
+# overlapping windows. The oracle unrolls the same assignment with
+# time_bucket ± the slide. Demonstrates the batch face of the streaming
+# windowed aggregation (streaming/aggregates.py uses the identical
+# expression on a stream).
+# ---------------------------------------------------------------------------
+
+HOPPING_ORACLE = """
+WITH e AS (
+    SELECT event_type,
+           unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                   time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS window_start
+    FROM events
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e
+GROUP BY 1, 2
+"""
+
+
+def build_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+register(
+    "hopping_event_counts",
+    oracle=HOPPING_ORACLE,
+    doc="Hopping (sliding) window counts in batch via native "
+    "window(1h, 30m) — every event in 2 overlapping windows; the batch "
+    "face of the streaming windowed aggregate.",
+    tags=("relational", "window", "timeseries"),
+)(build_hopping_event_counts)
