@@ -1947,3 +1947,150 @@ register(
     "face of the streaming windowed aggregate.",
     tags=("relational", "window", "timeseries"),
 )(build_hopping_event_counts)
+
+
+# ---------------------------------------------------------------------------
+# table_diff_reconcile — table-version reconciliation: classify every
+# primary key as added / removed / changed / unchanged between two
+# versions via ONE full outer join on the key with row-hash comparison —
+# the validation query behind CDC replays, migration cutovers and
+# backfills. v2 is derived deterministically from orders (drop every
+# 100th key, bump price on 'P' rows) so the oracle sees the same pair.
+# ---------------------------------------------------------------------------
+
+TABLE_DIFF_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey AS pk,
+           md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+               || CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR))
+               AS row_hash
+    FROM orders
+),
+v2 AS (
+    SELECT o_orderkey AS pk,
+           md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+               || CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       + CASE WHEN o_orderstatus = 'P' THEN 1000 ELSE 0 END
+                       AS VARCHAR)) AS row_hash
+    FROM orders
+    WHERE o_orderkey % 100 <> 0
+)
+SELECT
+    CASE WHEN v2.pk IS NULL THEN 'removed'
+         WHEN v1.pk IS NULL THEN 'added'
+         WHEN v1.row_hash <> v2.row_hash THEN 'changed'
+         ELSE 'unchanged' END AS diff_type,
+    CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM v1 FULL OUTER JOIN v2 ON v1.pk = v2.pk
+GROUP BY 1
+"""
+
+
+def build_table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+
+    def hashed(df: DataFrame, bump: bool) -> DataFrame:
+        cents = scaled_long("o_totalprice") + (
+            F.when(F.col("o_orderstatus") == "P", 1000).otherwise(0)
+            if bump
+            else F.lit(0)
+        )
+        return df.select(
+            F.col("o_orderkey").alias("pk"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    "o_orderstatus",
+                    cents.cast("string"),
+                )
+            ).alias("row_hash"),
+        )
+
+    v1 = hashed(orders, bump=False)
+    v2 = hashed(orders.filter(F.col("o_orderkey") % 100 != 0), bump=True)
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.pk") == F.col("b.pk"), "full_outer")
+    diff_type = (
+        F.when(F.col("b.pk").isNull(), "removed")
+        .when(F.col("a.pk").isNull(), "added")
+        .when(F.col("a.row_hash") != F.col("b.row_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(diff_type.alias("diff_type")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+register(
+    "table_diff_reconcile",
+    oracle=TABLE_DIFF_ORACLE,
+    doc="Table-version reconciliation: one full outer join on the pk with "
+    "row-hash compare, classifying added/removed/changed/unchanged (CDC "
+    "replay / migration validation query).",
+    tags=("relational", "join", "reconcile"),
+)(build_table_diff_reconcile)
+
+
+# ---------------------------------------------------------------------------
+# view_to_purchase_1h — time-bounded attribution: for every purchase, was
+# there a view by the same user in the preceding hour? RANGE window over
+# integer epoch-seconds with a conditional count — per-user single
+# shuffle, no self-join, no explosion (the window-frame formulation of
+# the "A then B within T" sequence pattern).
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch(ts) AS sec
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+w AS (
+    SELECT *,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS views_1h
+    FROM e
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+    CAST(COUNT(*) FILTER (WHERE views_1h > 0) AS BIGINT) AS with_view_1h,
+    CAST(COUNT(*) FILTER (WHERE views_1h > 0) AS DOUBLE) / COUNT(*)
+        AS attribution_rate
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+def build_view_to_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    e = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "views_1h",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    hit = F.when(F.col("views_1h") > 0, 1).otherwise(0)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(hit).alias("with_view_1h"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("attribution_rate"),
+    )
+
+
+register(
+    "view_to_purchase_1h",
+    oracle=ATTRIBUTION_ORACLE,
+    doc="Time-bounded attribution (A-then-B-within-T): RANGE frame over "
+    "epoch seconds counts preceding views per purchase — one keyed "
+    "shuffle, no self-join.",
+    tags=("relational", "window", "behavior"),
+)(build_view_to_purchase_1h)
