@@ -750,3 +750,58 @@ register(
     "exact-verified winner per batch doc with exact/near classification.",
     tags=("dedup", "llm", "join", "incremental"),
 )(build_dedup_incremental)
+
+
+# ---------------------------------------------------------------------------
+# dup_cluster_size_histogram — the dedup REPORT: distribution of near-dup
+# cluster sizes (how much of the corpus is singleton vs small clusters vs
+# big boilerplate families) plus the docs-removed-if-deduped count per
+# bucket. Composes the connected-components output with two further hash
+# aggregates — the numbers a curation run publishes.
+# ---------------------------------------------------------------------------
+
+CLUSTER_HIST_ORACLE = (
+    DEDUP_COMPONENTS_ORACLE.rstrip()
+    + """
+,
+sizes AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src)
+    GROUP BY component
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removed_if_deduped
+FROM sizes GROUP BY cluster_size
+"""
+)
+# the recursive CTE's final SELECT is re-stated inside `sizes` because a
+# WITH RECURSIVE body cannot be suffixed after its terminal SELECT; the
+# Spark side simply reuses the components plan.
+CLUSTER_HIST_ORACLE = CLUSTER_HIST_ORACLE.replace(
+    "SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src\n,",
+    ",",
+    1,
+)
+
+
+def build_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    edges = ngram_jaccard_from(docs).select("doc1", "doc2")
+    comp = components_from(docs.select("doc_id"), edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias(
+            "docs_removed_if_deduped"
+        ),
+    )
+
+
+register(
+    "dup_cluster_size_histogram",
+    oracle=CLUSTER_HIST_ORACLE,
+    doc="Dedup report: near-dup cluster-size distribution + docs removed "
+    "if deduped per bucket (components output + two hash aggs).",
+    tags=("dedup", "llm", "report"),
+)(build_dup_cluster_size_histogram)

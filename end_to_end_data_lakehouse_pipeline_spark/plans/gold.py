@@ -608,3 +608,79 @@ register(
     "bounded by basket size), deterministic top-20 co-occurrences.",
     tags=("gold", "join", "bi"),
 )(build_basket_part_pairs)
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_triangle — the LTV triangle: customers grouped by first-order
+# month (cohort), revenue accumulated by months-since-first (age). Two
+# aggregates + one window: first-order month per customer (min), revenue
+# per (cohort, age) cell, then the running LTV along each cohort row.
+# Exact cent integers throughout; age arithmetic on integer month counts.
+# ---------------------------------------------------------------------------
+
+LTV_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey,
+           MIN(CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) * 12
+               + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) - 1)
+               AS cohort_m
+    FROM orders GROUP BY o_custkey
+),
+cells AS (
+    SELECT f.cohort_m,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) * 12
+               + CAST(month(CAST(o.o_orderdate AS DATE)) AS BIGINT) - 1
+               - f.cohort_m AS age_months,
+           SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+)
+SELECT cohort_m, age_months,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(rev_c) OVER (
+           PARTITION BY cohort_m ORDER BY age_months
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS cum_ltv
+FROM cells
+"""
+
+
+def build_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .parity import scaled_long
+
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    month_num = (
+        F.year(F.col("o_orderdate").cast("date")).cast("long") * 12
+        + F.month(F.col("o_orderdate").cast("date")).cast("long")
+        - 1
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min(month_num).alias("cohort_m"))
+    cells = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_m", (month_num - F.col("cohort_m")).alias("age_months")
+        )
+        .agg(F.sum(scaled_long("o_totalprice")).alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_m",
+        "age_months",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.sum("rev_c").over(w).cast("double") / 100.0).alias("cum_ltv"),
+    )
+
+
+register(
+    "cohort_ltv_triangle",
+    oracle=LTV_ORACLE,
+    doc="Cohort LTV triangle: first-order-month cohorts x months-since "
+    "age, running revenue along each cohort (exact cents; integer month "
+    "arithmetic).",
+    tags=("gold", "window", "bi"),
+)(build_cohort_ltv_triangle)
