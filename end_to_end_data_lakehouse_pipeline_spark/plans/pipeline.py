@@ -44,7 +44,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
-from .dedup import _hex8_sql, _sql_shingles, shingles_col
+from .dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+    _hex8_sql,
+    _sql_shingles,
+    shingles_col,
+)
 from .registry import register
 from .text import _sql_tokens, tokens_col
 
@@ -630,3 +636,218 @@ register(
     "up/downsampling; stateless scan + one agg).",
     tags=("llm", "sampling"),
 )(build_source_mixture)
+
+# ---------------------------------------------------------------------------
+# curation_funnel_report — the capstone curation number: docs and tokens
+# surviving each pipeline stage, one row per stage:
+#
+#   raw → exact_dedup → near_dedup → quality_gate → decontaminated
+#
+# Single-pass formulation: each document gets a stage_reached label
+# (1..5), then ONE explode(sequence(1, stage_reached)) + hash aggregate
+# produces the cumulative funnel — the expensive near-dup and
+# contamination sets are each computed exactly once, joined as drop
+# flags, never re-derived per stage.
+#
+# Stage rules (identical, greedy-deterministic on both engines):
+#   exact_dedup:    keep the min doc_id per normalized fingerprint.
+#   near_dedup:     among exact survivors, drop any doc appearing as the
+#                   LARGER id of a verified ngram-Jaccard pair (greedy
+#                   keep-smaller; the transitive variant is
+#                   dedup_components — this is the one-pass rule real
+#                   pipelines run).
+#   quality_gate:   the gate_pass() predicate.
+#   decontaminated: drop benchmark-source docs and any doc whose distinct
+#                   3-gram overlap with the benchmark reaches half its
+#                   shingles (integer comparison, no float threshold).
+# ---------------------------------------------------------------------------
+
+CONTAM_DIV = 2  # drop when n_overlap * CONTAM_DIV >= n_shingles (≥50%)
+
+_FUNNEL_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+CURATION_FUNNEL_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, n_chars,
+           len({_sql_tokens()}) AS n_tokens,
+           len(list_distinct({_sql_tokens()})) AS n_distinct,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+           {_FUNNEL_FP} AS fp,
+           {_sql_shingles(_sql_tokens())} AS sh
+    FROM documents
+),
+s2 AS (
+    SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM t
+    ) WHERE doc_id = canon
+),
+e2 AS (SELECT doc_id, unnest(sh) AS g FROM s2 WHERE len(sh) > 0),
+rare2 AS (SELECT g FROM e2 GROUP BY g HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+cand2 AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM e2 a JOIN rare2 ON a.g = rare2.g JOIN e2 b ON a.g = b.g
+    WHERE a.doc_id < b.doc_id
+),
+near_dropped AS (
+    SELECT DISTINCT cand2.doc2 AS doc_id
+    FROM cand2
+    JOIN s2 x ON cand2.doc1 = x.doc_id
+    JOIN s2 y ON cand2.doc2 = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+          >= {JACCARD_THRESHOLD}
+),
+bench_g AS (
+    SELECT DISTINCT unnest(sh) AS g FROM t WHERE source = '{BENCH_SOURCE}'
+),
+contam_dropped AS (
+    SELECT e.doc_id
+    FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM t) e
+    JOIN bench_g ON e.g = bench_g.g
+    GROUP BY e.doc_id, e.n_sh
+    HAVING COUNT(*) * {CONTAM_DIV} >= e.n_sh
+),
+staged AS (
+    SELECT t.doc_id, t.n_tokens,
+           CASE
+               WHEN t.doc_id <> s2m.canon_id THEN 1
+               WHEN nd.doc_id IS NOT NULL THEN 2
+               WHEN NOT (t.n_tokens >= {MIN_TOKENS}
+                         AND t.alpha_chars * 100 >= t.n_chars * {ALPHA_PCT}
+                         AND t.n_distinct * 100 >= t.n_tokens * {DIVERSITY_PCT})
+                   THEN 3
+               WHEN t.source = '{BENCH_SOURCE}' OR cd.doc_id IS NOT NULL THEN 4
+               ELSE 5
+           END AS stage_reached
+    FROM t
+    JOIN (SELECT fp, MIN(doc_id) AS canon_id FROM t GROUP BY fp) s2m
+      ON t.fp = s2m.fp
+    LEFT JOIN near_dropped nd ON t.doc_id = nd.doc_id
+    LEFT JOIN contam_dropped cd ON t.doc_id = cd.doc_id
+)
+SELECT
+    CAST(stage_order AS BIGINT) AS stage_order,
+    CASE stage_order WHEN 1 THEN 'raw' WHEN 2 THEN 'exact_dedup'
+         WHEN 3 THEN 'near_dedup' WHEN 4 THEN 'quality_gate'
+         ELSE 'decontaminated' END AS stage,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM (SELECT doc_id, n_tokens,
+             unnest(generate_series(1, stage_reached)) AS stage_order
+      FROM staged)
+GROUP BY stage_order
+"""
+
+
+def build_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    toks = tokens_col()
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    t = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
+        fp.alias("fp"),
+        shingles_col(toks).alias("sh"),
+    )
+
+    canon = t.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    s2 = t.join(canon, "fp").filter(F.col("doc_id") == F.col("canon_id"))
+
+    e2 = s2.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("g"))
+    rare2 = (
+        e2.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("g")
+    )
+    a = e2.join(rare2, "g").select("g", F.col("doc_id").alias("doc1"))
+    b = e2.select("g", F.col("doc_id").alias("doc2"))
+    cand2 = (
+        a.join(b, "g")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    x = s2.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    y = s2.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jac = n_common.cast("double") / (F.size("sh1") + F.size("sh2") - n_common)
+    near_dropped = (
+        cand2.join(x, "doc1")
+        .join(y, "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc2").alias("doc_id"))
+        .distinct()
+        .withColumn("near_drop", F.lit(1))
+    )
+
+    bench_g = (
+        t.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    contam_dropped = (
+        t.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+        .join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") * CONTAM_DIV >= F.col("n_sh"))
+        .select("doc_id")
+        .withColumn("contam_drop", F.lit(1))
+    )
+
+    staged = (
+        t.join(canon, "fp")
+        .join(near_dropped, "doc_id", "left")
+        .join(contam_dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("doc_id") != F.col("canon_id"), 1)
+            .when(F.col("near_drop").isNotNull(), 2)
+            .when(~gate_pass(), 3)
+            .when(
+                (F.col("source") == BENCH_SOURCE)
+                | F.col("contam_drop").isNotNull(),
+                4,
+            )
+            .otherwise(5)
+            .alias("stage_reached"),
+        )
+    )
+    stage_name = (
+        F.when(F.col("stage_order") == 1, "raw")
+        .when(F.col("stage_order") == 2, "exact_dedup")
+        .when(F.col("stage_order") == 3, "near_dedup")
+        .when(F.col("stage_order") == 4, "quality_gate")
+        .otherwise("decontaminated")
+    )
+    return (
+        staged.select(
+            "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("stage_reached"))).alias(
+                "stage_order"
+            ),
+        )
+        .groupBy(F.col("stage_order").cast("long").alias("stage_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select("stage_order", stage_name.alias("stage"), "n_docs", "total_tokens")
+    )
+
+
+register(
+    "curation_funnel_report",
+    oracle=CURATION_FUNNEL_ORACLE,
+    doc="Capstone curation funnel: docs/tokens surviving raw → exact "
+    "dedup → greedy near-dedup → quality gate → decontamination; "
+    "single-pass stage_reached labels + one explode/aggregate (drop sets "
+    "computed once, never per stage).",
+    tags=("llm", "dedup", "filter", "report"),
+)(build_curation_funnel_report)
