@@ -81,6 +81,14 @@ s AS (
 # dedup_exact — hash-groupBy on the normalized fingerprint.
 # ---------------------------------------------------------------------------
 
+def fp_col() -> Column:
+    """Normalized-text md5 fingerprint — THE exact-dup identity, shared by
+    dedup_exact, dedup_incremental, the curation funnel and the streaming
+    admission gate (SQL twin: the md5(lower(trim(regexp_replace(...))))
+    expression in the oracles)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+
+
 DEDUP_EXACT_ORACLE = """
 WITH f AS (
     SELECT doc_id, n_chars,
@@ -100,7 +108,7 @@ GROUP BY fingerprint
 
 def build_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = fp_col()
     return (
         docs.select("doc_id", "n_chars", fp.alias("fingerprint"))
         .groupBy("fingerprint")
@@ -157,20 +165,15 @@ WHERE CAST(n_common AS DOUBLE) / (n_sh1 + n_sh2 - n_common) >= {JACCARD_THRESHOL
 )
 
 
-def ngram_jaccard_from(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
-    """Capped inverted-index candidates + exact full-set Jaccard verify.
+def jaccard_pairs(s: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Verified near-dup pairs from a prepped (doc_id, sh) frame.
 
-    The document-frequency cap keeps the index join linear: a stop-phrase
-    shingle shared by 1% of a 10⁹-doc corpus would otherwise put 10⁷ docs
-    in one join bucket (10¹⁴ pairs). Shingles with DF > df_cap are dropped
-    from CANDIDATE GENERATION only — the per-pair verify intersects the
-    full shingle sets, so reported n_common/jaccard stay exact. The only
-    recall loss is pairs whose every common shingle is ubiquitous, which
-    carry no dedup signal by definition (documented contract).
+    The single source of the DF-capped inverted-index candidate join +
+    exact full-set Jaccard verify, shared by dedup_ngram_jaccard,
+    dedup_components and the curation funnel. Returns
+    (doc1, doc2, n_common, n_sh1, n_sh2, jaccard) with jaccard ≥
+    JACCARD_THRESHOLD.
     """
-    s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
-        F.size("sh") > 0
-    )
     e = s.select("doc_id", F.explode("sh").alias("g"))
     rare = (
         e.groupBy("g")
@@ -206,6 +209,23 @@ def ngram_jaccard_from(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFra
     return v.select(
         "doc1", "doc2", "n_common", "n_sh1", "n_sh2", jaccard.alias("jaccard")
     ).filter(jaccard >= JACCARD_THRESHOLD)
+
+
+def ngram_jaccard_from(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Capped inverted-index candidates + exact full-set Jaccard verify.
+
+    The document-frequency cap keeps the index join linear: a stop-phrase
+    shingle shared by 1% of a 10⁹-doc corpus would otherwise put 10⁷ docs
+    in one join bucket (10¹⁴ pairs). Shingles with DF > df_cap are dropped
+    from CANDIDATE GENERATION only — the per-pair verify intersects the
+    full shingle sets, so reported n_common/jaccard stay exact. The only
+    recall loss is pairs whose every common shingle is ubiquitous, which
+    carry no dedup signal by definition (documented contract).
+    """
+    s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    return jaccard_pairs(s, df_cap)
 
 
 def build_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +753,7 @@ def incremental_dedup_from(
 
 def build_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = fp_col()
     s = docs.select(
         "doc_id", fp.alias("fp"), shingles_col(tokens_col()).alias("sh")
     ).filter(F.size("sh") > 0)

@@ -387,10 +387,11 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# yoy_monthly_growth — year-over-year monthly revenue growth via lag(12)
-# over the (year, month) series. Growth divides exact cent integers;
-# months without a prior-year counterpart return NULL growth on both
-# engines (lag over missing offset).
+# yoy_monthly_growth — year-over-year monthly revenue growth via a
+# (y-1, m) self-join on the monthly series (calendar-correct even when a
+# month is absent — a row-offset lag(12) would silently misalign there).
+# Growth divides exact cent integers; months without a prior-year
+# counterpart get NULL growth on both engines.
 # ---------------------------------------------------------------------------
 
 YOY_ORACLE = """
@@ -400,12 +401,11 @@ WITH m AS (
            SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
     FROM orders GROUP BY 1, 2
 )
-SELECT y, m,
-       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
-       CAST(rev_c - LAG(rev_c, 12) OVER w AS DOUBLE)
-           / LAG(rev_c, 12) OVER w AS yoy_growth
-FROM m
-WINDOW w AS (ORDER BY y, m)
+SELECT cur.y, cur.m,
+       CAST(cur.rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(cur.rev_c - prev.rev_c AS DOUBLE) / prev.rev_c AS yoy_growth
+FROM m cur
+LEFT JOIN m prev ON prev.y = cur.y - 1 AND prev.m = cur.m
 """
 
 
@@ -419,15 +419,22 @@ def build_yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(F.col("o_orderdate").cast("date")).alias("y"),
         F.month(F.col("o_orderdate").cast("date")).alias("m"),
     ).agg(F.sum(scaled_long("o_totalprice")).alias("rev_c"))
-    # the monthly series is calendar-sized (≤ a few hundred rows): the
-    # unpartitioned lag window is deliberate, as in daily_revenue_gapfill
-    w = Window.orderBy("y", "m")
-    prev = F.lag("rev_c", 12).over(w)
-    return m.select(
+    # self-join on (y-1, m), not lag(12): a row-offset lag silently pairs
+    # the wrong months whenever a calendar month is absent from the data.
+    # The monthly aggregate is calendar-sized, so the join broadcasts.
+    prev = m.select(
+        (F.col("y") + 1).alias("y"),
+        F.col("m").alias("m"),
+        F.col("rev_c").alias("prev_rev_c"),
+    )
+    return m.join(F.broadcast(prev), ["y", "m"], "left").select(
         "y",
         "m",
         (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
-        ((F.col("rev_c") - prev).cast("double") / prev).alias("yoy_growth"),
+        (
+            (F.col("rev_c") - F.col("prev_rev_c")).cast("double")
+            / F.col("prev_rev_c")
+        ).alias("yoy_growth"),
     )
 
 

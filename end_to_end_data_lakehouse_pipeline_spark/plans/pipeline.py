@@ -49,6 +49,8 @@ from .dedup import (
     SHINGLE_DF_CAP,
     _hex8_sql,
     _sql_shingles,
+    fp_col,
+    jaccard_pairs,
     shingles_col,
 )
 from .registry import register
@@ -742,7 +744,7 @@ GROUP BY stage_order
 def build_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
     toks = tokens_col()
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = fp_col()
     t = docs.select(
         "doc_id",
         "source",
@@ -757,29 +759,8 @@ def build_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = t.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
     s2 = t.join(canon, "fp").filter(F.col("doc_id") == F.col("canon_id"))
 
-    e2 = s2.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("g"))
-    rare2 = (
-        e2.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("g")
-    )
-    a = e2.join(rare2, "g").select("g", F.col("doc_id").alias("doc1"))
-    b = e2.select("g", F.col("doc_id").alias("doc2"))
-    cand2 = (
-        a.join(b, "g")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    x = s2.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    y = s2.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
-    n_common = F.size(F.array_intersect("sh1", "sh2"))
-    jac = n_common.cast("double") / (F.size("sh1") + F.size("sh2") - n_common)
     near_dropped = (
-        cand2.join(x, "doc1")
-        .join(y, "doc2")
-        .filter(jac >= JACCARD_THRESHOLD)
+        jaccard_pairs(s2.filter(F.size("sh") > 0).select("doc_id", "sh"))
         .select(F.col("doc2").alias("doc_id"))
         .distinct()
         .withColumn("near_drop", F.lit(1))

@@ -1745,11 +1745,10 @@ register(
 
 # ---------------------------------------------------------------------------
 # status_count_map — aggregate-to-map (§2.7 complex-type completeness):
-# per customer, a status→count map built with map_from_entries over the
-# grouped counts, serialized canonically (sorted "k:v" pairs) so the map
-# itself round-trips cross-engine byte-identical. The map column is also
-# returned for Spark-side consumers; the canonical string is what the
-# oracle hashes.
+# per customer, status→count entries aggregated and serialized
+# canonically (sorted "k:v" CSV) so the result hashes identically
+# cross-engine; consumers wanting a real MapType column apply
+# str_to_map/map_from_entries over the same entries.
 # ---------------------------------------------------------------------------
 
 STATUS_MAP_ORACLE = """
@@ -2043,7 +2042,8 @@ register(
 
 ATTRIBUTION_ORACLE = """
 WITH e AS (
-    SELECT user_id, event_id, event_type, epoch(ts) AS sec
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
     FROM events WHERE event_type IN ('view', 'purchase')
 ),
 w AS (

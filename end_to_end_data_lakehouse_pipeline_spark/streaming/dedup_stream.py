@@ -2,16 +2,30 @@
 
 The streaming face of :func:`plans.dedup.incremental_dedup_from` — the
 shape a production ingest pipeline runs: documents arrive as a stream,
-each micro-batch is deduped against the persisted corpus, survivors are
-appended to the corpus, and every match is recorded to an audit table.
-The corpus only ever grows by deduped documents, so ordering within the
-stream is the dedup tiebreak (first writer wins).
+each micro-batch is deduped (a) within itself on the exact fingerprint,
+(b) against the persisted corpus (exact for every doc; shingle-verified
+near-dup for docs long enough to shingle), survivors are appended to the
+corpus, and every rejection is recorded to an audit table. The corpus
+only ever grows by deduped documents; arrival order is the tiebreak
+(first writer wins; within one batch, min doc_id wins the exact tie).
+
+Exactly-once: both sinks write to a deterministic ``batch_<id>``
+subdirectory in OVERWRITE mode, so a micro-batch redelivered after a
+crash rewrites the same files instead of appending duplicates (the
+standard foreachBatch idempotence pattern); reads use
+recursiveFileLookup to see every committed batch directory.
+
+Within-batch NEAR-dup pairs (non-identical but similar docs arriving in
+the same micro-batch) are both admitted — catching them needs the
+batch-internal pair mining of plans/dedup.jaccard_pairs, which a
+periodic compaction pass runs over the corpus; the per-batch gate keeps
+ingest latency proportional to batch × corpus-index, the documented
+contract of incremental_dedup_from.
 
 Scale notes: at 100 TB the corpus side would be a persisted, bucketed
 shingle index (computed once per doc at admission — exactly what
 ``_prep`` produces) rather than re-derived per batch as this local
-implementation does for simplicity; the join work per micro-batch is
-batch-sized either way (see incremental_dedup_from's df-cap contract).
+implementation does for simplicity.
 
 Reference parity: the reference's streaming layer stops at bronze append
 (streaming_bronze.py); this extends the same foreachBatch machinery to
@@ -22,18 +36,25 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.dedup import incremental_dedup_from, shingles_col
+from ..plans.dedup import fp_col, incremental_dedup_from, shingles_col
 from ..plans.text import tokens_col
 
 
 def _prep(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, text, fp, sh): the admission index row."""
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     return docs.select(
-        "doc_id", "text", fp.alias("fp"), shingles_col(tokens_col()).alias("sh")
+        "doc_id", "text", fp_col().alias("fp"), shingles_col(tokens_col()).alias("sh")
+    )
+
+
+def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpus_path)
+        .select("doc_id", "text")
     )
 
 
@@ -46,30 +67,72 @@ def incremental_dedup_sink(
 ):
     """Run the admission gate over a stream of (doc_id, text) rows.
 
-    Per micro-batch: dedup the batch against the current corpus parquet;
-    append non-matching docs to the corpus, matching docs (with their
-    winning corpus doc, jaccard, exact/near class) to the audit table.
+    Per micro-batch: dedup within the batch (exact fingerprint, min
+    doc_id wins), then against the current corpus (exact for all docs,
+    near-dup for shingle-able docs); append survivors to the corpus and
+    matches (winning corpus doc, jaccard, exact/near class) to the audit
+    table — both as overwrite-mode batch_<id> directories (idempotent
+    under redelivery).
     """
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # empty-batch skip (same contract as bronze)
             return
         spark = batch_df.sparkSession
-        batch = _prep(batch_df).filter(F.size("sh") > 0).cache()
-        if os.path.exists(corpus_path):
-            corpus = _prep(spark.read.parquet(corpus_path))
-            matches = incremental_dedup_from(corpus, batch)
-        else:
-            matches = None
-        if matches is not None:
-            m = matches.cache()
-            m.write.mode("append").parquet(matches_path)
-            survivors = batch.join(
-                m.select(F.col("batch_doc").alias("doc_id")), "doc_id", "left_anti"
-            )
-        else:
-            survivors = batch
-        survivors.select("doc_id", "text").write.mode("append").parquet(corpus_path)
+        # intra-batch exact dedup: min doc_id per fingerprint wins
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        batch = (
+            _prep(batch_df)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .cache()
+        )
+        try:
+            if os.path.exists(corpus_path):
+                corpus = _prep(_read_corpus(spark, corpus_path)).cache()
+                # exact matches for EVERY batch doc (even too short to
+                # shingle): min corpus doc per fingerprint is the winner
+                corpus_fp = corpus.groupBy("fp").agg(
+                    F.min("doc_id").alias("corpus_doc")
+                )
+                exact = batch.join(corpus_fp, "fp").select(
+                    F.col("doc_id").alias("batch_doc"),
+                    "corpus_doc",
+                    F.lit(1.0).alias("jaccard"),
+                    F.lit("exact").alias("match_type"),
+                )
+                # near matches for shingle-able docs not already exact-matched
+                shingled = batch.filter(F.size("sh") > 0).join(
+                    exact.select(F.col("batch_doc").alias("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
+                near = incremental_dedup_from(
+                    corpus.filter(F.size("sh") > 0), shingled
+                ).filter(F.col("match_type") == "near")
+                matches = exact.unionByName(near).cache()
+                try:
+                    matches.write.mode("overwrite").parquet(
+                        os.path.join(matches_path, f"batch_{batch_id}")
+                    )
+                    survivors = batch.join(
+                        matches.select(F.col("batch_doc").alias("doc_id")),
+                        "doc_id",
+                        "left_anti",
+                    )
+                    survivors.select("doc_id", "text").write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(corpus_path, f"batch_{batch_id}"))
+                finally:
+                    matches.unpersist()
+                    corpus.unpersist()
+            else:
+                batch.select("doc_id", "text").write.mode("overwrite").parquet(
+                    os.path.join(corpus_path, f"batch_{batch_id}")
+                )
+        finally:
+            batch.unpersist()
 
     writer = (
         doc_stream.writeStream.foreachBatch(gate)

@@ -393,9 +393,10 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
 
 
 def test_streaming_incremental_dedup_gate(spark, tmp_path):
-    # Seed a 2-doc corpus; stream 3 docs: an exact dup, a near dup, and a
-    # genuinely new doc. The gate admits only the new doc and records both
-    # rejections with the right classification.
+    # Seed a 2-doc corpus; stream 6 docs: an exact dup, a near dup, a new
+    # doc, a SHORT new doc (too short to shingle — must still be admitted),
+    # a short exact dup of a corpus doc, and an intra-batch exact dup. The
+    # gate admits exactly the new docs and audits every rejection.
     import json as _json
 
     from end_to_end_data_lakehouse_pipeline_spark.streaming.dedup_stream import (
@@ -403,9 +404,9 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
     )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    other = "one two three four five six seven eight nine ten"
+    short = "tiny doc"  # < 3 tokens: no shingles
     corpus_path = str(tmp_path / "corpus")
-    spark.createDataFrame([(0, base), (1, other)], ["doc_id", "text"]).write.parquet(
+    spark.createDataFrame([(0, base), (1, short)], ["doc_id", "text"]).write.parquet(
         corpus_path
     )
 
@@ -415,6 +416,10 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
         {"doc_id": 100, "text": base},                      # exact dup of 0
         {"doc_id": 101, "text": base + " lambda"},          # near dup of 0
         {"doc_id": 102, "text": "fresh words never seen anywhere before today"},
+        {"doc_id": 103, "text": "novel pair"},              # short, new: admit
+        {"doc_id": 104, "text": short},                     # short exact dup of 1
+        {"doc_id": 105, "text": "fresh words never seen anywhere before today"},
+        # ^ intra-batch exact dup of 102 (same text): 102 wins (min doc_id)
     ]
     (src / "batch.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
 
@@ -429,11 +434,18 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    corpus = spark.read.parquet(corpus_path)
-    assert sorted(r.doc_id for r in corpus.collect()) == [0, 1, 102]
+    corpus = spark.read.option("recursiveFileLookup", "true").parquet(corpus_path)
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 1, 102, 103]
 
     matches = {
-        r.batch_doc: r for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+        r.batch_doc: r
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "matches"))
+        .collect()
     }
     assert matches[100].corpus_doc == 0 and matches[100].match_type == "exact"
     assert matches[101].corpus_doc == 0 and matches[101].match_type == "near"
+    assert matches[104].corpus_doc == 1 and matches[104].match_type == "exact"
+    # 105 was dropped intra-batch (not a corpus match): no audit row, and
+    # the doc is simply not admitted — min-id winner 102 carries the text
+    assert 105 not in matches
