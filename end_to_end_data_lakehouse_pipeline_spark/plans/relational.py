@@ -2094,3 +2094,64 @@ register(
     "shuffle, no self-join.",
     tags=("relational", "window", "behavior"),
 )(build_view_to_purchase_1h)
+
+
+# ---------------------------------------------------------------------------
+# order_day_streaks — gaps-and-islands: longest run of CONSECUTIVE order
+# days per customer via the row_number difference trick (day_num - rn is
+# constant within an island). One keyed shuffle, two hash aggregates —
+# the canonical sessionization-without-timestamps pattern.
+# ---------------------------------------------------------------------------
+
+STREAKS_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT o_custkey,
+           CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS day_num
+    FROM orders
+),
+isl AS (
+    SELECT o_custkey, day_num,
+           day_num - ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY day_num) AS island
+    FROM d
+),
+runs AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM isl GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       MAX(streak_days) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY o_custkey
+"""
+
+
+def build_order_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("day_num")
+    isl = d.withColumn("island", F.col("day_num") - F.row_number().over(w))
+    runs = isl.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return runs.groupBy("o_custkey").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+register(
+    "order_day_streaks",
+    oracle=STREAKS_ORACLE,
+    doc="Gaps-and-islands: longest consecutive-order-day run per customer "
+    "via the row_number difference trick (one keyed shuffle).",
+    tags=("relational", "window", "pattern"),
+)(build_order_day_streaks)
