@@ -825,3 +825,59 @@ register(
     "if deduped per bucket (components output + two hash aggs).",
     tags=("dedup", "llm", "report"),
 )(build_dup_cluster_size_histogram)
+
+
+# ---------------------------------------------------------------------------
+# dedup_method_agreement — method-evaluation meta-query: do the exact
+# inverted-index pipeline and the MinHash-LSH pipeline find the same
+# near-dup pairs? Reports pair counts per method, the overlap, and the
+# Jaccard of the two result SETS — the recall/precision audit a pipeline
+# owner runs before switching dedup methods. Composes the two registered
+# plans; both sides threshold on the same exact pair-Jaccard.
+# ---------------------------------------------------------------------------
+
+DEDUP_AGREEMENT_ORACLE = f"""
+WITH jp AS (SELECT doc1, doc2 FROM ({NGRAM_JACCARD_ORACLE})),
+mp AS (SELECT doc1, doc2 FROM ({MINHASH_LSH_ORACLE})
+       WHERE jaccard >= {JACCARD_THRESHOLD})
+SELECT
+    CAST(COUNT(jp.doc1) AS BIGINT) AS n_ngram_pairs,
+    CAST(COUNT(mp.doc1) AS BIGINT) AS n_minhash_pairs,
+    CAST(COUNT(CASE WHEN jp.doc1 IS NOT NULL AND mp.doc1 IS NOT NULL
+               THEN 1 END) AS BIGINT) AS n_both,
+    CAST(COUNT(CASE WHEN jp.doc1 IS NOT NULL AND mp.doc1 IS NOT NULL
+               THEN 1 END) AS DOUBLE) / COUNT(*) AS method_agreement
+FROM jp FULL OUTER JOIN mp ON jp.doc1 = mp.doc1 AND jp.doc2 = mp.doc2
+"""
+
+
+def build_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    jp = ngram_jaccard_from(docs).select("doc1", "doc2")
+    mp = (
+        build_dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc1").alias("m1"), F.col("doc2").alias("m2"))
+    )
+    j = jp.join(
+        mp, (jp.doc1 == F.col("m1")) & (jp.doc2 == F.col("m2")), "full_outer"
+    )
+    both = F.when(F.col("doc1").isNotNull() & F.col("m1").isNotNull(), 1)
+    return j.agg(
+        F.count("doc1").alias("n_ngram_pairs"),
+        F.count("m1").alias("n_minhash_pairs"),
+        F.count(both).alias("n_both"),
+        (F.count(both).cast("double") / F.count(F.lit(1))).alias(
+            "method_agreement"
+        ),
+    )
+
+
+register(
+    "dedup_method_agreement",
+    oracle=DEDUP_AGREEMENT_ORACLE,
+    doc="Dedup method evaluation: pair-set overlap between the exact "
+    "inverted-index and MinHash-LSH pipelines (counts + set-Jaccard "
+    "agreement), composed from the two registered plans.",
+    tags=("dedup", "llm", "evaluation"),
+)(build_dedup_method_agreement)

@@ -691,3 +691,64 @@ register(
     "arithmetic).",
     tags=("gold", "window", "bi"),
 )(build_cohort_ltv_triangle)
+
+
+# ---------------------------------------------------------------------------
+# nation_share_of_region — hierarchical percent-of-parent: each nation's
+# revenue as a share of its region (two-level rollup ratio). The window
+# partitions over the 25-row nation aggregate — free; the only real
+# shuffle is the orders aggregation.
+# ---------------------------------------------------------------------------
+
+NATION_SHARE_ORACLE = """
+WITH n AS (
+    SELECT r_name, n_name,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c AS DOUBLE) / SUM(rev_c) OVER (PARTITION BY r_name)
+           AS share_of_region
+FROM n
+"""
+
+
+def build_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .parity import scaled_long
+
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    n = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(scaled_long("o_totalprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy("r_name")
+    return n.select(
+        "r_name",
+        "n_name",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.col("rev_c").cast("double") / F.sum("rev_c").over(w)).alias(
+            "share_of_region"
+        ),
+    )
+
+
+register(
+    "nation_share_of_region",
+    oracle=NATION_SHARE_ORACLE,
+    doc="Hierarchical percent-of-parent: nation revenue share within its "
+    "region via a partitioned window over the 25-row aggregate.",
+    tags=("gold", "window", "bi"),
+)(build_nation_share_of_region)

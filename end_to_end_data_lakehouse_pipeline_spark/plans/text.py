@@ -918,3 +918,67 @@ register(
     "LLM-pipeline extension).",
     tags=("text", "llm", "join"),
 )(build_bigram_typicality)
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth_curve — Heaps'-law audit: distinct vocabulary seen after
+# the first 10%, 20%, …, 100% of documents (doc_id order). The running
+# distinct is decomposed as term-first-occurrence (min doc_id per term)
+# + threshold counts — two hash aggregates and a 10-row broadcast join,
+# never a distinct-in-window. The curve tells a corpus builder whether
+# new data still adds vocabulary or only repeats it.
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH firsts AS (
+    SELECT term, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+    ) GROUP BY term
+),
+n AS (SELECT COUNT(*) AS total_docs FROM documents),
+cp AS (
+    SELECT pct, (SELECT total_docs FROM n) * pct // 100 AS doc_threshold
+    FROM (SELECT unnest(generate_series(10, 100, 10)) AS pct)
+)
+SELECT CAST(cp.pct AS BIGINT) AS pct,
+       CAST(cp.doc_threshold AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN firsts.first_doc < cp.doc_threshold THEN 1 END)
+            AS BIGINT) AS vocab_size
+FROM cp CROSS JOIN firsts
+GROUP BY cp.pct, cp.doc_threshold
+"""
+
+
+def build_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    firsts = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    total_docs = docs.count()  # S12 scalar fetch
+    cp = spark.range(1, 11).select(
+        (F.col("id") * 10).cast("long").alias("pct"),
+        F.expr(f"id * 10 * {total_docs} div 100").cast("long").alias(
+            "doc_threshold"
+        ),
+    )
+    return (
+        firsts.crossJoin(F.broadcast(cp))
+        .groupBy("pct", F.col("doc_threshold").alias("n_docs"))
+        .agg(
+            F.count(
+                F.when(F.col("first_doc") < F.col("doc_threshold"), 1)
+            ).alias("vocab_size")
+        )
+    )
+
+
+register(
+    "vocab_growth_curve",
+    oracle=VOCAB_GROWTH_ORACLE,
+    doc="Heaps'-law vocabulary growth: distinct terms after each 10% of "
+    "the corpus, via term-first-occurrence + 10-row broadcast threshold "
+    "join (no distinct-in-window).",
+    tags=("text", "llm", "report"),
+)(build_vocab_growth_curve)
