@@ -2155,3 +2155,97 @@ register(
     "via the row_number difference trick (one keyed shuffle).",
     tags=("relational", "window", "pattern"),
 )(build_order_day_streaks)
+
+
+# ---------------------------------------------------------------------------
+# relational_division — "customers who ordered EVERY part in the set":
+# the classic division pattern, executed as filter → distinct pairs →
+# per-customer distinct count == |set|. The part set is a literal (in a
+# real pipeline, a broadcast dim); work is one filtered scan + one agg.
+# ---------------------------------------------------------------------------
+
+DIVISION_PARTS = (0, 1, 2, 3, 4)
+
+RELATIONAL_DIVISION_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey, l_partkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_partkey IN {DIVISION_PARTS}
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_from_set
+FROM pairs
+GROUP BY o_custkey
+HAVING COUNT(*) = {len(DIVISION_PARTS)}
+"""
+
+
+def build_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    pairs = (
+        lineitem.filter(F.col("l_partkey").isin(*DIVISION_PARTS))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_from_set"))
+        .filter(F.col("n_parts_from_set") == len(DIVISION_PARTS))
+    )
+
+
+register(
+    "relational_division",
+    oracle=RELATIONAL_DIVISION_ORACLE,
+    doc="Relational division (customers who ordered EVERY part in a "
+    "5-part set): filtered scan -> distinct pairs -> count==|set| "
+    "(the division-as-counting formulation).",
+    tags=("relational", "join", "pattern"),
+)(build_relational_division)
+
+
+# ---------------------------------------------------------------------------
+# user_weekday_bitmask — bitwise aggregation (§2.7 completeness): each
+# user's active weekdays packed into a 7-bit mask with bit_or(1 << dow),
+# plus bit_count for the cardinality — the compact "activity calendar"
+# encoding used for segment filters (mask & pattern) without arrays.
+# ---------------------------------------------------------------------------
+
+BITMASK_ORACLE = """
+WITH d AS (
+    SELECT user_id,
+           CAST(isodow(CAST(ts AS DATE)) AS BIGINT) - 1 AS dow
+    FROM events
+)
+SELECT user_id,
+       CAST(bit_or(CAST(1 AS BIGINT) << dow) AS BIGINT) AS weekday_mask,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << dow)) AS BIGINT)
+           AS n_active_weekdays
+FROM d
+GROUP BY user_id
+"""
+
+
+def build_user_weekday_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    # Monday=0 … Sunday=6, matching DuckDB's isodow()-1
+    dow = (F.dayofweek(F.col("ts").cast("date")) + 5) % 7
+    d = events.select("user_id", dow.cast("long").alias("dow"))
+    # F.shiftleft takes only a literal shift in PySpark; the SQL function
+    # accepts a column, so build the term with expr()
+    mask = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(dow AS INT))"))
+    return d.groupBy("user_id").agg(
+        mask.alias("weekday_mask"),
+        F.bit_count(mask).cast("long").alias("n_active_weekdays"),
+    )
+
+
+register(
+    "user_weekday_bitmask",
+    oracle=BITMASK_ORACLE,
+    doc="Bitwise aggregation: per-user active-weekday 7-bit mask via "
+    "bit_or(1 << dow) + bit_count (compact activity-calendar encoding).",
+    tags=("relational", "agg", "bitwise"),
+)(build_user_weekday_bitmask)

@@ -113,3 +113,48 @@ for _name, (_tables, _spark_sql, _oracle, _ref) in _SQL_MVS.items():
         "MV's oracle.",
         tags=("sql", "mv", "agg"),
     )(_make_sql_mv(_tables, _spark_sql))
+
+
+# ---------------------------------------------------------------------------
+# sql_tpch_q5 — a full TPC-H classic through ONE engine-shared ANSI text:
+# the string below runs verbatim in Spark (spark.sql over registered
+# views) AND as the DuckDB oracle. No dialect split at all — the
+# strongest form of the serving-surface claim for a 6-way join + agg.
+# ---------------------------------------------------------------------------
+
+_SQL_Q5_SHARED = """
+SELECT
+    n_name,
+    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+         AS DOUBLE) / 100.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def build_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(
+        spark,
+        sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(_SQL_Q5_SHARED)
+
+
+register(
+    "sql_tpch_q5",
+    oracle=_SQL_Q5_SHARED,
+    doc="TPC-H Q5 as ONE shared ANSI text: the identical string executes "
+    "in Spark (spark.sql) and as the DuckDB oracle — zero dialect split "
+    "(serving-surface proof for the 6-way join).",
+    tags=("sql", "join", "tpch"),
+)(build_sql_tpch_q5)
