@@ -2249,3 +2249,195 @@ register(
     "bit_or(1 << dow) + bit_count (compact activity-calendar encoding).",
     tags=("relational", "agg", "bitwise"),
 )(build_user_weekday_bitmask)
+
+
+# ---------------------------------------------------------------------------
+# orderkey_gaps — sequence-gap detection (the islands complement): holes
+# in the orderkey sequence found with one lead() window — the data-
+# integrity audit for surrogate-key continuity after loads/replays.
+# ---------------------------------------------------------------------------
+
+ORDERKEY_GAPS_ORACLE = """
+WITH s AS (
+    SELECT o_orderkey,
+           LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+    FROM orders
+)
+SELECT o_orderkey + 1 AS gap_start,
+       next_key - 1 AS gap_end,
+       CAST(next_key - o_orderkey - 1 AS BIGINT) AS gap_len
+FROM s WHERE next_key - o_orderkey > 1
+"""
+
+
+def build_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    # global-order window over the bare key column: the window input is the
+    # deduped key set, calendar-of-keys sized; acceptable single partition
+    # for an audit (partition by key range for a 100 TB variant)
+    w = Window.orderBy("o_orderkey")
+    s = orders.select("o_orderkey").withColumn(
+        "next_key", F.lead("o_orderkey").over(w)
+    )
+    return s.filter(F.col("next_key") - F.col("o_orderkey") > 1).select(
+        (F.col("o_orderkey") + 1).alias("gap_start"),
+        (F.col("next_key") - 1).alias("gap_end"),
+        (F.col("next_key") - F.col("o_orderkey") - 1).cast("long").alias("gap_len"),
+    )
+
+
+register(
+    "orderkey_gaps",
+    oracle=ORDERKEY_GAPS_ORACLE,
+    doc="Sequence-gap detection: holes in the orderkey sequence via one "
+    "lead() window (surrogate-key continuity audit).",
+    tags=("relational", "window", "audit"),
+)(build_orderkey_gaps)
+
+
+# ---------------------------------------------------------------------------
+# modal_priority_by_status — EXACT mode per group: most frequent order
+# priority per status, decomposed as count + deterministic rank (count
+# DESC, value ASC) — the exact form of what approx top-k sketches
+# estimate; two hash aggregates and a tiny window.
+# ---------------------------------------------------------------------------
+
+MODE_ORACLE = """
+WITH c AS (
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority ASC) AS rn
+    FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS n_orders
+FROM r WHERE rn = 1
+"""
+
+
+def build_modal_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+register(
+    "modal_priority_by_status",
+    oracle=MODE_ORACLE,
+    doc="Exact per-group mode with deterministic tie-break (count DESC, "
+    "value ASC) — the exact form approx top-k sketches estimate.",
+    tags=("relational", "agg", "window"),
+)(build_modal_priority_by_status)
+
+
+# ---------------------------------------------------------------------------
+# basket_size_histogram — distribution of group sizes: items per order,
+# then orders per size — two chained hash aggregates (the group-size
+# histogram every skew/bucketing decision starts from).
+# ---------------------------------------------------------------------------
+
+BASKET_SIZE_ORACLE = """
+WITH s AS (
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS basket_size
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT basket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(basket_size * COUNT(*) AS BIGINT) AS n_items
+FROM s GROUP BY basket_size
+"""
+
+
+def build_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    s = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_size"))
+    return s.groupBy("basket_size").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.col("basket_size") * F.count(F.lit(1))).alias("n_items"),
+    )
+
+
+register(
+    "basket_size_histogram",
+    oracle=BASKET_SIZE_ORACLE,
+    doc="Group-size distribution (items per order, orders per size) — "
+    "two chained hash aggregates; the histogram behind skew/bucketing "
+    "decisions.",
+    tags=("relational", "agg"),
+)(build_basket_size_histogram)
+
+
+# ---------------------------------------------------------------------------
+# price_minmax_scaled — per-group min-max feature scaling: (x - min) /
+# (max - min) within brand, NULL when the group is constant. Exact cent
+# integers in numerator and denominator; one division per row — the
+# feature-engineering normalization an ML pipeline pushes down to the
+# engine instead of pulling data out.
+# ---------------------------------------------------------------------------
+
+MINMAX_ORACLE = """
+WITH p AS (
+    SELECT p_partkey, p_brand,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c
+    FROM part
+),
+g AS (
+    SELECT *, MIN(price_c) OVER w AS min_c, MAX(price_c) OVER w AS max_c
+    FROM p
+    WINDOW w AS (PARTITION BY p_brand)
+)
+SELECT p_partkey, p_brand,
+       CAST(price_c AS DOUBLE) / 100.0 AS price,
+       CASE WHEN max_c > min_c
+            THEN CAST(price_c - min_c AS DOUBLE) / (max_c - min_c) END
+           AS price_scaled
+FROM g
+"""
+
+
+def build_price_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    part = spread(table(spark, sf_dir, "part"), spark)
+    p = part.select(
+        "p_partkey", "p_brand", scaled_long("p_retailprice").alias("price_c")
+    )
+    w = Window.partitionBy("p_brand")
+    g = p.withColumn("min_c", F.min("price_c").over(w)).withColumn(
+        "max_c", F.max("price_c").over(w)
+    )
+    return g.select(
+        "p_partkey",
+        "p_brand",
+        (F.col("price_c").cast("double") / 100.0).alias("price"),
+        F.when(
+            F.col("max_c") > F.col("min_c"),
+            (F.col("price_c") - F.col("min_c")).cast("double")
+            / (F.col("max_c") - F.col("min_c")),
+        ).alias("price_scaled"),
+    )
+
+
+register(
+    "price_minmax_scaled",
+    oracle=MINMAX_ORACLE,
+    doc="Per-group min-max feature scaling on exact cent integers "
+    "(NULL for constant groups) — ML normalization pushed into the "
+    "engine.",
+    tags=("relational", "window", "ml"),
+)(build_price_minmax_scaled)
