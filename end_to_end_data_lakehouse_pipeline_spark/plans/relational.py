@@ -2441,3 +2441,50 @@ register(
     "engine.",
     tags=("relational", "window", "ml"),
 )(build_price_minmax_scaled)
+
+
+# ---------------------------------------------------------------------------
+# qty_weighted_price — weighted average (sum(w·x)/sum(w)): quantity-
+# weighted unit price per part type. Numerator is an exact integer sum of
+# cent·quantity products; ONE division at the end — the weighted-agg
+# pattern plain AVG silently gets wrong.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_AVG_ORACLE = """
+SELECT p_type,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS weighted_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           / 100.0 / SUM(CAST(l_quantity AS BIGINT)) AS qty_weighted_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+def build_qty_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part")
+    wsum = F.sum(scaled_long("l_extendedprice") * F.col("l_quantity").cast("long"))
+    qsum = F.sum(F.col("l_quantity").cast("long"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            wsum.alias("weighted_cents"),
+            qsum.alias("total_qty"),
+            (wsum.cast("double") / 100.0 / qsum).alias("qty_weighted_price"),
+        )
+    )
+
+
+register(
+    "qty_weighted_price",
+    oracle=WEIGHTED_AVG_ORACLE,
+    doc="Weighted average (sum(w*x)/sum(w)): quantity-weighted unit price "
+    "per part type on exact integer products, one final division.",
+    tags=("relational", "agg", "broadcast"),
+)(build_qty_weighted_price)
