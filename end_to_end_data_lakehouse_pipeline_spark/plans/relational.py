@@ -2488,3 +2488,109 @@ register(
     "per part type on exact integer products, one final division.",
     tags=("relational", "agg", "broadcast"),
 )(build_qty_weighted_price)
+
+
+# ---------------------------------------------------------------------------
+# repeat_purchase_overlap — lag over an ARRAY column: each order's part
+# list compared to the same customer's previous order via
+# array_intersect(parts, lag(parts)) — complex-type window completeness
+# (arrays flow through the shuffle and the frame, not just scalars).
+# Output is scalar counts; the arrays stay internal.
+# ---------------------------------------------------------------------------
+
+REPEAT_OVERLAP_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+           list_sort(list_distinct(list(l_partkey))) AS parts
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3
+),
+w AS (
+    SELECT o_orderkey, o_custkey,
+           len(parts) AS n_parts,
+           len(list_intersect(parts,
+               LAG(parts) OVER (PARTITION BY o_custkey
+                                ORDER BY od, o_orderkey))) AS n_repeat
+    FROM o
+)
+SELECT o_orderkey, o_custkey,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(n_repeat AS BIGINT) AS n_repeat_parts
+FROM w WHERE n_repeat IS NOT NULL AND n_repeat > 0
+"""
+
+
+def build_repeat_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    o = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+        )
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    prev = F.lag("parts").over(w)
+    out = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size("parts").cast("long").alias("n_parts"),
+        F.size(F.array_intersect("parts", prev)).cast("long").alias("n_repeat_parts"),
+    )
+    return out.filter(
+        F.col("n_repeat_parts").isNotNull() & (F.col("n_repeat_parts") > 0)
+    )
+
+
+register(
+    "repeat_purchase_overlap",
+    oracle=REPEAT_OVERLAP_ORACLE,
+    doc="Lag over an array column: each order's distinct part list "
+    "intersected with the customer's previous order (complex types "
+    "through window frames; scalar output).",
+    tags=("relational", "window", "complex-types"),
+)(build_repeat_purchase_overlap)
+
+
+# ---------------------------------------------------------------------------
+# user_recency — event-side recency report: each user's last-activity
+# day, event count, and days inactive relative to the corpus end (the
+# recency axis of churn scoring; the corpus end is a 1-row S12 fetch
+# broadcast into the projection).
+# ---------------------------------------------------------------------------
+
+USER_RECENCY_ORACLE = """
+WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+u AS (
+    SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT user_id, last_d, n_events,
+       CAST(date_diff('day', last_d, (SELECT max_d FROM m)) AS BIGINT)
+           AS days_inactive
+FROM u
+"""
+
+
+def build_user_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    max_d = events.agg(F.max(F.col("ts").cast("date"))).first()[0]  # S12
+    u = events.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    days = F.datediff(F.lit(max_d).cast("date"), F.col("last_d"))
+    return u.select(
+        "user_id", "last_d", "n_events", days.cast("long").alias("days_inactive")
+    )
+
+
+register(
+    "user_recency",
+    oracle=USER_RECENCY_ORACLE,
+    doc="Event-side recency report (churn scoring's recency axis): "
+    "per-user last-activity day + days inactive vs corpus end.",
+    tags=("relational", "agg", "behavior"),
+)(build_user_recency)
