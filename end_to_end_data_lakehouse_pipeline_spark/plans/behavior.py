@@ -349,3 +349,70 @@ register(
     "(lag window + hash agg; state-machine audit primitive).",
     tags=("relational", "window", "behavior"),
 )(build_status_transition_matrix)
+
+
+# ---------------------------------------------------------------------------
+# dau_wau_stickiness — multi-grain engagement: daily and weekly active
+# users plus the DAU/WAU "stickiness" ratio per ISO week. Two exact
+# countDistinct aggregates at different grains joined on the week key;
+# the ratio divides exact integers (avg daily actives via summed DAU /
+# days observed in the week).
+# ---------------------------------------------------------------------------
+
+STICKINESS_ORACLE = """
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           yearweek(CAST(ts AS DATE)) AS wk,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT yearweek(CAST(ts AS DATE)) AS wk,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM events GROUP BY 1
+)
+SELECT d.wk AS wk,
+       CAST(COUNT(*) AS BIGINT) AS days_observed,
+       CAST(SUM(d.dau) AS BIGINT) AS dau_sum,
+       CAST(MAX(w.wau) AS BIGINT) AS wau,
+       CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / MAX(w.wau) AS stickiness
+FROM d JOIN w ON d.wk = w.wk
+GROUP BY d.wk
+"""
+
+
+def build_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    day = F.col("ts").cast("date")
+    # yearweek parity: DuckDB yearweek() = ISO year*100 + ISO week
+    wk = (F.expr("extract(yearofweek FROM CAST(ts AS DATE))") * 100
+          + F.weekofyear(day)).cast("long")
+    d = events.groupBy(day.alias("day"), wk.alias("wk")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = events.groupBy(wk.alias("wk")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        d.join(w, "wk")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("days_observed"),
+            F.sum("dau").alias("dau_sum"),
+            F.max("wau").alias("wau"),
+            (
+                F.sum("dau").cast("double")
+                / F.count(F.lit(1))
+                / F.max("wau")
+            ).alias("stickiness"),
+        )
+    )
+
+
+register(
+    "dau_wau_stickiness",
+    oracle=STICKINESS_ORACLE,
+    doc="DAU/WAU stickiness per ISO week: two exact countDistinct grains "
+    "joined on the week key, one final ratio division.",
+    tags=("behavior", "agg", "bi"),
+)(build_dau_wau_stickiness)

@@ -187,3 +187,43 @@ def silver_merge_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_trending_topk(
+    events: DataFrame,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+):
+    """Trending top-k per time window, incrementally maintained.
+
+    The windowed count is the stateful streaming aggregate (update mode);
+    the RANK cut is applied per micro-batch in foreachBatch — ranking is
+    not an incremental operator (a new count can reorder everything), so
+    the correct streaming shape is: state store maintains counts, each
+    batch snapshot re-ranks the touched windows. Returns a function
+    suitable for .foreachBatch plus the aggregated stream; callers wire
+    them to a sink that overwrites per-window top-k (e.g. a serving
+    table keyed by window).
+    """
+    counts = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+    def topk_of_batch(batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        rank_w = W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+        return (
+            batch_df.withColumn("rnk", F.row_number().over(rank_w))
+            .filter(F.col("rnk") <= k)
+            .drop("rnk")
+        )
+
+    return counts, topk_of_batch

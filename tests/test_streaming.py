@@ -449,3 +449,50 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
     # 105 was dropped intra-batch (not a corpus match): no audit row, and
     # the doc is simply not admitted — min-id winner 102 carries the text
     assert 105 not in matches
+
+
+def test_streaming_trending_topk(spark, tmp_path):
+    # Windowed counts maintained by the state store; each micro-batch
+    # re-ranks the touched windows and overwrites the serving snapshot.
+    import json as _json
+
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.aggregates import (
+        streaming_trending_topk,
+    )
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = []
+    for i, (etype, n) in enumerate(
+        [("view", 5), ("click", 3), ("purchase", 2), ("signup", 1)]
+    ):
+        for j in range(n):
+            rows.append(
+                {"ts": f"2024-01-01 10:{i}{j}:00", "event_type": etype}
+            )
+    (src / "events.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("ts TIMESTAMP, event_type STRING").json(
+        str(src)
+    )
+    counts, topk_of_batch = streaming_trending_topk(stream, k=2)
+    out = str(tmp_path / "trending")
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        topk_of_batch(batch_df).write.mode("overwrite").parquet(out)
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(out).collect()
+    assert sorted(r.event_type for r in snap) == ["click", "view"]
+    by_type = {r.event_type: r.n_events for r in snap}
+    assert by_type["view"] == 5 and by_type["click"] == 3
