@@ -2594,3 +2594,130 @@ register(
     "per-user last-activity day + days inactive vs corpus end.",
     tags=("relational", "agg", "behavior"),
 )(build_user_recency)
+
+
+# ---------------------------------------------------------------------------
+# order_value_deciles — equi-depth decile SUMMARY: ntile(10) over order
+# totals, then per-decile bounds and mass (the distribution table a
+# pricing dashboard shows; row-level ntile lives in window_distribution).
+# ---------------------------------------------------------------------------
+
+DECILES_ORACLE = """
+WITH t AS (
+    SELECT o_totalprice,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+FROM t GROUP BY decile
+"""
+
+
+def build_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_totalprice",
+        scaled_long("o_totalprice").alias("cents"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_value"),
+        F.max("o_totalprice").alias("max_value"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+register(
+    "order_value_deciles",
+    oracle=DECILES_ORACLE,
+    doc="Equi-depth decile summary: ntile(10) with total-order tie-break, "
+    "per-decile bounds and exact mass.",
+    tags=("relational", "window", "bi"),
+)(build_order_value_deciles)
+
+
+# ---------------------------------------------------------------------------
+# brand_affinity_lift — market-basket LIFT at the brand level:
+# lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·n_orders / (n_a·n_b), computed
+# entirely on exact integer counts with ONE final division. Candidate
+# pairs come from the order-keyed self-join (bounded by basket size);
+# the marginals join back by brand — the association-rule primitive.
+# ---------------------------------------------------------------------------
+
+AFFINITY_ORACLE = """
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem),
+marg AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM ob GROUP BY 1),
+pairs AS (
+    SELECT a.p_brand AS brand1, b.p_brand AS brand2,
+           CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                       AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+)
+SELECT brand1, brand2, n_ab, m1.n_b AS n_brand1, m2.n_b AS n_brand2,
+       CAST(n_ab * (SELECT n_orders FROM n) AS DOUBLE) / (m1.n_b * m2.n_b)
+           AS lift
+FROM pairs
+JOIN marg m1 ON brand1 = m1.p_brand
+JOIN marg m2 ON brand2 = m2.p_brand
+"""
+
+
+def build_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part")
+    ob = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = lineitem.select("l_orderkey").distinct().count()  # S12 scalar
+    marg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand1"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand1") < F.col("brand2"))
+        .groupBy("brand1", "brand2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    m1 = marg.select(F.col("p_brand").alias("brand1"), F.col("n_b").alias("n_brand1"))
+    m2 = marg.select(F.col("p_brand").alias("brand2"), F.col("n_b").alias("n_brand2"))
+    return (
+        pairs.join(F.broadcast(m1), "brand1")
+        .join(F.broadcast(m2), "brand2")
+        .select(
+            "brand1",
+            "brand2",
+            "n_ab",
+            "n_brand1",
+            "n_brand2",
+            (
+                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("n_brand1") * F.col("n_brand2"))
+            ).alias("lift"),
+        )
+    )
+
+
+register(
+    "brand_affinity_lift",
+    oracle=AFFINITY_ORACLE,
+    doc="Association-rule lift at brand level: exact integer counts, one "
+    "final division; pair fan-out bounded by basket size, marginals "
+    "broadcast back.",
+    tags=("relational", "join", "bi"),
+)(build_brand_affinity_lift)
