@@ -982,3 +982,48 @@ register(
     "join (no distinct-in-window).",
     tags=("text", "llm", "report"),
 )(build_vocab_growth_curve)
+
+
+# ---------------------------------------------------------------------------
+# lang_id_confusion — the language-ID evaluation: confusion matrix of the
+# heuristic against the labeled lang column (one row per label/pred cell
+# with the label's recall share). Composes the registered lang_id plan —
+# the same measure-your-heuristics pattern as ann_recall_* and
+# dedup_method_agreement.
+# ---------------------------------------------------------------------------
+
+LANG_CONFUSION_ORACLE = f"""
+WITH p AS (SELECT lang_label, lang_pred FROM ({_lang_oracle()})),
+tot AS (SELECT lang_label, CAST(COUNT(*) AS BIGINT) AS n_label
+        FROM p GROUP BY lang_label)
+SELECT p.lang_label, p.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_label) AS label_share
+FROM p JOIN tot ON p.lang_label = tot.lang_label
+GROUP BY p.lang_label, p.lang_pred
+"""
+
+
+def build_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = build_lang_id_heuristic(spark, sf_dir).select("lang_label", "lang_pred")
+    tot = p.groupBy("lang_label").agg(F.count(F.lit(1)).alias("n_label"))
+    return (
+        p.join(F.broadcast(tot), "lang_label")
+        .groupBy("lang_label", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)).cast("double") / F.max("n_label")).alias(
+                "label_share"
+            ),
+        )
+    )
+
+
+register(
+    "lang_id_confusion",
+    oracle=LANG_CONFUSION_ORACLE,
+    doc="Language-ID evaluation: label × prediction confusion matrix "
+    "with per-label recall share, composed from the registered "
+    "lang_id_heuristic plan.",
+    tags=("text", "llm", "evaluation"),
+)(build_lang_id_confusion)
