@@ -2721,3 +2721,61 @@ register(
     "broadcast back.",
     tags=("relational", "join", "bi"),
 )(build_brand_affinity_lift)
+
+
+# ---------------------------------------------------------------------------
+# top_parts_with_ties — tie-INCLUSIVE top-k per group via dense_rank ≤ k:
+# semantically different from row_number top-k (equal revenues all make
+# the cut, so group output size varies) — the completeness counterpart
+# to top_parts_per_brand. Plan: same single keyed window shuffle.
+# ---------------------------------------------------------------------------
+
+TOP_TIES_ORACLE = """
+WITH r AS (
+    SELECT p_brand, l_partkey,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, l_partkey
+),
+d AS (
+    SELECT *, DENSE_RANK() OVER (
+        PARTITION BY p_brand ORDER BY rev_c DESC) AS drk
+    FROM r
+)
+SELECT p_brand, l_partkey,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(drk AS BIGINT) AS revenue_rank
+FROM d WHERE drk <= 3
+"""
+
+
+def build_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part")
+    r = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(scaled_long("l_extendedprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("rev_c").desc())
+    return (
+        r.withColumn("drk", F.dense_rank().over(w))
+        .filter(F.col("drk") <= 3)
+        .select(
+            "p_brand",
+            "l_partkey",
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+            F.col("drk").cast("long").alias("revenue_rank"),
+        )
+    )
+
+
+register(
+    "top_parts_with_ties",
+    oracle=TOP_TIES_ORACLE,
+    doc="Tie-inclusive top-3 per brand via dense_rank <= k (all equal "
+    "revenues make the cut — the semantic row_number top-k misses).",
+    tags=("relational", "window", "topk"),
+)(build_top_parts_with_ties)

@@ -1027,3 +1027,71 @@ register(
     "lang_id_heuristic plan.",
     tags=("text", "llm", "evaluation"),
 )(build_lang_id_confusion)
+
+
+# ---------------------------------------------------------------------------
+# term_position_stats — positional token analytics via posexplode: where
+# in documents do the top terms appear (mean relative position)? The
+# position index comes from posexplode (§2.7 generator completeness
+# beyond plain explode); means are exact integer sums over positions with
+# one final division.
+# ---------------------------------------------------------------------------
+
+POSITION_TOP_K = 20
+
+TERM_POSITION_ORACLE = f"""
+WITH e AS (
+    SELECT doc_id,
+           unnest({_sql_tokens()}) AS term,
+           generate_subscripts({_sql_tokens()}, 1) - 1 AS pos,
+           len({_sql_tokens()}) AS n_tokens
+    FROM documents
+),
+top_terms AS (
+    SELECT term FROM e GROUP BY term
+    ORDER BY COUNT(*) DESC, term ASC LIMIT {POSITION_TOP_K}
+)
+SELECT e.term,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(SUM(e.pos) AS BIGINT) AS pos_sum,
+       CAST(SUM(e.pos) AS DOUBLE) / SUM(e.n_tokens - 1) AS mean_rel_position
+FROM e JOIN top_terms ON e.term = top_terms.term
+GROUP BY e.term
+"""
+
+
+def build_term_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    toks = tokens_col()
+    e = docs.select(
+        "doc_id", F.size(toks).alias("n_tokens"), F.posexplode(toks).alias("pos", "term")
+    )
+    top_terms = (
+        e.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(POSITION_TOP_K)
+        .select("term")
+    )
+    return (
+        e.join(F.broadcast(top_terms), "term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("pos").alias("pos_sum"),
+            (
+                F.sum("pos").cast("double")
+                / F.sum(F.col("n_tokens") - 1)
+            ).alias("mean_rel_position"),
+        )
+    )
+
+
+register(
+    "term_position_stats",
+    oracle=TERM_POSITION_ORACLE,
+    doc=f"Positional token analytics: mean relative position of the top "
+    f"{POSITION_TOP_K} terms via posexplode (generator completeness; "
+    "exact integer position sums).",
+    tags=("text", "llm", "agg"),
+)(build_term_position_stats)
