@@ -2779,3 +2779,60 @@ register(
     "revenues make the cut — the semantic row_number top-k misses).",
     tags=("relational", "window", "topk"),
 )(build_top_parts_with_ties)
+
+
+# ---------------------------------------------------------------------------
+# null_safe_join_counts — NULL-safe equality join (<=> / IS NOT DISTINCT
+# FROM): rows whose join key is NULL match EACH OTHER instead of
+# vanishing — the semantic a plain inner join silently drops. Key is a
+# derived nullable (priority for open orders, NULL otherwise); output
+# proves the NULL bucket joins: one row per key pair incl. the NULL one.
+# ---------------------------------------------------------------------------
+
+NULL_SAFE_JOIN_ORACLE = """
+WITH k AS (
+    SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderpriority END
+               AS join_key,
+           o_orderkey
+    FROM orders
+),
+agg AS (SELECT join_key, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY join_key)
+SELECT a.join_key AS key_repr,
+       a.n AS n_left,
+       b.n AS n_right,
+       CAST(a.n * b.n AS BIGINT) AS n_joined_pairs
+FROM agg a JOIN agg b ON a.join_key IS NOT DISTINCT FROM b.join_key
+"""
+
+
+def build_null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    k = orders.select(
+        F.when(
+            F.col("o_orderstatus") == "O", F.lit(None).cast("string")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("join_key")
+    )
+    agg = k.groupBy("join_key").agg(F.count(F.lit(1)).alias("n"))
+    a = agg.select(F.col("join_key").alias("key_repr"), F.col("n").alias("n_left"))
+    b = agg.select(F.col("join_key").alias("kb"), F.col("n").alias("n_right"))
+    return (
+        a.join(b, F.col("key_repr").eqNullSafe(F.col("kb")))
+        .select(
+            "key_repr",
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("n_joined_pairs"),
+        )
+    )
+
+
+register(
+    "null_safe_join_counts",
+    oracle=NULL_SAFE_JOIN_ORACLE,
+    doc="NULL-safe equality join (eqNullSafe / IS NOT DISTINCT FROM): "
+    "the NULL-key bucket joins itself instead of being dropped (join "
+    "semantics completeness).",
+    tags=("relational", "join", "null-semantics"),
+)(build_null_safe_join_counts)
