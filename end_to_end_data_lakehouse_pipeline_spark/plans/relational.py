@@ -2836,3 +2836,158 @@ register(
     "semantics completeness).",
     tags=("relational", "join", "null-semantics"),
 )(build_null_safe_join_counts)
+
+
+# ---------------------------------------------------------------------------
+# event_burst_minutes — ops anomaly detection: minutes whose event count
+# exceeds 3× the trailing 60-minute average. Composite windows (count
+# per minute, then a trailing frame over the minute series); the
+# comparison multiplies through by the window length so it stays in
+# exact integers — no float threshold.
+# ---------------------------------------------------------------------------
+
+BURST_ORACLE = """
+WITH m AS (
+    SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS minute,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT minute, n,
+           SUM(n) OVER (ORDER BY minute ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+               AS trailing_sum,
+           COUNT(*) OVER (ORDER BY minute ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+               AS trailing_n
+    FROM m
+)
+SELECT minute, n,
+       CAST(trailing_sum AS BIGINT) AS trailing_sum,
+       CAST(trailing_n AS BIGINT) AS trailing_n,
+       CAST(n AS DOUBLE) * trailing_n / trailing_sum AS burst_ratio
+FROM w
+WHERE trailing_n > 0 AND n * trailing_n > 3 * trailing_sum
+"""
+
+
+def build_event_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    m = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # minute-grain series: single-partition trailing frame is the plan
+    # (calendar-sized); partition by entity for multi-tenant variants
+    w = Window.orderBy("minute").rowsBetween(-60, -1)
+    g = m.withColumn("trailing_sum", F.sum("n").over(w)).withColumn(
+        "trailing_n", F.count(F.lit(1)).over(w)
+    )
+    return g.filter(
+        (F.col("trailing_n") > 0)
+        & (F.col("n") * F.col("trailing_n") > 3 * F.col("trailing_sum"))
+    ).select(
+        "minute",
+        "n",
+        F.col("trailing_sum").cast("long").alias("trailing_sum"),
+        F.col("trailing_n").cast("long").alias("trailing_n"),
+        (
+            F.col("n").cast("double") * F.col("trailing_n") / F.col("trailing_sum")
+        ).alias("burst_ratio"),
+    )
+
+
+register(
+    "event_burst_minutes",
+    oracle=BURST_ORACLE,
+    doc="Burst detection: minutes above 3x the trailing-hour average "
+    "(integer cross-multiplied threshold, window-over-window).",
+    tags=("relational", "window", "timeseries", "anomaly"),
+)(build_event_burst_minutes)
+
+
+# ---------------------------------------------------------------------------
+# order_value_mad — median absolute deviation per status: the robust
+# dispersion statistic, built by applying the exact-median decomposition
+# (row_number selection at k=(n+1)//2) TWICE — once for the center, once
+# over |x - median|. All selection on exact cents; the only doubles are
+# the final display casts.
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH c AS (
+    SELECT o_orderstatus, o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+med AS (
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_c
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus ORDER BY cents, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM c
+    ) GROUP BY o_orderstatus
+),
+dev AS (
+    SELECT c.o_orderstatus, c.o_orderkey,
+           abs(c.cents - med.med_c) AS adev
+    FROM c JOIN med ON c.o_orderstatus = med.o_orderstatus
+),
+mad AS (
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad_c
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus ORDER BY adev, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM dev
+    ) GROUP BY o_orderstatus
+)
+SELECT med.o_orderstatus,
+       CAST(med.med_c AS DOUBLE) / 100.0 AS median_value,
+       CAST(mad.mad_c AS DOUBLE) / 100.0 AS mad_value
+FROM med JOIN mad ON med.o_orderstatus = mad.o_orderstatus
+"""
+
+
+def build_order_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderstatus", "o_orderkey", scaled_long("o_totalprice").alias("cents")
+    )
+
+    def exact_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("o_orderstatus").orderBy(val, "o_orderkey")
+        wn = Window.partitionBy("o_orderstatus")
+        r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wn)
+        )
+        return r.groupBy("o_orderstatus").agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(val))
+            ).alias(out)
+        )
+
+    med = exact_median(c, "cents", "med_c")
+    dev = c.join(med, "o_orderstatus").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.abs(F.col("cents") - F.col("med_c")).alias("adev"),
+    )
+    mad = exact_median(dev, "adev", "mad_c")
+    return med.join(mad, "o_orderstatus").select(
+        "o_orderstatus",
+        (F.col("med_c").cast("double") / 100.0).alias("median_value"),
+        (F.col("mad_c").cast("double") / 100.0).alias("mad_value"),
+    )
+
+
+register(
+    "order_value_mad",
+    oracle=MAD_ORACLE,
+    doc="Median absolute deviation per status: the exact-median "
+    "decomposition applied twice (center, then |x-median|) on exact "
+    "cents — robust dispersion without sketches.",
+    tags=("relational", "window", "agg", "robust"),
+)(build_order_value_mad)
