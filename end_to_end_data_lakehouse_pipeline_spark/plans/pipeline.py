@@ -832,3 +832,58 @@ register(
     "computed once, never per stage).",
     tags=("llm", "dedup", "filter", "report"),
 )(build_curation_funnel_report)
+
+
+# ---------------------------------------------------------------------------
+# source_quality_rates — the gate report grouped by provenance: per-source
+# pass rate and token yield from the SAME gate_stats/gate_pass the gate
+# and manifest use (single scan + one agg; the table a curation run
+# publishes next to the funnel).
+# ---------------------------------------------------------------------------
+
+SOURCE_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, n_chars,
+           len({_sql_tokens()}) AS n_tokens,
+           len(list_distinct({_sql_tokens()})) AS n_distinct,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN n_tokens >= {MIN_TOKENS}
+                        AND alpha_chars * 100 >= n_chars * {ALPHA_PCT}
+                        AND n_distinct * 100 >= n_tokens * {DIVERSITY_PCT}
+                  THEN 1 END) AS BIGINT) AS n_pass,
+       CAST(COUNT(CASE WHEN n_tokens >= {MIN_TOKENS}
+                        AND alpha_chars * 100 >= n_chars * {ALPHA_PCT}
+                        AND n_distinct * 100 >= n_tokens * {DIVERSITY_PCT}
+                  THEN 1 END) AS DOUBLE) / COUNT(*) AS pass_rate,
+       CAST(SUM(CASE WHEN n_tokens >= {MIN_TOKENS}
+                      AND alpha_chars * 100 >= n_chars * {ALPHA_PCT}
+                      AND n_distinct * 100 >= n_tokens * {DIVERSITY_PCT}
+                 THEN n_tokens ELSE 0 END) AS BIGINT) AS pass_tokens
+FROM t GROUP BY source
+"""
+
+
+def build_source_quality_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = gate_stats(table(spark, sf_dir, "documents"), "source")
+    passed = F.when(gate_pass(), 1)
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(passed).alias("n_pass"),
+        (F.count(passed).cast("double") / F.count(F.lit(1))).alias("pass_rate"),
+        F.sum(F.when(gate_pass(), F.col("n_tokens")).otherwise(0)).alias(
+            "pass_tokens"
+        ),
+    )
+
+
+register(
+    "source_quality_rates",
+    oracle=SOURCE_QUALITY_ORACLE,
+    doc="Per-source quality pass rate and token yield from the shared "
+    "gate predicate (the provenance table next to the curation funnel).",
+    tags=("llm", "filter", "report"),
+)(build_source_quality_rates)

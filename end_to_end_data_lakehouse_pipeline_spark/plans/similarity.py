@@ -1130,3 +1130,41 @@ register(
     f"nprobe={IVF_NPROBE}) vs the exact brute-force top-K.",
     tags=("similarity", "llm", "evaluation"),
 )(build_ann_recall_ivf)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_pq — recall@K for the product-quantization path, completing
+# the evaluation family (every ANN variant now ships with its measured
+# recall against the exact baseline): PQ trades recall for 8-byte codes,
+# and this query is how the PQ_M/PQ_K trade is tuned.
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_PQ_ORACLE = f"""
+WITH bf AS (SELECT vec_id FROM ({KNN_BRUTE_ORACLE})),
+pqk AS (SELECT vec_id FROM ({KNN_PQ_ORACLE}))
+SELECT
+    CAST({KNN_K} AS BIGINT) AS k,
+    CAST(COUNT(pqk.vec_id) AS BIGINT) AS n_overlap,
+    CAST(COUNT(pqk.vec_id) AS DOUBLE) / {KNN_K} AS recall_at_k
+FROM bf LEFT JOIN pqk ON bf.vec_id = pqk.vec_id
+"""
+
+
+def build_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = build_knn_bruteforce_cosine(spark, sf_dir).select("vec_id")
+    pq = build_knn_pq_adc(spark, sf_dir).select(F.col("vec_id").alias("pq_vec_id"))
+    joined = bf.join(F.broadcast(pq), bf.vec_id == F.col("pq_vec_id"), "left")
+    return joined.agg(
+        F.lit(KNN_K).cast("long").alias("k"),
+        F.count("pq_vec_id").alias("n_overlap"),
+        (F.count("pq_vec_id").cast("double") / KNN_K).alias("recall_at_k"),
+    )
+
+
+register(
+    "ann_recall_pq",
+    oracle=ANN_RECALL_PQ_ORACLE,
+    doc=f"ANN evaluation: recall@{KNN_K} of the PQ-ADC path vs the exact "
+    "brute-force top-K (tunes the PQ_M/PQ_K memory-recall trade).",
+    tags=("similarity", "llm", "evaluation"),
+)(build_ann_recall_pq)
