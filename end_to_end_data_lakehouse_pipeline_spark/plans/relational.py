@@ -2991,3 +2991,83 @@ register(
     "cents — robust dispersion without sketches.",
     tags=("relational", "window", "agg", "robust"),
 )(build_order_value_mad)
+
+
+# ---------------------------------------------------------------------------
+# revenue_mad_outlier_days — robust outlier detection on the daily
+# revenue series: flag days with |x − median| > 3·MAD. Unlike z-scores
+# (whose squared sums overflow BIGINT at scale), the MAD rule stays in
+# linear integer cents end-to-end — no floats, no overflow headroom
+# gymnastics; the robust-statistics path that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+MAD_OUTLIER_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders GROUP BY 1
+),
+med AS (
+    SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN rev_c END) AS med_c
+    FROM (SELECT rev_c,
+                 ROW_NUMBER() OVER (ORDER BY rev_c, d) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM daily)
+),
+mad AS (
+    SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad_c
+    FROM (SELECT abs(rev_c - (SELECT med_c FROM med)) AS adev,
+                 ROW_NUMBER() OVER (
+                     ORDER BY abs(rev_c - (SELECT med_c FROM med)), d) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM daily)
+)
+SELECT d,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST((SELECT med_c FROM med) AS DOUBLE) / 100.0 AS median_revenue,
+       CAST((SELECT mad_c FROM mad) AS DOUBLE) / 100.0 AS mad_revenue
+FROM daily
+WHERE abs(rev_c - (SELECT med_c FROM med)) > 3 * (SELECT mad_c FROM mad)
+"""
+
+
+def build_revenue_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(scaled_long("o_totalprice")).alias("rev_c")
+    )
+
+    def global_median(df: DataFrame, val: str):
+        w = Window.orderBy(val, "d")
+        r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        return (
+            r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(val)
+            .first()[0]
+        )  # S12 single-row fetch
+
+    med_c = global_median(daily, "rev_c")
+    dev = daily.withColumn("adev", F.abs(F.col("rev_c") - F.lit(med_c)))
+    mad_c = global_median(dev.select("d", F.col("adev").alias("rev_c")), "rev_c")
+    return daily.filter(
+        F.abs(F.col("rev_c") - F.lit(med_c)) > 3 * F.lit(mad_c)
+    ).select(
+        "d",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.lit(med_c).cast("double") / 100.0).alias("median_revenue"),
+        (F.lit(mad_c).cast("double") / 100.0).alias("mad_revenue"),
+    )
+
+
+register(
+    "revenue_mad_outlier_days",
+    oracle=MAD_OUTLIER_ORACLE,
+    doc="Robust outlier days: |x - median| > 3*MAD on the daily revenue "
+    "series, all in linear integer cents (no squared-sum overflow; the "
+    "robust path that survives 100 TB).",
+    tags=("relational", "window", "anomaly", "robust"),
+)(build_revenue_mad_outlier_days)
