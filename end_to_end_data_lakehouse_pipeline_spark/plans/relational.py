@@ -3071,3 +3071,57 @@ register(
     "robust path that survives 100 TB).",
     tags=("relational", "window", "anomaly", "robust"),
 )(build_revenue_mad_outlier_days)
+
+
+# ---------------------------------------------------------------------------
+# order_value_ecdf — empirical CDF sampled at fixed probe points:
+# P(total ≤ v) for a ladder of thresholds, each an exact integer count
+# over one scan (conditional aggregation — the inverse of the quantile
+# queries, useful when the THRESHOLDS are fixed by business rules).
+# ---------------------------------------------------------------------------
+
+ECDF_PROBES = (50000, 100000, 150000, 200000, 300000, 400000)
+
+ECDF_ORACLE = f"""
+WITH probes AS (SELECT unnest({list(ECDF_PROBES)}) AS probe),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+SELECT CAST(probe AS BIGINT) AS probe,
+       CAST(COUNT(CASE WHEN o_totalprice <= probe THEN 1 END) AS BIGINT)
+           AS n_below,
+       CAST(COUNT(CASE WHEN o_totalprice <= probe THEN 1 END) AS DOUBLE)
+           / (SELECT total FROM n) AS cdf
+FROM orders CROSS JOIN probes
+GROUP BY probe
+"""
+
+
+def build_order_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    total = orders.count()  # S12 scalar fetch
+    probes = spark.createDataFrame(
+        [(p,) for p in ECDF_PROBES], ["probe"]
+    ).select(F.col("probe").cast("long").alias("probe"))
+    return (
+        orders.crossJoin(F.broadcast(probes))
+        .groupBy("probe")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") <= F.col("probe"), 1)).alias(
+                "n_below"
+            ),
+            (
+                F.count(
+                    F.when(F.col("o_totalprice") <= F.col("probe"), 1)
+                ).cast("double")
+                / F.lit(total)
+            ).alias("cdf"),
+        )
+    )
+
+
+register(
+    "order_value_ecdf",
+    oracle=ECDF_ORACLE,
+    doc="Empirical CDF at fixed probe thresholds: exact conditional "
+    "counts over one scan x 6-row broadcast (the quantile inverse).",
+    tags=("relational", "agg", "stats"),
+)(build_order_value_ecdf)

@@ -1095,3 +1095,62 @@ register(
     "exact integer position sums).",
     tags=("text", "llm", "agg"),
 )(build_term_position_stats)
+
+
+# ---------------------------------------------------------------------------
+# char_class_profile — per-source character-class hygiene: digit /
+# space / word-char fractions of the corpus text, exact integer length
+# arithmetic (regexp_replace strip + length on both engines). The
+# hygiene axes quality classifiers threshold on beyond the token gate.
+# ---------------------------------------------------------------------------
+
+CHAR_CLASS_ORACLE = """
+WITH t AS (
+    SELECT source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digits,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT)
+               AS n_spaces,
+           CAST(length(regexp_replace(text, '[^a-zA-Z0-9_]', '', 'g')) AS BIGINT)
+               AS n_word
+    FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_digits) AS DOUBLE) / SUM(n_chars) AS digit_ratio,
+       CAST(SUM(n_spaces) AS DOUBLE) / SUM(n_chars) AS space_ratio,
+       CAST(SUM(n_word) AS DOUBLE) / SUM(n_chars) AS word_char_ratio
+FROM t GROUP BY source
+"""
+
+
+def build_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark).filter(
+        F.length("text") > 0
+    )
+    t = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_digits"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long").alias("n_spaces"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z0-9_]", ""))
+        .cast("long")
+        .alias("n_word"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_digits").cast("double") / F.sum("n_chars")).alias("digit_ratio"),
+        (F.sum("n_spaces").cast("double") / F.sum("n_chars")).alias("space_ratio"),
+        (F.sum("n_word").cast("double") / F.sum("n_chars")).alias("word_char_ratio"),
+    )
+
+
+register(
+    "char_class_profile",
+    oracle=CHAR_CLASS_ORACLE,
+    doc="Per-source character-class hygiene (digit/space/word-char "
+    "fractions) on exact length arithmetic — the axes quality "
+    "classifiers threshold beyond the token gate.",
+    tags=("text", "llm", "report"),
+)(build_char_class_profile)
