@@ -881,3 +881,56 @@ register(
     "agreement), composed from the two registered plans.",
     tags=("dedup", "llm", "evaluation"),
 )(build_dedup_method_agreement)
+
+
+# ---------------------------------------------------------------------------
+# dedup_savings_by_source — per-source duplicate accounting: docs vs
+# distinct fingerprints and the chars a dedup pass would reclaim, from
+# the shared fp_col() identity. The provenance view of dedup_exact
+# (which reports per-fingerprint groups); one scan, two counts.
+# ---------------------------------------------------------------------------
+
+DEDUP_SAVINGS_ORACLE = """
+WITH f AS (
+    SELECT source, n_chars,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_canonical,
+       CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_duplicates,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_reclaimed
+FROM f GROUP BY source
+"""
+
+
+def build_dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    w = Window.partitionBy(fp_col()).orderBy("doc_id")
+    f = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    dup = F.when(F.col("rn") > 1, 1)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_canonical"),
+        F.count(dup).alias("n_duplicates"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_reclaimed"
+        ),
+    )
+
+
+register(
+    "dedup_savings_by_source",
+    oracle=DEDUP_SAVINGS_ORACLE,
+    doc="Per-source duplicate accounting (canonical vs duplicate docs, "
+    "chars reclaimed) from the shared exact-dup fingerprint — the "
+    "provenance view of dedup_exact.",
+    tags=("dedup", "llm", "report"),
+)(build_dedup_savings_by_source)

@@ -752,3 +752,78 @@ register(
     "region via a partitioned window over the 25-row aggregate.",
     tags=("gold", "window", "bi"),
 )(build_nation_share_of_region)
+
+
+# ---------------------------------------------------------------------------
+# brand_rank_stability — rank-over-time comparison: each brand's revenue
+# rank per year vs its previous-year rank (self-join on year-1, the
+# calendar-correct form, as in yoy_monthly_growth). Rank deltas are what
+# a category manager actually reads off the YoY numbers.
+# ---------------------------------------------------------------------------
+
+RANK_STABILITY_ORACLE = """
+WITH b AS (
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y,
+           p_brand,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT y, p_brand, rev_c,
+           CAST(RANK() OVER (PARTITION BY y ORDER BY rev_c DESC, p_brand ASC)
+                AS BIGINT) AS rnk
+    FROM b
+)
+SELECT cur.y, cur.p_brand,
+       CAST(cur.rev_c AS DOUBLE) / 100.0 AS revenue,
+       cur.rnk AS rank_now,
+       prev.rnk AS rank_prev,
+       prev.rnk - cur.rnk AS rank_delta
+FROM r cur
+LEFT JOIN r prev ON prev.y = cur.y - 1 AND prev.p_brand = cur.p_brand
+"""
+
+
+def build_brand_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .parity import scaled_long
+
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part")
+    orders = table(spark, sf_dir, "orders")
+    b = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("y"), "p_brand"
+        )
+        .agg(F.sum(scaled_long("l_extendedprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy("y").orderBy(F.col("rev_c").desc(), F.col("p_brand").asc())
+    r = b.withColumn("rnk", F.rank().over(w).cast("long"))
+    prev = r.select(
+        (F.col("y") + 1).alias("y"),
+        F.col("p_brand"),
+        F.col("rnk").alias("rank_prev"),
+    )
+    return r.join(F.broadcast(prev), ["y", "p_brand"], "left").select(
+        "y",
+        "p_brand",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        F.col("rnk").alias("rank_now"),
+        "rank_prev",
+        (F.col("rank_prev") - F.col("rnk")).alias("rank_delta"),
+    )
+
+
+register(
+    "brand_rank_stability",
+    oracle=RANK_STABILITY_ORACLE,
+    doc="Rank-over-time: per-year brand revenue rank vs previous year "
+    "((y-1) self-join, total-order rank tie-break) with rank deltas.",
+    tags=("gold", "window", "bi"),
+)(build_brand_rank_stability)
