@@ -827,3 +827,134 @@ register(
     "((y-1) self-join, total-order rank tie-break) with rank deltas.",
     tags=("gold", "window", "bi"),
 )(build_brand_rank_stability)
+
+
+# ---------------------------------------------------------------------------
+# customer_wallet_share — share-of-wallet: the fraction of each
+# customer's spend captured by their top brand (per-(customer, brand)
+# sums, then a per-customer window max over the small aggregate). The
+# loyalty metric; winner brand is total-order deterministic.
+# ---------------------------------------------------------------------------
+
+WALLET_ORACLE = """
+WITH cb AS (
+    SELECT o_custkey, p_brand,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY rev_c DESC, p_brand ASC) AS rn,
+           SUM(rev_c) OVER (PARTITION BY o_custkey) AS total_c
+    FROM cb
+)
+SELECT o_custkey,
+       p_brand AS top_brand,
+       CAST(rev_c AS DOUBLE) / 100.0 AS top_brand_spend,
+       CAST(total_c AS DOUBLE) / 100.0 AS total_spend,
+       CAST(rev_c AS DOUBLE) / total_c AS wallet_share
+FROM r WHERE rn = 1
+"""
+
+
+def build_customer_wallet_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .parity import scaled_long
+
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part")
+    orders = table(spark, sf_dir, "orders")
+    cb = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.sum(scaled_long("l_extendedprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("rev_c").desc(), F.col("p_brand").asc()
+    )
+    wt = Window.partitionBy("o_custkey")
+    r = cb.withColumn("rn", F.row_number().over(w)).withColumn(
+        "total_c", F.sum("rev_c").over(wt)
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        F.col("p_brand").alias("top_brand"),
+        (F.col("rev_c").cast("double") / 100.0).alias("top_brand_spend"),
+        (F.col("total_c").cast("double") / 100.0).alias("total_spend"),
+        (F.col("rev_c").cast("double") / F.col("total_c")).alias("wallet_share"),
+    )
+
+
+register(
+    "customer_wallet_share",
+    oracle=WALLET_ORACLE,
+    doc="Share-of-wallet: each customer's top brand and its spend share "
+    "(deterministic winner, per-customer window over the small "
+    "aggregate).",
+    tags=("gold", "window", "bi"),
+)(build_customer_wallet_share)
+
+
+# ---------------------------------------------------------------------------
+# supplier_hhi_by_type — market concentration (Herfindahl–Hirschman
+# index) of suppliers within each part type: HHI = Σ share_i². Computed
+# on whole-dollar integer revenues (cents div 100 — identical on both
+# engines) so the squared sums stay inside BIGINT at scale; one division
+# at the end.
+# ---------------------------------------------------------------------------
+
+HHI_ORACLE = """
+WITH s AS (
+    SELECT p_type, l_suppkey,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) // 100 AS dollars
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+a AS (
+    SELECT p_type, l_suppkey, CAST(SUM(dollars) AS BIGINT) AS rev_d
+    FROM s GROUP BY 1, 2
+)
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(rev_d) AS BIGINT) AS total_dollars,
+       CAST(SUM(rev_d * rev_d) AS DOUBLE)
+           / (CAST(SUM(rev_d) AS DOUBLE) * SUM(rev_d)) AS hhi
+FROM a GROUP BY p_type
+"""
+
+
+def build_supplier_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part")
+    s = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey).select(
+        "p_type",
+        "l_suppkey",
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) div 100"
+        ).alias("dollars"),
+    )
+    a = s.groupBy("p_type", "l_suppkey").agg(F.sum("dollars").alias("rev_d"))
+    return a.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_d").alias("total_dollars"),
+        (
+            F.sum(F.col("rev_d") * F.col("rev_d")).cast("double")
+            / (F.sum("rev_d").cast("double") * F.sum("rev_d"))
+        ).alias("hhi"),
+    )
+
+
+register(
+    "supplier_hhi_by_type",
+    oracle=HHI_ORACLE,
+    doc="Market concentration per part type: Herfindahl index on whole-"
+    "dollar integer revenues (squared sums stay in BIGINT; one final "
+    "division).",
+    tags=("gold", "agg", "bi"),
+)(build_supplier_hhi_by_type)
