@@ -958,3 +958,110 @@ register(
     "division).",
     tags=("gold", "agg", "bi"),
 )(build_supplier_hhi_by_type)
+
+
+# ---------------------------------------------------------------------------
+# supplier_geo_reach — distribution reach: how many distinct customer
+# nations each supplier ships to, plus order volume. countDistinct over
+# the 3-way join; dims broadcast, the fact join shuffles once.
+# ---------------------------------------------------------------------------
+
+GEO_REACH_ORACLE = """
+SELECT s_suppkey, s_name,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_customer_nations,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+def build_supplier_geo_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
+    supplier = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_customer_nations"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+register(
+    "supplier_geo_reach",
+    oracle=GEO_REACH_ORACLE,
+    doc="Supplier distribution reach: distinct customer nations + orders "
+    "served (multi-countDistinct over the broadcast-dim fact join).",
+    tags=("gold", "agg", "bi"),
+)(build_supplier_geo_reach)
+
+
+# ---------------------------------------------------------------------------
+# size_price_correlation — EXACT-input Pearson r per brand: all five
+# moments (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums (size is a
+# small int, price in cents), and r is assembled with the IDENTICAL
+# expression on both engines — sqrt is IEEE-correctly-rounded, so the
+# doubles agree bit-for-bit. The builtin corr() accumulates in floats
+# and is order-sensitive; this decomposition is not.
+# ---------------------------------------------------------------------------
+
+CORRELATION_ORACLE = """
+WITH m AS (
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_size) AS BIGINT) AS sx,
+           CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(p_size * CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sxy,
+           CAST(SUM(p_size * p_size) AS BIGINT) AS sxx,
+           CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)
+                    * CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS syy
+    FROM part GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+FROM m
+"""
+
+
+def build_size_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    part = spread(table(spark, sf_dir, "part"), spark)
+    cents = scaled_long("p_retailprice")
+    m = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_size").cast("long")).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(F.col("p_size").cast("long") * cents).alias("sxy"),
+        F.sum(F.col("p_size").cast("long") * F.col("p_size")).alias("sxx"),
+        F.sum(cents * cents).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select("p_brand", "n", (num / den).alias("pearson_r"))
+
+
+register(
+    "size_price_correlation",
+    oracle=CORRELATION_ORACLE,
+    doc="Exact-input Pearson r per brand: five integer moments + the "
+    "identical sqrt expression on both engines (order-insensitive, "
+    "unlike float-accumulating corr()).",
+    tags=("gold", "agg", "stats"),
+)(build_size_price_correlation)
