@@ -3125,3 +3125,74 @@ register(
     "counts over one scan x 6-row broadcast (the quantile inverse).",
     tags=("relational", "agg", "stats"),
 )(build_order_value_ecdf)
+
+
+# ---------------------------------------------------------------------------
+# value_five_number_summary — boxplot statistics per event type: min, Q1,
+# median, Q3, max — every quartile picked EXACTLY by row_number selection
+# (discrete quartiles at k = ceil(n/4), (n+1)//2, ceil(3n/4); the same
+# deterministic decomposition as median_price_by_status, three cuts in
+# one window pass). Values quantized to integer micro-units for
+# cross-engine selection parity.
+# ---------------------------------------------------------------------------
+
+FIVE_NUM_ORACLE = """
+WITH c AS (
+    SELECT event_type, event_id,
+           CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v
+    FROM events
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY v, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM c
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(v) AS DOUBLE) / 1000000.0 AS min_v,
+       CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) AS DOUBLE)
+           / 1000000.0 AS q1,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE)
+           / 1000000.0 AS median_v,
+       CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS DOUBLE)
+           / 1000000.0 AS q3,
+       CAST(MAX(v) AS DOUBLE) / 1000000.0 AS max_v
+FROM r GROUP BY event_type
+"""
+
+
+def build_value_five_number_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    c = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def cut(expr: str):
+        return F.max(F.when(F.col("rn") == F.expr(expr), F.col("v")))
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.min("v").cast("double") / 1000000.0).alias("min_v"),
+        (cut("(n + 3) div 4").cast("double") / 1000000.0).alias("q1"),
+        (cut("(n + 1) div 2").cast("double") / 1000000.0).alias("median_v"),
+        (cut("(3 * n + 3) div 4").cast("double") / 1000000.0).alias("q3"),
+        (F.max("v").cast("double") / 1000000.0).alias("max_v"),
+    )
+
+
+register(
+    "value_five_number_summary",
+    oracle=FIVE_NUM_ORACLE,
+    doc="Boxplot five-number summary per event type: exact discrete "
+    "quartiles via three row_number cuts in one window pass "
+    "(micro-unit integer selection parity).",
+    tags=("relational", "window", "stats"),
+)(build_value_five_number_summary)
