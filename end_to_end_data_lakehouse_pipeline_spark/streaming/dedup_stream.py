@@ -12,8 +12,14 @@ only ever grows by deduped documents; arrival order is the tiebreak
 Exactly-once: both sinks write to a deterministic ``batch_<id>``
 subdirectory in OVERWRITE mode, so a micro-batch redelivered after a
 crash rewrites the same files instead of appending duplicates (the
-standard foreachBatch idempotence pattern); reads use
-recursiveFileLookup to see every committed batch directory.
+standard foreachBatch idempotence pattern). Crucially, the corpus read
+inside the gate EXCLUDES the current batch's own ``batch_<id>``
+directory: a batch redelivered after its corpus write landed but before
+the checkpoint committed would otherwise see its own survivors as
+"corpus", self-match every one of them, and overwrite its corpus
+directory empty — silent data loss. Excluding the self-directory makes
+the gate a pure function of (batch, corpus-before-this-batch), so the
+redelivered run recomputes byte-identical outputs.
 
 Within-batch NEAR-dup pairs (non-identical but similar docs arriving in
 the same micro-batch) are both admitted — catching them needs the
@@ -50,12 +56,103 @@ def _prep(docs: DataFrame) -> DataFrame:
     )
 
 
-def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
-    return (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(corpus_path)
-        .select("doc_id", "text")
+def _read_corpus(
+    spark: SparkSession, corpus_path: str, exclude_batch_id: int | None = None
+) -> DataFrame | None:
+    """Read every committed corpus path EXCEPT the current batch's own dir.
+
+    The corpus layout is root-level part files (an optional seed corpus)
+    plus one ``batch_<id>`` subdirectory per committed micro-batch. Under
+    redelivery the current batch's own directory may already exist from
+    the crashed attempt — it must not be treated as corpus (see module
+    docstring). Returns None when nothing but the excluded directory
+    exists (the redelivered-first-batch case).
+
+    Local-FS listing; on a real cluster this would be the Hadoop
+    FileSystem API over the same layout (one listStatus, no data read).
+    """
+    if not os.path.exists(corpus_path):
+        return None
+    excluded = None if exclude_batch_id is None else f"batch_{exclude_batch_id}"
+    paths = []
+    for entry in sorted(os.listdir(corpus_path)):
+        full = os.path.join(corpus_path, entry)
+        if os.path.isdir(full):
+            if entry.startswith("batch_") and entry != excluded:
+                paths.append(full)
+        elif entry.endswith(".parquet"):  # seed-corpus part files
+            paths.append(full)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths).select("doc_id", "text")
+
+
+def gate_batch(
+    batch_df: DataFrame, batch_id: int, corpus_path: str, matches_path: str
+) -> None:
+    """One micro-batch of the admission gate — a pure function of
+    (batch, corpus-before-this-batch): safe to re-run with the same
+    batch_id after a crash (redelivery recomputes identical outputs
+    because the corpus read excludes this batch's own directory).
+    """
+    if batch_df.isEmpty():  # empty-batch skip (same contract as bronze)
+        return
+    spark = batch_df.sparkSession
+    # intra-batch exact dedup: min doc_id per fingerprint wins
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        _prep(batch_df)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .cache()
     )
+    try:
+        corpus_raw = _read_corpus(spark, corpus_path, exclude_batch_id=batch_id)
+        if corpus_raw is not None:
+            corpus = _prep(corpus_raw).cache()
+            # exact matches for EVERY batch doc (even too short to
+            # shingle): min corpus doc per fingerprint is the winner
+            corpus_fp = corpus.groupBy("fp").agg(
+                F.min("doc_id").alias("corpus_doc")
+            )
+            exact = batch.join(corpus_fp, "fp").select(
+                F.col("doc_id").alias("batch_doc"),
+                "corpus_doc",
+                F.lit(1.0).alias("jaccard"),
+                F.lit("exact").alias("match_type"),
+            )
+            # near matches for shingle-able docs not already exact-matched
+            shingled = batch.filter(F.size("sh") > 0).join(
+                exact.select(F.col("batch_doc").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+            near = incremental_dedup_from(
+                corpus.filter(F.size("sh") > 0), shingled
+            ).filter(F.col("match_type") == "near")
+            matches = exact.unionByName(near).cache()
+            try:
+                matches.write.mode("overwrite").parquet(
+                    os.path.join(matches_path, f"batch_{batch_id}")
+                )
+                survivors = batch.join(
+                    matches.select(F.col("batch_doc").alias("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
+                survivors.select("doc_id", "text").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(corpus_path, f"batch_{batch_id}"))
+            finally:
+                matches.unpersist()
+                corpus.unpersist()
+        else:
+            batch.select("doc_id", "text").write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"batch_{batch_id}")
+            )
+    finally:
+        batch.unpersist()
 
 
 def incremental_dedup_sink(
@@ -76,63 +173,7 @@ def incremental_dedup_sink(
     """
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():  # empty-batch skip (same contract as bronze)
-            return
-        spark = batch_df.sparkSession
-        # intra-batch exact dedup: min doc_id per fingerprint wins
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        batch = (
-            _prep(batch_df)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .cache()
-        )
-        try:
-            if os.path.exists(corpus_path):
-                corpus = _prep(_read_corpus(spark, corpus_path)).cache()
-                # exact matches for EVERY batch doc (even too short to
-                # shingle): min corpus doc per fingerprint is the winner
-                corpus_fp = corpus.groupBy("fp").agg(
-                    F.min("doc_id").alias("corpus_doc")
-                )
-                exact = batch.join(corpus_fp, "fp").select(
-                    F.col("doc_id").alias("batch_doc"),
-                    "corpus_doc",
-                    F.lit(1.0).alias("jaccard"),
-                    F.lit("exact").alias("match_type"),
-                )
-                # near matches for shingle-able docs not already exact-matched
-                shingled = batch.filter(F.size("sh") > 0).join(
-                    exact.select(F.col("batch_doc").alias("doc_id")),
-                    "doc_id",
-                    "left_anti",
-                )
-                near = incremental_dedup_from(
-                    corpus.filter(F.size("sh") > 0), shingled
-                ).filter(F.col("match_type") == "near")
-                matches = exact.unionByName(near).cache()
-                try:
-                    matches.write.mode("overwrite").parquet(
-                        os.path.join(matches_path, f"batch_{batch_id}")
-                    )
-                    survivors = batch.join(
-                        matches.select(F.col("batch_doc").alias("doc_id")),
-                        "doc_id",
-                        "left_anti",
-                    )
-                    survivors.select("doc_id", "text").write.mode(
-                        "overwrite"
-                    ).parquet(os.path.join(corpus_path, f"batch_{batch_id}"))
-                finally:
-                    matches.unpersist()
-                    corpus.unpersist()
-            else:
-                batch.select("doc_id", "text").write.mode("overwrite").parquet(
-                    os.path.join(corpus_path, f"batch_{batch_id}")
-                )
-        finally:
-            batch.unpersist()
+        gate_batch(batch_df, batch_id, corpus_path, matches_path)
 
     writer = (
         doc_stream.writeStream.foreachBatch(gate)

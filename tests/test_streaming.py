@@ -451,6 +451,59 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
     assert 105 not in matches
 
 
+def test_streaming_dedup_gate_redelivery_idempotent(spark, tmp_path):
+    # Crash-redelivery contract: a micro-batch whose corpus/matches writes
+    # LANDED but whose checkpoint did NOT commit is redelivered; the rerun
+    # must not see its own survivors as corpus (self-match → empty corpus
+    # dir = silent data loss). gate_batch is the foreachBatch body.
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.dedup_stream import (
+        gate_batch,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    matches_path = str(tmp_path / "matches")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    b0 = spark.createDataFrame([(0, base), (1, "tiny doc")], ["doc_id", "text"])
+    gate_batch(b0, 0, corpus_path, matches_path)
+
+    b1 = spark.createDataFrame(
+        [(100, base), (101, "fresh words never seen before")],
+        ["doc_id", "text"],
+    )
+    gate_batch(b1, 1, corpus_path, matches_path)
+
+    def snapshot():
+        corpus = sorted(
+            r.doc_id
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(corpus_path)
+            .collect()
+        )
+        matches = sorted(
+            (r.batch_doc, r.corpus_doc, r.match_type)
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(matches_path)
+            .collect()
+        )
+        return corpus, matches
+
+    first = snapshot()
+    assert first == ([0, 1, 101], [(100, 0, "exact")])
+
+    # Redeliver batch 1 (same id): outputs must be recomputed identically —
+    # in particular corpus batch_1 must NOT become empty and matches must
+    # NOT contain 101 self-matching itself.
+    gate_batch(b1, 1, corpus_path, matches_path)
+    assert snapshot() == first
+
+    # Redeliver batch 0 too (first-batch redelivery: corpus contains ONLY
+    # its own directory plus later batches' — batch_0's own dir excluded).
+    gate_batch(b0, 0, corpus_path, matches_path)
+    corpus_after, _ = snapshot()
+    assert corpus_after == [0, 1, 101]
+
+
 def test_streaming_trending_topk(spark, tmp_path):
     # Windowed counts maintained by the state store; each micro-batch
     # re-ranks the touched windows and overwrites the serving snapshot.
