@@ -215,15 +215,117 @@ def streaming_trending_topk(
     )
 
     def topk_of_batch(batch_df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window as W
-
-        rank_w = W.partitionBy("window_start").orderBy(
-            F.col("n_events").desc(), F.col("event_type").asc()
-        )
-        return (
-            batch_df.withColumn("rnk", F.row_number().over(rank_w))
-            .filter(F.col("rnk") <= k)
-            .drop("rnk")
-        )
+        """Per-batch transform (call it INSIDE a foreachBatch function —
+        the signature is (batch_df) -> DataFrame, not foreachBatch's
+        (df, epoch_id) -> None). Ranks only the rows present in batch_df,
+        so it is complete only when batch_df carries every group of the
+        touched windows (single-batch availableNow drains). For
+        multi-batch streams use :func:`merge_topk_batch`, which merges
+        the update-mode delta with the persisted counts first."""
+        return _rank_topk(batch_df, k)
 
     return counts, topk_of_batch
+
+
+def _rank_topk(counts_df: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    rank_w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts_df.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def merge_topk_batch(
+    batch_df: DataFrame, counts_path: str, topk_path: str, k: int
+) -> None:
+    """Multi-batch-correct top-k maintenance (the foreachBatch body of
+    :func:`trending_topk_sink`).
+
+    Update mode emits only the (window, event_type) groups whose counts
+    CHANGED this micro-batch — not every group of a touched window — so
+    ranking the batch alone would replace a window's correct top-k with a
+    ranking over the changed subset. This merges the batch delta into a
+    persisted full counts table first, then re-ranks each touched window
+    from its complete merged counts. Both writes use dynamic partition
+    overwrite on window_key, so only touched windows' partitions are
+    rewritten (at 100 TB: O(touched windows), not O(history)).
+
+    Idempotent under redelivery: state-store counts are absolute (not
+    deltas), so re-merging the same batch leaves the counts table — and
+    therefore the ranking — unchanged.
+    """
+    import os
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch = batch_df.withColumn(
+        "window_key", F.date_format("window_start", "yyyyMMddHHmmss")
+    ).cache()
+    try:
+        if os.path.exists(counts_path):
+            touched = batch.select("window_key").distinct()
+            carry = (
+                spark.read.parquet(counts_path)
+                # partition-dir values are type-inferred on read (the all-
+                # digit key comes back bigint) — pin back to string
+                .withColumn("window_key", F.col("window_key").cast("string"))
+                .join(touched, "window_key", "left_semi")
+                .join(
+                    batch.select("window_key", "event_type"),
+                    ["window_key", "event_type"],
+                    "left_anti",
+                )
+            )
+            merged = batch.unionByName(carry)
+        else:
+            merged = batch
+        merged = merged.cache()
+        try:
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("window_key").parquet(counts_path)
+            _rank_topk(merged, k).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("window_key").parquet(topk_path)
+        finally:
+            merged.unpersist()
+    finally:
+        batch.unpersist()
+
+
+def trending_topk_sink(
+    events: DataFrame,
+    counts_path: str,
+    topk_path: str,
+    checkpoint_path: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire :func:`streaming_trending_topk` counts to the multi-batch-
+    correct serving sink: state store maintains windowed counts, each
+    micro-batch merges its update-mode delta into the persisted counts
+    table and re-ranks only the touched windows (see merge_topk_batch)."""
+    counts, _ = streaming_trending_topk(
+        events, k=k, window=window, watermark=watermark, ts_col=ts_col
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        merge_topk_batch(batch_df, counts_path, topk_path, k)
+
+    writer = (
+        counts.writeStream.foreachBatch(update)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -506,11 +506,14 @@ def test_streaming_dedup_gate_redelivery_idempotent(spark, tmp_path):
 
 def test_streaming_trending_topk(spark, tmp_path):
     # Windowed counts maintained by the state store; each micro-batch
-    # re-ranks the touched windows and overwrites the serving snapshot.
+    # merges its update-mode delta into the persisted counts table and
+    # re-ranks the touched windows. Two drains: the second batch updates
+    # ONLY signup — update mode emits just that group, so a rank over the
+    # batch alone would serve a wrong top-k (the bug this test pins).
     import json as _json
 
     from end_to_end_data_lakehouse_pipeline_spark.streaming.aggregates import (
-        streaming_trending_topk,
+        trending_topk_sink,
     )
 
     src = tmp_path / "events_in"
@@ -525,27 +528,47 @@ def test_streaming_trending_topk(spark, tmp_path):
             )
     (src / "events.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
 
-    stream = spark.readStream.schema("ts TIMESTAMP, event_type STRING").json(
-        str(src)
-    )
-    counts, topk_of_batch = streaming_trending_topk(stream, k=2)
-    out = str(tmp_path / "trending")
+    counts_path = str(tmp_path / "trending_counts")
+    topk_path = str(tmp_path / "trending_topk")
 
-    def sink(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        topk_of_batch(batch_df).write.mode("overwrite").parquet(out)
+    def drain():
+        stream = spark.readStream.schema(
+            "ts TIMESTAMP, event_type STRING"
+        ).json(str(src))
+        q = trending_topk_sink(
+            stream,
+            counts_path,
+            topk_path,
+            str(tmp_path / "ckpt"),
+            k=2,
+            available_now=True,
+        )
+        q.awaitTermination(120)
 
-    q = (
-        counts.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-
-    snap = spark.read.parquet(out).collect()
+    drain()
+    snap = spark.read.parquet(topk_path).collect()
     assert sorted(r.event_type for r in snap) == ["click", "view"]
     by_type = {r.event_type: r.n_events for r in snap}
     assert by_type["view"] == 5 and by_type["click"] == 3
+
+    # Batch 2: 4 more signup events in the same window → signup 1→5.
+    # Update mode emits ONLY (window, signup); the serving top-2 must
+    # become view=5, signup=5 — possible only by merging with the
+    # persisted counts for the touched window before ranking.
+    rows2 = [
+        {"ts": f"2024-01-01 10:4{j}:00", "event_type": "signup"}
+        for j in range(4)
+    ]
+    (src / "events2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    drain()
+
+    snap2 = spark.read.parquet(topk_path).collect()
+    by_type2 = {r.event_type: r.n_events for r in snap2}
+    # tiebreak is event_type asc at n=5: signup before view
+    assert by_type2 == {"signup": 5, "view": 5}
+
+    # the counts table holds every group of the window, merged
+    counts_now = {
+        r.event_type: r.n_events for r in spark.read.parquet(counts_path).collect()
+    }
+    assert counts_now == {"view": 5, "click": 3, "purchase": 2, "signup": 5}
