@@ -234,7 +234,9 @@ register(
 
 # ---------------------------------------------------------------------------
 # product_performance — per-part sales rollup joined to part attributes
-# (batch_gold.py:224-256). part is broadcast: it is the small dim side.
+# (batch_gold.py:224-256). part joins un-hinted: AQE auto-broadcasts it
+# while it fits the threshold and key-partitions beyond — an explicit hint
+# would be honored even at 100 TB and OOM the driver.
 # ---------------------------------------------------------------------------
 
 PRODUCT_PERF_ORACLE = f"""
@@ -259,7 +261,7 @@ def build_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
     part = table(spark, sf_dir, "part")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)  # J3
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)  # J3
         .groupBy("p_partkey", "p_name", "p_brand", "p_type")
         .agg(
             F.count(F.lit(1)).alias("times_sold"),
@@ -275,7 +277,7 @@ def build_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "product_performance",
     oracle=PRODUCT_PERF_ORACLE,
-    doc="Per-product sales metrics, broadcast dim join (batch_gold.py:224-256).",
+    doc="Per-product sales metrics, AQE-broadcast dim join (batch_gold.py:224-256).",
     tags=("gold", "agg", "broadcast"),
 )(build_product_performance)
 
@@ -362,7 +364,7 @@ def build_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     n = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(scaled_long("o_totalprice")).alias("rev_c"))
@@ -728,7 +730,7 @@ def build_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     n = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -796,7 +798,7 @@ def build_brand_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     orders = table(spark, sf_dir, "orders")
     b = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.year(F.col("o_orderdate").cast("date")).alias("y"), "p_brand"
@@ -869,7 +871,7 @@ def build_customer_wallet_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     orders = table(spark, sf_dir, "orders")
     cb = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey", "p_brand")
         .agg(F.sum(scaled_long("l_extendedprice")).alias("rev_c"))
@@ -932,7 +934,7 @@ def build_supplier_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
     part = table(spark, sf_dir, "part")
-    s = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey).select(
+    s = lineitem.join(part, lineitem.l_partkey == part.p_partkey).select(
         "p_type",
         "l_suppkey",
         F.expr(
@@ -984,9 +986,9 @@ def build_supplier_geo_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     return (
-        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.countDistinct("c_nationkey").alias("n_customer_nations"),

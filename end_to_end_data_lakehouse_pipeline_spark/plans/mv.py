@@ -108,7 +108,8 @@ register(
 
 # ---------------------------------------------------------------------------
 # A11 — mv_category_sales (04:47-59): join product dim, group by category.
-# p_type plays the category; part broadcasts (J5).
+# p_type plays the category; part joins un-hinted — AQE broadcasts it
+# under the auto threshold, key-partitions at scale (J5).
 # ---------------------------------------------------------------------------
 
 MV_CATEGORY_ORACLE = f"""
@@ -130,7 +131,7 @@ def build_mv_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        li.join(part, li.l_partkey == part.p_partkey, "left")
         .groupBy(F.col("p_type").alias("category"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -145,7 +146,7 @@ def build_mv_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "mv_category_sales",
     oracle=MV_CATEGORY_ORACLE,
-    doc="Category MV: broadcast dim join then group (04_materialized_views.sql:47-59).",
+    doc="Category MV: AQE-broadcast dim join then group (04_materialized_views.sql:47-59).",
     tags=("mv", "agg", "broadcast"),
 )(build_mv_category_sales)
 
@@ -223,7 +224,7 @@ def build_mv_seller_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "left")
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey, "left")
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
         .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .agg(

@@ -937,7 +937,7 @@ def build_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "l_partkey")
         .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
@@ -2471,7 +2471,7 @@ def build_qty_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum = F.sum(scaled_long("l_extendedprice") * F.col("l_quantity").cast("long"))
     qsum = F.sum(F.col("l_quantity").cast("long"))
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
             wsum.alias("weighted_cents"),
@@ -2680,7 +2680,7 @@ def build_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
     part = table(spark, sf_dir, "part")
     ob = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )
@@ -2755,7 +2755,7 @@ def build_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = spread(table(spark, sf_dir, "lineitem"), spark)
     part = table(spark, sf_dir, "part")
     r = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand", "l_partkey")
         .agg(F.sum(scaled_long("l_extendedprice")).alias("rev_c"))
     )

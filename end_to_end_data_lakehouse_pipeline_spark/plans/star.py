@@ -168,11 +168,15 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# fact_order_items — item grain with the explicit broadcast of the
-# order-side enrichment (J3, load_warehouse.py:200: broadcast(orders)).
-# At 100 TB the lineitem side is the giant; the per-order projection we
-# broadcast is narrow (3 columns), and when it outgrows the broadcast
-# threshold AQE falls back to a key-partitioned join on l_orderkey.
+# fact_order_items — item grain with order-side enrichment (J3,
+# load_warehouse.py:200). The reference broadcasts its order projection;
+# here the join is deliberately UN-hinted: orders is a fact that grows
+# with the data, and an explicit F.broadcast() hint is honored regardless
+# of size (AQE never overrides a hint — it only auto-selects broadcast
+# for un-hinted joins under spark.sql.autoBroadcastJoinThreshold). At
+# local SF the narrow 3-column projection still physically broadcasts via
+# the auto threshold; at 100 TB AQE picks a key-partitioned join on
+# l_orderkey instead of OOMing the driver on a forced broadcast.
 # ---------------------------------------------------------------------------
 
 FACT_ORDER_ITEMS_ORACLE = """
@@ -207,7 +211,7 @@ def build_fact_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = lambda c: F.col(c).cast("string")  # noqa: E731
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
         .select(
             F.md5(
                 F.concat_ws(
@@ -238,9 +242,10 @@ def build_fact_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "fact_order_items",
     oracle=FACT_ORDER_ITEMS_ORACLE,
-    doc="Item-grain fact with broadcast order enrichment (J3, "
+    doc="Item-grain fact with order enrichment (J3, un-hinted: AQE "
+    "auto-broadcasts under threshold, partitions beyond it; "
     "load_warehouse.py:200; 03_fact_tables.sql).",
-    tags=("star", "fact", "broadcast"),
+    tags=("star", "fact"),
 )(build_fact_order_items)
 
 

@@ -1,0 +1,236 @@
+"""Oracle-checked streaming drains (VERDICT r2 task 4).
+
+The streaming surface (streaming/aggregates.py, streaming/sessionize.py)
+was pytest-only: exercised by unit tests but absent from the registered,
+DuckDB-diffed query surface. These entries drive the REAL streaming
+operators — file-source ``readStream`` → watermarked stateful transform →
+``trigger(availableNow=True)`` drain — and return the drained result as a
+batch DataFrame, so the driver's oracle compare covers the streaming
+execution path end-to-end (reference anchor: streaming_bronze.py:95-110's
+micro-batch machinery, upgraded with the ST4-ST6 stateful operators).
+
+Determinism notes:
+- One parquet file per table → availableNow processes it as one
+  micro-batch; results are a pure function of the input file.
+- Money/value sums stream as scaled-integer cents (plans/parity.py
+  convention) — long sums are exact under any execution order, unlike
+  double sums.
+- Fresh uuid-named checkpoints/sinks per call: no state leaks between
+  runs, every call recomputes from scratch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.aggregates import streaming_daily_sales, trending_topk_sink
+from ..streaming.sessionize import sessionize
+from .registry import register
+
+_GAP_MINUTES = 30
+_TOPK_K = 3
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with the same nanos->
+    timestamp conversion catalog.table() applies to the batch scan."""
+    from ..catalog import table
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")  # schema probe
+    # catalog.table set nanosAsLong+UTC already via the probe path below;
+    # do it explicitly so the stream read is self-sufficient
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = spark.readStream.schema(batch.schema).parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    dtypes = dict(stream.dtypes)
+    if dtypes.get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    del table  # imported for parity documentation only
+    return stream
+
+
+def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """availableNow drain into a uniquely-named memory sink; returns the
+    sink contents as a batch DataFrame."""
+    name = f"drain_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+STREAMING_DAILY_SALES_ORACLE = """
+SELECT
+    CAST(ts AS DATE) AS day,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_value,
+    ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+          / COUNT(*) / 100.0, 6) AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+def streaming_daily_sales_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 through the real streaming path: watermark + 1-day event-time
+    window maintained by the state store, drained with availableNow into
+    a complete-mode memory sink. Values stream as cents (exact long sums);
+    the final select converts back and recomputes avg from the exact sum."""
+    events = _events_stream(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    daily = streaming_daily_sales(events, value_col="value_cents")
+    out = _drain_to_memory(daily, "complete")
+    return out.select(
+        "day",
+        "n_events",
+        (F.col("total_value").cast("double") / 100.0).alias("total_value"),
+        F.round(
+            F.col("total_value").cast("double") / F.col("n_events") / 100.0, 6
+        ).alias("avg_value"),
+    )
+
+
+register(
+    "streaming_daily_sales_drain",
+    oracle=STREAMING_DAILY_SALES_ORACLE,
+    doc="ST5 watermarked daily window agg drained via availableNow; exact "
+    "cents sums (streaming/aggregates.py:29; 04_materialized_views.sql:11-25).",
+    tags=("streaming", "agg", "drain"),
+)(streaming_daily_sales_drain)
+
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {_GAP_MINUTES} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+    SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING
+    ) AS sid
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id, sid,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+           MAX(MAX(sid)) OVER (PARTITION BY user_id) AS max_sid
+    FROM numbered
+    GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM sessions
+WHERE sid < max_sid  -- the final session per user is still OPEN in-stream
+"""
+
+
+def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 through the real streaming path: gap-based sessionization via
+    applyInPandasWithState, drained with availableNow. Emits CLOSED
+    sessions only (each user's last session stays open in state) — the
+    oracle is the gaps-and-islands SQL minus each user's final island.
+    Values stream as integral cents-doubles so the in-state accumulation
+    is exact in any order."""
+    events = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        (F.round(F.col("value") * 100, 0)).alias("value"),  # integral double
+    )
+    sessions = sessionize(events, gap_minutes=_GAP_MINUTES)
+    out = _drain_to_memory(sessions, "append")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        (F.col("total_value") / 100.0).alias("total_value"),
+    )
+
+
+register(
+    "streaming_sessionize_drain",
+    oracle=SESSIONIZE_ORACLE,
+    doc="ST6 applyInPandasWithState sessionization drained via availableNow; "
+    "gaps-and-islands oracle (streaming/sessionize.py:47).",
+    tags=("streaming", "stateful", "drain"),
+)(streaming_sessionize_drain)
+
+
+TRENDING_TOPK_ORACLE = f"""
+WITH counts AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start
+        ORDER BY n_events DESC, event_type ASC
+    ) AS rnk
+    FROM counts
+)
+SELECT window_start, event_type, n_events
+FROM ranked
+WHERE rnk <= {_TOPK_K}
+"""
+
+
+def streaming_trending_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k through the full serving pipeline: windowed counts in
+    the state store → update-mode foreachBatch merge into a persisted
+    counts table → per-window re-rank with dynamic partition overwrite
+    (streaming/aggregates.py merge_topk_batch — the multi-batch-correct
+    path, exercised here under the driver's oracle compare)."""
+    events = _events_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="topk_drain_")
+    counts_path = os.path.join(base, "counts")
+    topk_path = os.path.join(base, "topk")
+    q = trending_topk_sink(
+        events,
+        counts_path,
+        topk_path,
+        os.path.join(base, "ckpt"),
+        k=_TOPK_K,
+        window="1 hour",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(topk_path).select(
+        "window_start", "event_type", "n_events"
+    )
+
+
+register(
+    "streaming_trending_topk_drain",
+    oracle=TRENDING_TOPK_ORACLE,
+    doc="Hourly trending top-k through the update-mode merge+re-rank serving "
+    "sink (streaming/aggregates.py merge_topk_batch).",
+    tags=("streaming", "topk", "drain"),
+)(streaming_trending_topk_drain)

@@ -77,7 +77,7 @@ def build_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(_dt("l_shipdate") > F.lit("1998-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", _dt("o_orderdate").alias("order_date"))
         .agg(exact_sum(_revenue(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("order_date").asc(), F.col("l_orderkey").asc())
@@ -135,9 +135,9 @@ def build_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(asia_supp),
+            asia_supp,
             (li.l_suppkey == asia_supp.s_suppkey)
             & (cust.c_nationkey == asia_supp.s_nationkey),
         )
@@ -227,7 +227,7 @@ def build_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(exact_sum(_revenue(), "revenue"))
@@ -274,7 +274,7 @@ def build_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.round(_revenue() * 100, 0).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 100.0
@@ -335,8 +335,8 @@ def build_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > Q18_QTY)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -469,9 +469,9 @@ def build_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -553,10 +553,10 @@ def build_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(table(spark, sf_dir, "lineitem"), spark)
     cents = F.round(_revenue() * 100, 0).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(F.year(_dt("o_orderdate")).alias("o_year"), cents.alias("cents"), "nation")
         .groupBy("o_year")
         .agg(
@@ -729,7 +729,7 @@ def build_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("cents") == F.col("max_cents"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -788,8 +788,8 @@ def build_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
     )
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_suppkey"), "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -840,7 +840,7 @@ def build_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(table(spark, sf_dir, "lineitem"), spark)
     w = Window.partitionBy("l_partkey")
     t = (
-        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        li.join(part, li.l_partkey == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .withColumn("sq", F.sum("l_quantity").over(w))
         .withColumn("cq", F.count(F.lit(1)).over(w))
@@ -895,7 +895,7 @@ def build_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#18") & F.col("p_size").between(1, 15) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(exact_sum(_revenue(), "revenue"))
     )

@@ -1,0 +1,164 @@
+"""Plan-property regression tests: scale-safety invariants of the
+physical/logical plans, independent of result correctness.
+
+The key invariant (VERDICT r2 finding #1): explicit ``F.broadcast()``
+hints are honored by Spark REGARDLESS of actual size — AQE only
+auto-selects broadcast for un-hinted joins under
+``spark.sql.autoBroadcastJoinThreshold``. A hint on a table that grows
+with the data (customer / part / supplier / orders and any keyed subset
+of them) therefore OOMs at 100× even though it is fast at sf0.1. These
+tests fail if such a hint is ever reintroduced, while proving that the
+genuinely-bounded sides (nation / region, scalar re-aggregates, capped
+candidate sets) still physically broadcast.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import re
+
+import pytest
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "end_to_end_data_lakehouse_pipeline_spark",
+)
+
+# Every F.broadcast(<first-arg>) in the package must name a side that is
+# bounded INDEPENDENT of data volume:
+#   nation/region        — constant-size reference tables
+#   prev/m1/m2           — per-month / per-brand re-aggregates (domain-bounded)
+#   total/mx/avg_bal     — scalar (1-row) re-aggregates
+#   probes/query/cand/seeds/cent/cent_df/lut/coeffs — K-row ANN/k-means state
+#   lsh/ivf/pq           — per-query top-k candidate sets (capped by k)
+#   bench_g              — contamination benchmark shingles (fixed benchmark)
+#   vocab/top_terms/tot/cp — capped vocab / per-language totals
+#   dim                  — stream-dim join helper (contract: caller passes a
+#                          bounded dim; documented in its docstring)
+#   daily                — per-day re-aggregate (calendar-bounded)
+#   keys                 — GDPR erasure subject list (request-batch-bounded)
+ALLOWED_BROADCAST_ARGS = {
+    "nation",
+    "region",
+    "prev",
+    "m1",
+    "m2",
+    "probes",
+    "total",
+    "mx",
+    "avg_bal",
+    "query",
+    "cand",
+    "seeds",
+    "cent",
+    "cent_df",
+    "lut",
+    "coeffs",
+    "lsh",
+    "ivf",
+    "pq",
+    "bench_g",
+    "vocab",
+    "top_terms",
+    "tot",
+    "cp",
+    "dim",
+    "daily",
+    "keys",
+    "subject_keys",  # GDPR erasure subject list (request-batch-bounded)
+}
+
+FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}
+
+
+def test_no_broadcast_hint_on_data_proportional_tables():
+    hint_re = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    offenders = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                src = f.read()
+            for m in hint_re.finditer(src):
+                arg = m.group(1)
+                line = src[: m.start()].count("\n") + 1
+                # a driver-side K-row literal DF is bounded by construction
+                if "createDataFrame" in src[m.start() : m.start() + 120]:
+                    continue
+                if arg in FORBIDDEN:
+                    offenders.append(f"{path}:{line} F.broadcast({arg})")
+                elif arg not in ALLOWED_BROADCAST_ARGS:
+                    offenders.append(
+                        f"{path}:{line} F.broadcast({arg}) — not in the "
+                        "bounded-side allowlist; add it there ONLY if it is "
+                        "bounded independent of data volume"
+                    )
+    assert not offenders, "\n".join(offenders)
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    for k, v in kv.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _initial_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", ["fact_order_items", "product_performance", "orders_enriched"]
+)
+def test_fact_joins_not_forced_broadcast(spark, sf_dir, name):
+    # With the auto-threshold disabled, NOTHING may broadcast in these
+    # plans — proving no explicit hint forces a data-proportional side.
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        plan = _initial_plan(plans.queries()[name](spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bounded_dims_still_broadcast_by_hint(spark, sf_dir):
+    # nation/region keep their hints (genuinely constant-size): even with
+    # the auto-threshold disabled they must still physically broadcast.
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        plan = _initial_plan(plans.queries()["dim_supplier"](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_fact_joins_auto_broadcast_under_threshold(spark, sf_dir):
+    # At local SF the un-hinted order projection is far under the session
+    # threshold, so the engine still picks a physical broadcast on its
+    # own — removing the hint costs nothing where broadcast is right.
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    plan = _initial_plan(plans.queries()["fact_order_items"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
