@@ -69,3 +69,103 @@ def test_batchwise_merge_equals_fold_model(spark, events, split):
 
     got = {} if current is None else {r.pk: (r.ts, r.payload) for r in current.collect()}
     assert got == _fold_model(batches)
+
+
+# ---------------------------------------------------------------------------
+# BucketedMergeTable: file-level MERGE — only touched PK-hash partitions
+# are rewritten (the DeltaTable.merge cost profile on plain parquet).
+# ---------------------------------------------------------------------------
+
+
+def _partition_fingerprint(path):
+    """{partition_dir: {filename: md5}} for every _pk_bucket=* dir."""
+    import hashlib
+    import os
+
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith("_pk_bucket="):
+            continue
+        files = {}
+        pdir = os.path.join(path, d)
+        for fn in os.listdir(pdir):
+            if fn.endswith(".parquet"):
+                with open(os.path.join(pdir, fn), "rb") as f:
+                    files[fn] = hashlib.md5(f.read()).hexdigest()
+        out[d] = files
+    return out
+
+
+def test_bucketed_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.lakehouse import (
+        BucketedMergeTable,
+    )
+
+    path = str(tmp_path / "silver_orders")
+    t = BucketedMergeTable(spark, path, n_buckets=8)
+    base = spark.range(0, 400).selectExpr(
+        "id AS pk", "CAST(id % 7 AS STRING) AS status", "0L AS ver",
+        "CAST(false AS BOOLEAN) AS _deleted",
+    )
+    t.write_full(base, pks=["pk"])
+    before = _partition_fingerprint(path)
+    assert len(before) == 8  # all buckets populated
+
+    # updates touch 3 specific keys -> at most 3 buckets
+    upd = spark.createDataFrame(
+        [(5, "UPDATED", 1, False), (6, "UPDATED", 1, False), (401, "NEW", 1, False)],
+        "pk LONG, status STRING, ver LONG, _deleted BOOLEAN",
+    )
+    t.merge(upd, pks=["pk"], order_col="ver")
+    after = _partition_fingerprint(path)
+
+    from pyspark.sql import functions as F
+
+    touched = {
+        f"_pk_bucket={r[0]}"
+        for r in upd.select(
+            F.pmod(F.xxhash64("pk"), F.lit(8)).cast("int")
+        ).distinct().collect()
+    }
+    untouched = set(before) - touched
+    assert untouched, "test needs at least one untouched bucket"
+    for d in untouched:  # byte-identical: same filenames, same md5s
+        assert after[d] == before[d], f"untouched partition {d} was rewritten"
+    for d in touched:
+        assert after[d] != before[d]
+
+    rows = {r.pk: r.status for r in t.read().collect()}
+    assert rows[5] == "UPDATED" and rows[6] == "UPDATED" and rows[401] == "NEW"
+    assert rows[7] == "0" and len(rows) == 401
+
+
+def test_bucketed_merge_delete_semantics_and_emptied_bucket(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.lakehouse import (
+        BucketedMergeTable,
+    )
+
+    path = str(tmp_path / "silver_small")
+    t = BucketedMergeTable(spark, path, n_buckets=4)
+    base = spark.createDataFrame(
+        [(1, "a", 0, False), (2, "b", 0, False)],
+        "pk LONG, status STRING, ver LONG, _deleted BOOLEAN",
+    )
+    t.write_full(base, pks=["pk"])
+
+    # delete BOTH rows: any bucket emptied by the merge must not keep its
+    # old files (dynamic overwrite alone would resurrect the rows)
+    dels = spark.createDataFrame(
+        [(1, "a", 1, True), (2, "b", 1, True)],
+        "pk LONG, status STRING, ver LONG, _deleted BOOLEAN",
+    )
+    t.merge(dels, pks=["pk"], order_col="ver")
+    assert t.read().count() == 0
+
+    # re-insert after delete works (and merge is idempotent on replay)
+    ins = spark.createDataFrame(
+        [(1, "z", 2, False)], "pk LONG, status STRING, ver LONG, _deleted BOOLEAN"
+    )
+    t.merge(ins, pks=["pk"], order_col="ver")
+    t.merge(ins, pks=["pk"], order_col="ver")  # replay converges
+    rows = [(r.pk, r.status) for r in t.read().collect()]
+    assert rows == [(1, "z")]
