@@ -46,12 +46,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # do it explicitly so the stream read is self-sufficient
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = spark.readStream.schema(batch.schema).parquet(
-        f"{sf_dir}/events.parquet"
+    # the file stream source requires a DIRECTORY: stream the sf dir with
+    # a glob filter selecting just the events table file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     dtypes = dict(stream.dtypes)
-    if dtypes.get("ts") == "bigint":
+    if dtypes.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtypes.get("ts") == "timestamp_ntz":
+        # watermarks require TIMESTAMP (ltz); session tz is pinned UTC so
+        # the naive->instant interpretation matches the UTC-naive oracle
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     del table  # imported for parity documentation only
     return stream
 
