@@ -41,18 +41,29 @@ NANOS_TS_COLUMNS = {
 }
 
 
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Pin the two read confs the testdata requires, idempotently.
+
+    The driver harness calls ``queries()`` with its OWN vanilla session,
+    so these cannot live only in the session factory (session.py also
+    sets them for repo-created sessions): nanosAsLong lets the reader
+    accept INT64 TIMESTAMP(NANOS) parquet; UTC session tz keeps
+    timestamp rendering parity with the UTC-naive DuckDB oracle. Both
+    are checked before setting — no per-query conf mutation once a
+    session is pinned — and any failure propagates: silently swallowing
+    it would surface later as wrong-timezone RESULTS, not an error."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one table. Catalyst pushes filters/projections into
     this scan (check ``PushedFilters`` / ``ReadSchema`` in .explain)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Timestamps compare against a UTC-naive DuckDB oracle; pin the
-        # session tz so rendering is stable whatever session we were handed.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass  # conf removed/renamed — fall through and hope the reader copes
+    ensure_read_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in NANOS_TS_COLUMNS.get(name, ()):
@@ -71,7 +82,12 @@ def spread(df: DataFrame, spark: SparkSession, parts: int | None = None) -> Data
     >= cores partitions and this is a no-op — no extra shuffle at scale.
     """
     parts = parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parts:
+    # File count, not df.rdd.getNumPartitions(): touching .rdd forces full
+    # plan analysis plus a Python RDD handle on every call — the kind of
+    # driver-side cost that must stay out of hot paths. inputFiles() reads
+    # the already-built file index. Multi-file tables (the scale case)
+    # short-circuit to a no-op with no shuffle.
+    if len(df.inputFiles()) < parts:
         return df.repartition(parts)
     return df
 
