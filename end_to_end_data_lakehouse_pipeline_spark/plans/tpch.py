@@ -975,3 +975,289 @@ register(
     "against recent orders, per-nation rollup.",
     tags=("relational", "join", "tpch"),
 )(build_tpch_q22)
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (VERDICT r2 task 8): the testdata has no partsupp
+# table, so Q2/Q9/Q20 were out of scope. Instead of a side-effect fixture
+# file, partsupp is DERIVED deterministically from part x supplier-count
+# with pure integer arithmetic — the identical rows are computable inline
+# in both engines (Spark: explode(sequence), DuckDB: range(4) lateral),
+# so the oracle needs no extra view. TPC-H-shaped: 4 suppliers per part
+# at stride ~S/4, availqty 1..9999, supplycost 1.00..999.99 exact cents.
+# Scale shape: 4x part rows via explode — no shuffle, embarrassingly
+# parallel; at 100 TB this would be a bucketed materialized table, the
+# derivation itself is the cheap part.
+# ---------------------------------------------------------------------------
+
+PARTSUPP_CTE = """
+sc AS (SELECT COUNT(*) AS s FROM supplier),
+partsupp AS (
+    SELECT
+        p_partkey AS ps_partkey,
+        (p_partkey + t.n * (sc.s // 4 + 1)) % sc.s AS ps_suppkey,
+        CAST((p_partkey * 37 + t.n * 101) % 9999 + 1 AS INTEGER) AS ps_availqty,
+        CAST((p_partkey * 731 + t.n * 4001) % 99900 + 100 AS DOUBLE) / 100.0
+            AS ps_supplycost
+    FROM part, sc, (SELECT range AS n FROM range(4)) t
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp — see PARTSUPP_CTE, its textual oracle twin. The
+    supplier count is one driver-side scalar (S12 shape)."""
+    s_count = table(spark, sf_dir, "supplier").count()
+    step = s_count // 4 + 1
+    part = table(spark, sf_dir, "part").select("p_partkey")
+    exploded = part.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("n"),
+    )
+    return exploded.select(
+        "ps_partkey",
+        ((F.col("ps_partkey") + F.col("n") * step) % s_count).alias("ps_suppkey"),
+        ((F.col("ps_partkey") * 37 + F.col("n") * 101) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            ((F.col("ps_partkey") * 731 + F.col("n") * 4001) % 99900 + 100)
+            .cast("double")
+            / 100.0
+        ).alias("ps_supplycost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: correlated-min subquery over the regional
+# supply chain. Output columns adapted to the schema (p_brand/p_type for
+# the absent p_mfgr; no address/phone/comment).
+# ---------------------------------------------------------------------------
+
+Q2_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()}
+SELECT
+    s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, p.p_type,
+    ps.ps_suppkey, ps.ps_supplycost
+FROM part p
+JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s  ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size < 25 AND p.p_type LIKE '%ECO%' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, ps.ps_suppkey
+LIMIT 100
+"""
+
+
+def build_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated MIN decorrelates to: regional partsupp (partsupp ⋈
+    supplier ⋈ nation ⋈ region-filter), per-part MIN re-aggregate, joined
+    back on (part, cost) — exact-cents costs make the double equality
+    safe. nation/region broadcast (bounded); everything else un-hinted.
+    The part filter prunes BEFORE the join; LIMIT has a total order
+    (ps_suppkey last) so the top-100 is deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 25) & F.col("p_type").like("%ECO%")
+    )
+    sup_geo = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = ps.join(sup_geo, ps.ps_suppkey == sup_geo.s_suppkey)
+    min_cost = regional.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    best = regional.join(
+        min_cost,
+        (regional.ps_partkey == min_cost.ps_partkey)
+        & (regional.ps_supplycost == min_cost.min_cost),
+    ).drop(min_cost.ps_partkey)
+    return (
+        best.join(part, best.ps_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type",
+            "ps_suppkey", "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+    )
+
+
+register(
+    "tpch_q2",
+    oracle=Q2_ORACLE,
+    doc="TPC-H Q2 minimum-cost supplier over the derived partsupp: "
+    "decorrelated per-part MIN + join-back, deterministic top-100.",
+    tags=("relational", "join", "tpch", "partsupp"),
+)(build_tpch_q2)
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year. p_name LIKE 'red%' plays
+# the published '%green%' (the schema's p_name is '<color> <noun>').
+# Lineitem's (partkey, suppkey) pairs hit the 4-per-part derived partsupp
+# on ~4/S of rows — the surviving set is deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+Q9_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()},
+profit AS (
+    SELECT
+        n.n_name AS nation,
+        CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+        l.l_extendedprice * (1 - l.l_discount)
+            - ps.ps_supplycost * l.l_quantity AS amount
+    FROM lineitem l
+    JOIN part p      ON p.p_partkey = l.l_partkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red%'
+)
+SELECT nation, o_year, {o_sum('amount', 'sum_profit')}
+FROM profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def build_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit = revenue − supply cost, per supplier-nation and order
+    year. The name-filtered part set prunes lineitem first (the most
+    selective predicate); partsupp joins on the composite key; nation
+    broadcast; the single big shuffle is lineitem ⋈ orders on orderkey.
+    Exact-cents profit via scaled-integer sums (supplycost is exact
+    cents and quantities are integral, so the per-row amount is an
+    exact cent value on both engines)."""
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ps = _partsupp(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(supplier.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(exact_sum("amount", "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+register(
+    "tpch_q9",
+    oracle=Q9_ORACLE,
+    doc="TPC-H Q9 product-type profit over the derived partsupp: 6-way "
+    "join, exact-cents profit rollup by nation and year.",
+    tags=("relational", "join", "tpch", "partsupp"),
+)(build_tpch_q9)
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion: suppliers in one nation whose available
+# quantity exceeds half of what they shipped in the window. 'red%' parts,
+# 1997 ship-year, NATION_3 (names are synthetic NATION_<k>).
+# ---------------------------------------------------------------------------
+
+Q20_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()},
+shipped AS (
+    SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+    SELECT DISTINCT ps.ps_suppkey
+    FROM partsupp ps
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps.ps_availqty > 0.5 * sh.qty
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN excess e ON e.ps_suppkey = s.s_suppkey
+WHERE n.n_name = 'NATION_3'
+ORDER BY s.s_name
+"""
+
+
+def build_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested IN-chain becomes semi-joins: 1997 shipments pre-
+    aggregate per (part, supplier) BEFORE joining partsupp (map-side
+    partial agg, one shuffle on the composite key); the availqty
+    comparison is exact (integral quantities). The supplier output side
+    is a semi-join against the qualifying-supplier set."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = _partsupp(spark, sf_dir)
+    shipped = (
+        li.filter(
+            (_dt("l_shipdate") >= F.lit("1997-01-01"))
+            & (_dt("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = (
+        ps.join(part.select("p_partkey"), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(excess, supplier.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+register(
+    "tpch_q20",
+    oracle=Q20_ORACLE,
+    doc="TPC-H Q20 potential part promotion over the derived partsupp: "
+    "semi-join chain, pre-aggregated shipment window.",
+    tags=("relational", "join", "tpch", "partsupp"),
+)(build_tpch_q20)
