@@ -162,3 +162,71 @@ def test_fact_joins_auto_broadcast_under_threshold(spark, sf_dir):
 
     plan = _initial_plan(plans.queries()["fact_order_items"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q3",       # c_mktsegment + date range predicates
+        "tpch_q6",       # pure scan-filter-agg: the canonical pushdown shape
+        "tpch_q14",      # shipdate range on the fact scan
+        "tpch_q20",      # shipdate window
+    ],
+)
+def test_filters_reach_the_scan(spark, sf_dir, name):
+    # A predicate that exists in the query must appear as PushedFilters on
+    # at least one parquet scan — an unpushed filter reads 100 TB to drop
+    # most of it post-scan.
+    import re as _re
+
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    plan = _formatted_plan(plans.queries()[name](spark, sf_dir))
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), f"{name}: no non-empty PushedFilters\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mv_daily_sales",
+        "mv_monthly_sales",
+        "mv_seller_performance",
+        "mv_hourly_pattern",
+        "mv_category_sales",
+    ],
+)
+def test_mv_aggregates_have_mapside_partial(spark, sf_dir, name):
+    # Every MV aggregate must combine map-side (partial_*) before its
+    # exchange — a final-only agg shuffles raw fact rows.
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    plan = _formatted_plan(plans.queries()[name](spark, sf_dir))
+    assert "partial_" in plan, f"{name}: no map-side partial aggregation\n{plan}"
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    # CartesianProduct = an un-broadcast cross join: quadratic at scale.
+    # (BroadcastNestedLoopJoin over a 1-row/K-row side is acceptable and
+    # used deliberately by the scalar-enrichment queries.)
+    import bench
+
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    qs = plans.queries()
+    offenders = []
+    for name in bench.HEADLINE + bench.HEAVY:
+        if name not in qs:
+            continue
+        plan = _formatted_plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
