@@ -10,8 +10,12 @@ touching them are ADAPTED, preserving the published plan shape with a
 documented stand-in predicate (Q4: late-shipment EXISTS; Q11/Q16:
 lineitem as the partsupp proxy; Q13: priority for the comment pattern;
 Q17/Q19: brand/size for container/shipmode; Q22: nationkey for the phone
-country code, recent-order NOT EXISTS). Q2/Q12/Q20/Q21 would be pure
-invention without those columns and stay out of scope.
+country code, recent-order NOT EXISTS). Q2/Q9/Q20 run over a
+deterministically DERIVED partsupp (PARTSUPP_CTE below) and Q12/Q21 over
+derived shipmode/commitdate/receiptdate columns (LINEITEM_EXT_CTE) —
+both derivations are pure integer arithmetic on existing keys, computed
+identically inline in Spark and the DuckDB oracle, so all 22 queries are
+implemented and oracle-checked.
 
 Each query is the standard published TPC-H formulation re-expressed as a
 DataFrame plan; constants are adapted to the driver testdata's date range
@@ -1261,3 +1265,206 @@ register(
     "semi-join chain, pre-aggregated shipment window.",
     tags=("relational", "join", "tpch", "partsupp"),
 )(build_tpch_q20)
+
+
+# ---------------------------------------------------------------------------
+# Derived shipping columns (closing the last TPC-H gap): the testdata
+# lineitem has no shipmode / commitdate / receiptdate, so Q12/Q21 were
+# out of scope. Like the derived partsupp above, the three columns are
+# DERIVED deterministically from existing keys with pure integer
+# arithmetic — computable identically inline in both engines, so the
+# oracle needs no extra view. commitdate = shipdate + (partkey % 45)
+# days, receiptdate = shipdate + (suppkey % 30 + 1) days, shipmode from
+# a 7-entry rotation keyed by (orderkey, linenumber). Scale shape: a
+# narrow per-row projection fused into the scan by whole-stage codegen —
+# zero shuffle, zero extra passes.
+# ---------------------------------------------------------------------------
+
+LINEITEM_EXT_CTE = """
+lineitem_ext AS (
+    SELECT *,
+        CASE (l_orderkey * 31 + l_linenumber) % 7
+            WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+            WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL' WHEN 5 THEN 'FOB'
+            ELSE 'REG AIR' END AS l_shipmode,
+        l_shipdate + (l_partkey % 45) * INTERVAL 1 DAY AS l_commitdate,
+        l_shipdate + ((l_suppkey % 30) + 1) * INTERVAL 1 DAY AS l_receiptdate
+    FROM lineitem
+)
+"""
+
+_SHIPMODES = ("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR")
+
+
+def _lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived shipping columns — see LINEITEM_EXT_CTE, its oracle twin."""
+    li = table(spark, sf_dir, "lineitem")
+    modes = F.array(*[F.lit(m) for m in _SHIPMODES])
+    mode_idx = ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7).cast("int")
+    return (
+        li.withColumn("l_shipmode", F.element_at(modes, mode_idx + 1))
+        .withColumn(
+            "l_commitdate",
+            F.expr("timestampadd(DAY, CAST(l_partkey % 45 AS INT), l_shipdate)"),
+        )
+        .withColumn(
+            "l_receiptdate",
+            F.expr("timestampadd(DAY, CAST(l_suppkey % 30 + 1 AS INT), l_shipdate)"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes and order priority. Published formulation over the
+# derived columns; receipt-year window adapted to the testdata date range.
+# ---------------------------------------------------------------------------
+
+Q12_ORACLE = f"""
+WITH {LINEITEM_EXT_CTE.strip()}
+SELECT
+    l_shipmode,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem_ext ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= TIMESTAMP '1997-01-01'
+  AND l_receiptdate < TIMESTAMP '1998-01-01'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
+def build_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three derived-column predicates are scan-side (fused into the
+    lineitem projection before the shuffle), so the orders ⋈ lineitem
+    fact-fact join sees only the ~2/7 x late x in-window survivors. The
+    priority CASE rides the map-side partial aggregate — two longs per
+    shipmode per partition cross the final exchange."""
+    ext = _lineitem_ext(spark, sf_dir).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(ext, orders.o_orderkey == ext.l_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+register(
+    "tpch_q12",
+    oracle=Q12_ORACLE,
+    doc="TPC-H Q12 shipping modes vs order priority over the derived "
+    "shipmode/commitdate/receiptdate columns.",
+    tags=("relational", "join", "tpch", "lineitem_ext"),
+)(build_tpch_q12)
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting. The correlated EXISTS /
+# NOT EXISTS pair decorrelates to a LEFT SEMI join (another supplier has
+# a line in the same order) plus a LEFT ANTI join (no OTHER supplier was
+# late in that order) — both hash joins on l_orderkey with the suppkey
+# inequality as a residual, never a cartesian. NATION_7 plays the
+# published 'SAUDI ARABIA'.
+# ---------------------------------------------------------------------------
+
+Q21_ORACLE = f"""
+WITH {LINEITEM_EXT_CTE.strip()}
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem_ext l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND n_name = 'NATION_7'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem_ext l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_receiptdate > l3.l_commitdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def build_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti decorrelation of the published double-EXISTS. The late
+    filter and 'F'-status semi-join shrink l1 before the (orderkey-keyed)
+    semi/anti joins; all three lineitem passes shuffle on the SAME key
+    (l_orderkey), so AQE can reuse the exchange partitioning. The
+    supplier ⋈ nation lookup joins last, on the already-tiny survivor
+    set. Top-100 has a total order (s_name tiebreak)."""
+    late = _lineitem_ext(spark, sf_dir).filter(
+        F.col("l_receiptdate") > F.col("l_commitdate")
+    )
+    orders_f = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = late.select("l_orderkey", "l_suppkey").join(
+        orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    others = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o2_orderkey"),
+            F.col("l_suppkey").alias("o2_suppkey"),
+        )
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    l1 = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(sup, l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+register(
+    "tpch_q21",
+    oracle=Q21_ORACLE,
+    doc="TPC-H Q21 suppliers who kept orders waiting: semi/anti "
+    "decorrelated double-EXISTS over the derived receipt/commit dates.",
+    tags=("relational", "join", "tpch", "lineitem_ext"),
+)(build_tpch_q21)
