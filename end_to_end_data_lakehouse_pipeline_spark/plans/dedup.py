@@ -934,3 +934,76 @@ register(
     "provenance view of dedup_exact.",
     tags=("dedup", "llm", "report"),
 )(build_dedup_savings_by_source)
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — quality-aware canonical selection: within each near-dup
+# cluster keep the HIGHEST-QUALITY document, not the arbitrary min-id one.
+# This is the dedup policy real curation runs want (Lee et al. 2022 keep-one
+# -per-cluster, but the survivor chosen by the quality heuristic the corpus
+# already computes). Composes connected components with doc_quality_score;
+# the winner is total-order deterministic (quality DESC, doc_id ASC).
+# Scale shape: the component window partitions by cluster id — near-dup
+# clusters are small (boilerplate families), so the window never sees a
+# skewed partition; everything else is the components/quality plans' cost.
+# ---------------------------------------------------------------------------
+
+KEEP_BEST_ORACLE = (
+    DEDUP_COMPONENTS_ORACLE.rstrip().replace(
+        "SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src",
+        "",
+        1,
+    )
+    + """,
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+q AS (SELECT doc_id, quality_score FROM ({QUALITY})),
+ranked AS (
+    SELECT
+        comp.doc_id, comp.component, q.quality_score,
+        ROW_NUMBER() OVER (PARTITION BY comp.component
+                           ORDER BY q.quality_score DESC, comp.doc_id) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY comp.component) AS BIGINT)
+            AS cluster_size
+    FROM comp JOIN q ON comp.doc_id = q.doc_id
+)
+SELECT doc_id, component, quality_score, cluster_size, rn = 1 AS is_kept
+FROM ranked
+"""
+)
+
+
+def build_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import build_doc_quality_score
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    edges = ngram_jaccard_from(docs).select("doc1", "doc2")
+    comp = components_from(docs.select("doc_id"), edges)
+    q = build_doc_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    cw = Window.partitionBy("component")
+    return j.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        F.count(F.lit(1)).over(cw).alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+def _keep_best_oracle() -> str:
+    from .text import QUALITY_ORACLE
+
+    return KEEP_BEST_ORACLE.replace("{QUALITY}", QUALITY_ORACLE)
+
+
+register(
+    "dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    doc="Quality-aware canonical selection: per near-dup cluster keep the "
+    "highest-quality doc (quality DESC, doc_id tiebreak) — components + "
+    "doc_quality_score composition (LLM-pipeline extension).",
+    tags=("dedup", "llm", "report"),
+)(build_dedup_keep_best)

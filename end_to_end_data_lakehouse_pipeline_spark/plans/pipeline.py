@@ -887,3 +887,155 @@ register(
     "gate predicate (the provenance table next to the curation funnel).",
     tags=("llm", "filter", "report"),
 )(build_source_quality_rates)
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature_sample — temperature-scaled source balancing (the
+# mT5/UNIMAX shape: sampling probability ∝ n_s^alpha, alpha=0.5, so large
+# sources are down-weighted toward a flatter mixture). Rates are
+# normalized to the SMALLEST source (keeps 100%), giving every source the
+# same alpha-effective size: keep_pct_s = 100 * sqrt(n_min / n_s).
+#
+# Cross-engine float discipline: n_min is an exact BIGINT MIN (no float
+# reduction anywhere), and the per-source rate uses SQRT — IEEE 754
+# requires correctly-rounded sqrt/div/mul, so the double is bit-identical
+# on both engines, unlike POWER(x, 0.5) (libm pow is not correctly
+# rounded) or a SUM over doubles (order-dependent). The rate then becomes
+# an INTEGER percentage compared against the shared md5 bucket.
+# Scale shape: counts agg + tiny rates table joined back (AQE broadcasts
+# it) + one final agg — two shuffles on uniform keys.
+# ---------------------------------------------------------------------------
+
+MIXTURE_TEMP_ORACLE = f"""
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(n_docs) AS n_min FROM counts),
+rates AS (
+    SELECT source, n_docs,
+           CAST(FLOOR(100.0 * SQRT(CAST(n_min AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE))) AS INTEGER)
+               AS keep_pct
+    FROM counts, mn
+),
+t AS (
+    SELECT doc_id, source,
+           len({{TOKENS}}) AS n_tokens,
+           {{BUCKET}} % 100 AS bucket
+    FROM documents
+)
+SELECT
+    t.source,
+    MAX(r.n_docs) AS n_docs,
+    CAST(MAX(r.keep_pct) AS INTEGER) AS keep_pct,
+    CAST(COUNT(*) FILTER (WHERE t.bucket < r.keep_pct) AS BIGINT) AS n_kept,
+    CAST(COALESCE(SUM(t.n_tokens) FILTER (WHERE t.bucket < r.keep_pct), 0)
+         AS BIGINT) AS kept_tokens
+FROM t JOIN rates r ON t.source = r.source
+GROUP BY t.source
+"""
+
+
+def build_mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(n_min).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.lit(100.0)
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+        )
+        .cast("int")
+        .alias("keep_pct"),
+    )
+    t = docs.select(
+        "source",
+        F.size(tokens_col()).alias("n_tokens"),
+        md5_bucket().alias("bucket"),
+    )
+    kept = F.col("bucket") < F.col("keep_pct")
+    return (
+        t.join(rates, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("keep_pct").cast("int").alias("keep_pct"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+register(
+    "mixture_temperature_sample",
+    oracle=MIXTURE_TEMP_ORACLE.replace("{TOKENS}", _sql_tokens()).replace(
+        "{BUCKET}", _hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)
+    ),
+    doc="Temperature-scaled (alpha=0.5) source mixture: keep rates "
+    "100*sqrt(n_min/n_s) applied via the deterministic md5 bucket — "
+    "IEEE-exact sqrt keeps the rate integer bit-identical cross-engine "
+    "(LLM-pipeline extension).",
+    tags=("llm", "sampling"),
+)(build_mixture_temperature_sample)
+
+
+# ---------------------------------------------------------------------------
+# corpus_shard_layout — the training-data LAYOUT op: assign every doc a
+# shard (md5 bucket over N_SHARDS) and a contiguous position WITHIN its
+# shard (row_number ordered by the md5 hex itself — a deterministic
+# pseudo-random shuffle, the standard way training corpora are both
+# sharded and shuffled in one pass). Scale shape: the window partitions
+# by shard_id, so parallelism = N_SHARDS — at real scale N_SHARDS is
+# chosen ∝ data size (thousands), never a global un-partitioned sort.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+SHARD_LAYOUT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+           {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} % {N_SHARDS} AS shard_id
+    FROM documents
+)
+SELECT doc_id,
+       CAST(shard_id AS INTEGER) AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY sort_key)
+            AS INTEGER) AS pos_in_shard
+FROM t
+"""
+
+
+def build_corpus_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("sort_key"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % N_SHARDS
+        )
+        .cast("int")
+        .alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("sort_key")
+    return t.select(
+        "doc_id", "shard_id", F.row_number().over(w).alias("pos_in_shard")
+    )
+
+
+register(
+    "corpus_shard_layout",
+    oracle=SHARD_LAYOUT_ORACLE,
+    doc="Sharded + deterministically shuffled training layout: md5 shard "
+    "assignment and contiguous within-shard position in one windowed "
+    "pass (LLM-pipeline extension).",
+    tags=("llm", "layout", "window"),
+)(build_corpus_shard_layout)
