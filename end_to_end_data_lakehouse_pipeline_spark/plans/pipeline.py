@@ -1039,3 +1039,171 @@ register(
     "pass (LLM-pipeline extension).",
     tags=("llm", "layout", "window"),
 )(build_corpus_shard_layout)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_shingle_ratio — per-doc boilerplate measurement: the share of
+# a document's shingles that are corpus-common (shingle document-frequency
+# >= BOILER_PCT% of docs). High-ratio docs are template/boilerplate
+# families — the cleaning signal next to dedup. Threshold is integer
+# cross-multiplied (df*100 >= n_docs*BOILER_PCT), no float compare.
+# Scale shape: one explode + DF agg (uniform shingle keys), the common
+# set is bounded above by 100/BOILER_PCT x n_shingles_per_doc — small,
+# AQE broadcasts it into the semi join; per-doc ratio is exact division.
+# ---------------------------------------------------------------------------
+
+BOILER_PCT = 5  # a shingle in >= 5% of docs is boilerplate
+
+
+def _shingle_docs_sql() -> str:
+    return f"""
+t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+s AS (SELECT doc_id, {_sql_shingles('toks')} AS sh FROM t
+      WHERE len({_sql_shingles('toks')}) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s)
+"""
+
+
+BOILERPLATE_ORACLE = f"""
+WITH {_shingle_docs_sql().strip()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM s),
+dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY shingle),
+common AS (SELECT shingle FROM dfreq, tot WHERE df * 100 >= n_docs * {BOILER_PCT}),
+b AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+    FROM ex WHERE shingle IN (SELECT shingle FROM common)
+    GROUP BY doc_id
+)
+SELECT
+    s.doc_id,
+    CAST(len(s.sh) AS BIGINT) AS n_shingles,
+    COALESCE(b.n_boiler, 0) AS n_boiler,
+    CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / len(s.sh) AS boiler_ratio
+FROM s LEFT JOIN b ON s.doc_id = b.doc_id
+"""
+
+
+def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    return docs.select(
+        "doc_id", shingles_col(tokens_col()).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def build_boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_docs(spark, sf_dir)
+    ex = s.select("doc_id", F.explode("sh").alias("shingle"))
+    tot = s.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    common = (
+        dfreq.crossJoin(tot)
+        .filter(F.col("df") * 100 >= F.col("n_docs") * BOILER_PCT)
+        .select("shingle")
+    )
+    b = (
+        ex.join(common, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        s.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            (
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.size("sh")
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+register(
+    "boilerplate_shingle_ratio",
+    oracle=BOILERPLATE_ORACLE,
+    doc="Per-doc boilerplate share: fraction of shingles whose corpus "
+    "document-frequency >= 5% of docs (integer cross-multiplied "
+    "threshold; bounded common set semi-joined back).",
+    tags=("llm", "text", "report"),
+)(build_boilerplate_shingle_ratio)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_ngrams — train/eval LEAKAGE audit: train-split documents
+# sharing rare shingles with the held-out (val/test) split. Stop-shingles
+# (corpus DF > SHINGLE_DF_CAP) carry no leakage signal and are excluded —
+# the same cap that keeps every shingle join in this module linear (and
+# kills the skewed hot keys). A train doc is flagged leaked at
+# LEAK_MIN_OVERLAP shared rare shingles.
+# Scale shape: the eval shingle set is ∝ the 20% split and shrinks further
+# under the DF cap; the train-side probe is one shuffle hash semi join on
+# uniform (capped) shingle keys.
+# ---------------------------------------------------------------------------
+
+LEAK_MIN_OVERLAP = 3
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH {_shingle_docs_sql().strip()},
+bucketed AS (
+    SELECT doc_id,
+           {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100 AS bucket
+    FROM s JOIN documents USING (doc_id)
+),
+stop AS (
+    SELECT shingle FROM (
+        SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle
+    ) WHERE df > {SHINGLE_DF_CAP}
+),
+eval_sh AS (
+    SELECT DISTINCT shingle
+    FROM ex JOIN bucketed USING (doc_id)
+    WHERE bucket >= 80 AND shingle NOT IN (SELECT shingle FROM stop)
+),
+overlap AS (
+    SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM ex JOIN bucketed USING (doc_id)
+    WHERE bucket < 80 AND shingle IN (SELECT shingle FROM eval_sh)
+    GROUP BY ex.doc_id
+)
+SELECT doc_id, n_overlap, n_overlap >= {LEAK_MIN_OVERLAP} AS leaked
+FROM overlap
+"""
+
+
+def build_split_leakage_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_docs(spark, sf_dir).withColumn("bucket", md5_bucket())
+    ex = s.select("doc_id", "bucket", F.explode("sh").alias("shingle"))
+    stop = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    eval_sh = (
+        ex.filter(F.col("bucket") >= 80)
+        .select("shingle")
+        .distinct()
+        .join(stop, "shingle", "left_anti")
+    )
+    return (
+        ex.filter(F.col("bucket") < 80)
+        .join(eval_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") >= LEAK_MIN_OVERLAP).alias("leaked"),
+        )
+    )
+
+
+register(
+    "split_leakage_ngrams",
+    oracle=SPLIT_LEAKAGE_ORACLE,
+    doc="Train/eval split leakage: train docs sharing rare (DF-capped) "
+    "shingles with the held-out split, flagged at >= 3 overlaps "
+    "(LLM-pipeline extension).",
+    tags=("llm", "dedup", "report"),
+)(build_split_leakage_ngrams)
