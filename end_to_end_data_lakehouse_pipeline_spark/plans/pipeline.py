@@ -1207,3 +1207,58 @@ register(
     "(LLM-pipeline extension).",
     tags=("llm", "dedup", "report"),
 )(build_split_leakage_ngrams)
+
+
+# ---------------------------------------------------------------------------
+# truncation_loss_report — per-source accounting of what a fixed training
+# context length costs: docs over MAX_SEQ_LEN tokens, tokens lost to
+# truncation, and the padding waste if each doc were padded to the full
+# length instead of packed (the number corpus_pack_chunks exists to
+# reclaim). Pure integer arithmetic; one scan + one agg.
+# ---------------------------------------------------------------------------
+
+MAX_SEQ_LEN = 256
+
+TRUNCATION_ORACLE = f"""
+WITH t AS (
+    SELECT source, len({_sql_tokens()}) AS n_tokens FROM documents
+)
+SELECT
+    source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(COUNT(*) FILTER (WHERE n_tokens > {MAX_SEQ_LEN}) AS BIGINT)
+        AS n_truncated_docs,
+    CAST(COALESCE(SUM(GREATEST(n_tokens - {MAX_SEQ_LEN}, 0)), 0) AS BIGINT)
+        AS tokens_lost,
+    CAST(COALESCE(SUM(GREATEST({MAX_SEQ_LEN} - n_tokens, 0)), 0) AS BIGINT)
+        AS padding_waste
+FROM t
+GROUP BY source
+"""
+
+
+def build_truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("source", F.size(tokens_col()).alias("n_tokens"))
+    over = F.greatest(F.col("n_tokens") - MAX_SEQ_LEN, F.lit(0))
+    under = F.greatest(F.lit(MAX_SEQ_LEN) - F.col("n_tokens"), F.lit(0))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") > MAX_SEQ_LEN, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated_docs"),
+        F.coalesce(F.sum(over), F.lit(0)).cast("long").alias("tokens_lost"),
+        F.coalesce(F.sum(under), F.lit(0)).cast("long").alias("padding_waste"),
+    )
+
+
+register(
+    "truncation_loss_report",
+    oracle=TRUNCATION_ORACLE,
+    doc="Context-length economics per source: truncated docs, tokens "
+    "lost at MAX_SEQ_LEN, and pad-to-length waste (the packing "
+    "motivation numbers; LLM-pipeline extension).",
+    tags=("llm", "report"),
+)(build_truncation_loss_report)

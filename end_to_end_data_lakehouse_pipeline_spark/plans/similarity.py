@@ -1168,3 +1168,84 @@ register(
     "brute-force top-K (tunes the PQ_M/PQ_K memory-recall trade).",
     tags=("similarity", "llm", "evaluation"),
 )(build_ann_recall_pq)
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers — per-vector distance to its label centroid with an
+# outlier flag: the embedding-space data-quality audit (mislabeled or
+# corrupted vectors sit far from their class prototype).
+#
+# Exactness: milli-quantized (10^3) integers so the squared-distance
+# numerator Σ_d (x_d·N − S_d)² stays an EXACT BIGINT (|x|≤~1e3, so the
+# sum fits int64 up to N ≈ 1.9e5 vectors per label; beyond that, shard
+# labels or drop to micro/double — documented scale path). The only
+# float steps are one correctly-rounded CAST, one SQRT (IEEE-exact), and
+# one division — bit-identical cross-engine, unlike a per-dim double sum
+# whose result depends on reduction order.
+# Scale shape: centroid agg shuffles (label, dim) partial sums; the
+# join-back is vector ⋈ 64-row-per-label centroid — AQE broadcasts the
+# centroid side; final agg is per (vec_id) with map-side partials.
+# ---------------------------------------------------------------------------
+
+OUTLIER_DIST = 1.02  # flag distance for these unit-ish noisy test vectors
+
+EMB_OUTLIER_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT)) AS qa
+    FROM embeddings
+),
+c AS (
+    SELECT label, CAST(d.dim AS INTEGER) AS dim,
+           SUM(qa[d.dim]) AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM q, generate_series(1, {DIM}) AS d(dim)
+    GROUP BY label, d.dim
+)
+SELECT
+    q.vec_id, q.label,
+    SQRT(CAST(SUM((qa[c.dim] * c.n - c.s) * (qa[c.dim] * c.n - c.s)) AS DOUBLE))
+        / (1000.0 * MAX(c.n)) AS centroid_dist,
+    SQRT(CAST(SUM((qa[c.dim] * c.n - c.s) * (qa[c.dim] * c.n - c.s)) AS DOUBLE))
+        / (1000.0 * MAX(c.n)) > {OUTLIER_DIST} AS is_outlier
+FROM q JOIN c ON q.label = c.label
+GROUP BY q.vec_id, q.label
+"""
+
+
+def _milli_quantized(col: Column | str = "embedding") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda v: F.round(v.cast("double") * 1000, 0).cast("long"))
+
+
+def build_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    q = emb.select("vec_id", "label", _milli_quantized().alias("qa"))
+    e = q.select(
+        "vec_id", "label", F.posexplode("qa").alias("p", "x")
+    ).withColumn("dim", (F.col("p") + 1).cast("int"))
+    c = (
+        e.groupBy("label", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    term = F.col("x") * F.col("n") - F.col("s")
+    num = F.sum(term * term)
+    dist = F.sqrt(num.cast("double")) / (F.lit(1000.0) * F.max("n"))
+    return (
+        e.join(c, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            dist.alias("centroid_dist"),
+            (dist > OUTLIER_DIST).alias("is_outlier"),
+        )
+    )
+
+
+register(
+    "embedding_outliers",
+    oracle=EMB_OUTLIER_ORACLE,
+    doc="Embedding-space quality audit: exact-integer distance to the "
+    "label centroid with an outlier flag (milli-quantized, IEEE-exact "
+    "sqrt; LLM-pipeline extension).",
+    tags=("similarity", "llm", "report"),
+)(build_embedding_outliers)
