@@ -391,11 +391,15 @@ JOIN sig s2 ON c.doc2 = s2.doc_id
 )
 
 
-def build_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"), spark)
-    s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+def minhash_lsh_pairs_from(s: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> LSH candidate pairs with estimated + exact Jaccard.
+
+    The banded-signature miner: candidate generation cost is bounded by
+    band-bucket populations (signature collisions), NOT by shingle
+    document frequency — which makes this the 10⁹-doc scale path even
+    when the shingle space saturates (small vocabularies, boilerplate-
+    heavy corpora) and the inverted-index miner's per-shingle pair
+    explosion goes quadratic-under-the-cap."""
     # Signature table feeds three plan subtrees (band explosion + both
     # verify-join sides). Materialize it eagerly: a lazy persist would let
     # the three branches of one job race to compute it before the cache
@@ -455,6 +459,27 @@ def build_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.size("sh1") + F.size("sh2") - inter)
             ).alias("jaccard"),
         )
+    )
+
+
+def build_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    return minhash_lsh_pairs_from(s)
+
+
+def lsh_edges_from(docs: DataFrame) -> DataFrame:
+    """Near-dup edge set via the scale path: LSH candidates verified with
+    exact shingle Jaccard at the shared threshold."""
+    s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    return (
+        minhash_lsh_pairs_from(s)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2")
     )
 
 
@@ -558,7 +583,11 @@ register(
 
 # ---------------------------------------------------------------------------
 # dedup_components — near-dup CLUSTERS, not just pairs: connected components
-# over the verified ngram-Jaccard edge set, labeled by min doc_id. The
+# over the LSH-mined, exact-verified edge set, labeled by min doc_id. Edges
+# come from the banded-MinHash miner rather than the shingle inverted index:
+# the 10x scale rehearsal showed the inverted index going quadratic-under-
+# the-DF-cap once the shingle space saturates (~300M candidate pairs on the
+# small-vocab corpus), while band-bucket collisions stay linear. The
 # iterative pattern done Spark-idiomatic: min-label propagation — each round
 # is one (edges ⋈ labels) join + min-aggregate, labels only ever decrease,
 # convergence checked with a single cheap sum action (monotone ⇒ sum is a
@@ -572,7 +601,10 @@ register(
 COMPONENTS_MAX_ITERS = 10
 
 DEDUP_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+WITH RECURSIVE pairs AS (
+    SELECT doc1, doc2 FROM ({MINHASH_LSH_ORACLE})
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+),
 sym AS (
     SELECT doc1 AS a, doc2 AS b FROM pairs
     UNION ALL
@@ -621,7 +653,7 @@ def components_from(docs: DataFrame, edges: DataFrame) -> DataFrame:
 
 def build_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    edges = ngram_jaccard_from(docs).select("doc1", "doc2")
+    edges = lsh_edges_from(docs)
     return components_from(docs.select("doc_id"), edges)
 
 
@@ -629,8 +661,9 @@ register(
     "dedup_components",
     oracle=DEDUP_COMPONENTS_ORACLE,
     doc="Near-dup clusters: connected components (min-label propagation, "
-    "sum-fixpoint convergence) over verified ngram-Jaccard edges; oracle "
-    "is a recursive-CTE transitive closure (LLM-pipeline extension).",
+    "sum-fixpoint convergence) over LSH-mined exact-verified edges (the "
+    "scale path); oracle is a recursive-CTE transitive closure "
+    "(LLM-pipeline extension).",
     tags=("dedup", "llm", "iterative", "graph"),
 )(build_dedup_components)
 
@@ -807,7 +840,7 @@ CLUSTER_HIST_ORACLE = CLUSTER_HIST_ORACLE.replace(
 
 def build_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    edges = ngram_jaccard_from(docs).select("doc1", "doc2")
+    edges = lsh_edges_from(docs)
     comp = components_from(docs.select("doc_id"), edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(
@@ -976,7 +1009,7 @@ def build_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import build_doc_quality_score
 
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    edges = ngram_jaccard_from(docs).select("doc1", "doc2")
+    edges = lsh_edges_from(docs)
     comp = components_from(docs.select("doc_id"), edges)
     q = build_doc_quality_score(spark, sf_dir).select("doc_id", "quality_score")
     j = comp.join(q, "doc_id")

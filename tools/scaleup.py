@@ -61,12 +61,24 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, factor: int) -> in
         for k in keys:
             df = df.withColumn(k, (F.col(k) + F.col("_replica") * F.lit(STRIDE)).cast("long"))
         if name == "documents":
-            # Perturb replica>0 text so near/exact-dup rates stay at the
-            # base corpus's natural level instead of jumping to ~90%.
+            # Replica>0 text is a deterministic per-replica token
+            # PERMUTATION (sort tokens by md5(token#pos#replica)): a short
+            # appended suffix would leave replicas near-duplicates of the
+            # original (~90% near-dup corpus, dense clusters of 10 — the
+            # first rehearsal run did exactly that and sent the shingle
+            # inverted index quadratic). Permutation destroys cross-replica
+            # shingle overlap while preserving unigram/token statistics, so
+            # the scaled corpus behaves like 10x DISTINCT documents — the
+            # realistic scale shape — while the base corpus's own near-dup
+            # structure is preserved inside every replica.
             df = df.withColumn(
                 "text",
                 F.when(F.col("_replica") == 0, F.col("text")).otherwise(
-                    F.concat(F.col("text"), F.lit(" r"), F.col("_replica").cast("string"))
+                    F.expr(
+                        "concat_ws(' ', transform(array_sort(transform(split(text, ' '), "
+                        "(t, i) -> struct(md5(concat(t, '#', cast(i as string), '#', "
+                        "cast(_replica as string))) as k, t as t))), s -> s.t))"
+                    )
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
         df = df.drop("_replica")
