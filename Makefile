@@ -5,7 +5,7 @@
 SF_DIR ?= /root/testdata/sf0.01
 BENCH_SF_DIR ?= /root/testdata/sf0.1
 
-.PHONY: check test diffcheck bench bench-heavy
+.PHONY: check test diffcheck bench bench-quick
 
 check: test diffcheck
 

@@ -57,17 +57,17 @@ from .registry import register
 from .text import _sql_tokens, tokens_col
 
 
-def md5_bucket(col: str = "doc_id") -> Column:
-    """Deterministic 0-99 bucket from md5 of the key column.
+def md5_bucket(col: str = "doc_id", mod: int = 100) -> Column:
+    """Deterministic 0-(mod-1) bucket from md5 of the key column.
 
-    SQL twin: ``{_hex8_sql("md5(CAST(<col> AS VARCHAR))", 1)} % 100`` —
-    the single source of truth for every split/sample/mixture decision in
-    this module, so they can never drift apart (same primitive as
-    hash_sample in plans/relational.py).
+    SQL twin: ``{_hex8_sql("md5(CAST(<col> AS VARCHAR))", 1)} % mod`` —
+    the single source of truth for every split/sample/mixture/shard
+    decision in this module, so they can never drift apart (same
+    primitive as hash_sample in plans/relational.py).
     """
     return (
         F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+        .cast("long") % mod
     )
 
 
@@ -1016,14 +1016,7 @@ def build_corpus_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("sort_key"),
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-            ).cast("long")
-            % N_SHARDS
-        )
-        .cast("int")
-        .alias("shard_id"),
+        md5_bucket(mod=N_SHARDS).cast("int").alias("shard_id"),
     )
     w = Window.partitionBy("shard_id").orderBy("sort_key")
     return t.select(

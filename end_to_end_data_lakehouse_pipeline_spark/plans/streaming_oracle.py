@@ -22,6 +22,7 @@ Determinism notes:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -39,13 +40,14 @@ _TOPK_K = 3
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table with the same nanos->
     timestamp conversion catalog.table() applies to the batch scan."""
-    from ..catalog import table
+    from ..catalog import ensure_read_confs
 
+    # BEFORE the probe read: on a vanilla (driver-harness) session the
+    # probe itself throws on INT64 TIMESTAMP(NANOS) parquet unless
+    # nanosAsLong is already set. Idempotent — no per-query conf mutation
+    # once the session is pinned.
+    ensure_read_confs(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")  # schema probe
-    # catalog.table set nanosAsLong+UTC already via the probe path below;
-    # do it explicitly so the stream read is self-sufficient
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file stream source requires a DIRECTORY: stream the sf dir with
     # a glob filter selecting just the events table file
     stream = (
@@ -60,25 +62,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # watermarks require TIMESTAMP (ltz); session tz is pinned UTC so
         # the naive->instant interpretation matches the UTC-naive oracle
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    del table  # imported for parity documentation only
     return stream
 
 
 def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """availableNow drain into a uniquely-named memory sink; returns the
-    sink contents as a batch DataFrame."""
+    sink contents as a batch DataFrame.
+
+    The sink table and checkpoint dir are torn down before returning —
+    repeated invocations (diffcheck loops, bench REPEATS) must not pin
+    every drained result in driver memory or grow /tmp without bound. The
+    result is localized first (it is a bounded AGGREGATE output — daily
+    rows / closed sessions — the S12 driver-fetch shape, not raw data)."""
+    spark = df.sparkSession
     name = f"drain_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        return spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 STREAMING_DAILY_SALES_ORACLE = """
@@ -230,9 +243,15 @@ def streaming_trending_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         available_now=True,
     )
     q.awaitTermination()
-    return spark.read.parquet(topk_path).select(
-        "window_start", "event_type", "n_events"
-    )
+    try:
+        res = spark.read.parquet(topk_path).select(
+            "window_start", "event_type", "n_events"
+        )
+        # localize (k rows per window — bounded serving table) so the
+        # backing /tmp tree can be removed before returning
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 register(

@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # With AQE coalescing on, shuffles should START wide and shrink to
+        # fit: initialPartitionNum is the pre-coalesce width, so big
+        # shuffles (the 100x rehearsal's 60M-row joins) get real
+        # parallelism while small ones coalesce back to a handful of
+        # tasks. shuffle.partitions alone would pin BOTH cases to 32.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, 8 * cpus)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

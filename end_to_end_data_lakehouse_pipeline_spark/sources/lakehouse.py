@@ -327,7 +327,18 @@ class BucketedMergeTable:
         )
 
     def _bucket(self, pks: Sequence[str]):
-        return F.pmod(F.xxhash64(*pks), F.lit(self.n_buckets)).cast("int")
+        # Hash CANONICALIZED (string-cast) pk values: xxhash64 is
+        # dtype-sensitive (xxhash64(int32 5) != xxhash64(int64 5)), so
+        # hashing raw columns would assign the same logical key to
+        # different buckets when an updates frame arrives with a narrower
+        # integer width than the stored table — the merge would then miss
+        # the existing row and silently duplicate the key. String-cast
+        # normalizes width; the bucket column is part of the table layout,
+        # so this canonicalization is the format contract.
+        return F.pmod(
+            F.xxhash64(*[F.col(k).cast("string") for k in pks]),
+            F.lit(self.n_buckets),
+        ).cast("int")
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(BUCKET_COL)

@@ -119,13 +119,11 @@ def test_bucketed_merge_rewrites_only_touched_partitions(spark, tmp_path):
     t.merge(upd, pks=["pk"], order_col="ver")
     after = _partition_fingerprint(path)
 
-    from pyspark.sql import functions as F
-
+    # expected touched set via the table's OWN bucket function (the
+    # canonicalized hash), so the test can't drift from the layout
     touched = {
         f"_pk_bucket={r[0]}"
-        for r in upd.select(
-            F.pmod(F.xxhash64("pk"), F.lit(8)).cast("int")
-        ).distinct().collect()
+        for r in upd.select(t._bucket(["pk"])).distinct().collect()
     }
     untouched = set(before) - touched
     assert untouched, "test needs at least one untouched bucket"
@@ -169,3 +167,37 @@ def test_bucketed_merge_delete_semantics_and_emptied_bucket(spark, tmp_path):
     t.merge(ins, pks=["pk"], order_col="ver")  # replay converges
     rows = [(r.pk, r.status) for r in t.read().collect()]
     assert rows == [(1, "z")]
+
+
+def test_bucketed_merge_pk_dtype_width_mismatch(spark, tmp_path):
+    """xxhash64 is dtype-sensitive: without pk canonicalization, an
+    updates frame whose pk arrives as INT while the stored table used
+    LONG lands in a different bucket and silently duplicates the key."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_lakehouse_pipeline_spark.sources.lakehouse import (
+        BucketedMergeTable,
+    )
+
+    path = str(tmp_path / "dtype_tbl")
+    t = BucketedMergeTable(spark, path, n_buckets=16)
+    base = spark.range(0, 50).select(
+        F.col("id").cast("long").alias("pk"),
+        F.lit("old").alias("v"),
+        F.lit(0).alias("ver"),
+        F.lit(False).alias("_deleted"),
+    )
+    t.write_full(base, ["pk"])
+    updates = spark.range(0, 50, 5).select(
+        F.col("id").cast("int").alias("pk"),  # narrower width on purpose
+        F.lit("new").alias("v"),
+        F.lit(1).alias("ver"),
+        F.lit(False).alias("_deleted"),
+    )
+    t.merge(updates, ["pk"], "ver")
+    out = t.read()
+    assert out.count() == 50  # no duplicated keys
+    assert out.filter(F.col("v") == "new").count() == 10
+    assert (
+        out.groupBy("pk").count().filter(F.col("count") > 1).count() == 0
+    )
