@@ -30,3 +30,24 @@ def read_json(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_csv_bulk(
+    df: DataFrame,
+    path: str,
+    n_files: int | None = None,
+    header: bool = True,
+    **options: str,
+) -> None:
+    """S11 analog (generate_large_data.py:226-236): the reference emits
+    10 GB of synthetic CSV through a batched single-process writer;
+    Spark-first that is a partitioned distributed ``df.write.csv`` — one
+    file per task, linear scale-out. ``n_files`` sizes the output files
+    (target ~100-500 MB each at scale); left None the input partitioning
+    is kept. Round-trips type-faithfully with read_csv + the same
+    explicit schema (timestamps ISO-8601 by default)."""
+    if n_files is not None:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").option("header", str(header).lower()).options(
+        **options
+    ).csv(path)

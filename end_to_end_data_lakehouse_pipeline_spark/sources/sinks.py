@@ -2,9 +2,12 @@
 
 The reference appends DataFrames to ClickHouse over JDBC with
 batchsize=20000, preceded by an out-of-band HTTP TRUNCATE (S9). No
-warehouse exists in this container, so this module is the tested-shape
-writer: the option plumbing is exercised by constructing the writer; the
-actual ``save()`` needs a live JDBC URL.
+ClickHouse exists in this container, but the writers are LIVE-EXERCISED
+end-to-end against embedded Derby (the JDBC driver pyspark ships for
+its Hive metastore) in tests/test_sinks_jdbc.py — append, batched
+write, and the truncate-refresh path all execute a real ``save()`` and
+are read back over JDBC. Against a real warehouse only the URL/driver
+options change.
 """
 
 from __future__ import annotations
@@ -47,3 +50,23 @@ def jdbc_writer(
 def jdbc_append(df: DataFrame, url: str, table: str, **kw) -> None:
     """S8: append df to a warehouse table (load_warehouse.py:73-87)."""
     jdbc_writer(df, url, table, **kw).save()
+
+
+def warehouse_refresh(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = DEFAULT_BATCHSIZE,
+    **options: str,
+) -> None:
+    """S9+S8: the reference's TRUNCATE-then-bulk-load warehouse refresh
+    (load_warehouse.py:61-87 issues an out-of-band TRUNCATE, then the
+    batched JDBC append). Spark-idiomatic form: ``overwrite`` with
+    ``truncate=true`` makes the JDBC writer issue TRUNCATE TABLE —
+    preserving the table's DDL, grants and engine settings, exactly why
+    the reference truncates instead of dropping — followed by the same
+    batched INSERT, as ONE operation with no side-channel client."""
+    jdbc_writer(
+        df, url, table, mode="overwrite", batchsize=batchsize,
+        truncate="true", **options,
+    ).save()

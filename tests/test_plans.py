@@ -140,3 +140,34 @@ def test_gapfill_spine_join_broadcasts(spark):
     plan = _plan(spark, "daily_revenue_gapfill")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_csv_bulk_write_roundtrip(spark, tmp_path):
+    """S11: the distributed CSV bulk-writer path, exercised end-to-end —
+    multi-file write, schema-first read-back, exact row/value parity."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_lakehouse_pipeline_spark.sources.readers import (
+        read_csv,
+        write_csv_bulk,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 13).cast("int").alias("bucket"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id").cast("double") / 7.0).alias("ratio"),
+    )
+    out = str(tmp_path / "bulk_csv")
+    write_csv_bulk(df, out, n_files=8)
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*.csv")) == 8  # distributed files
+    back = read_csv(spark, out, df.schema)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("pk")).first()[0] == sum(range(10_000))
+    assert (
+        back.select("pk", "bucket", "name").exceptAll(
+            df.select("pk", "bucket", "name")
+        ).count() == 0
+    )
