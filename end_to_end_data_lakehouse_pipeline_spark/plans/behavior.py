@@ -416,3 +416,112 @@ register(
     "joined on the week key, one final ratio division.",
     tags=("behavior", "agg", "bi"),
 )(build_dau_wau_stickiness)
+
+
+# ---------------------------------------------------------------------------
+# session_funnel_paths — top user journeys: the first 3 event types of
+# every 30-minute-gap session, ranked by frequency. The path is built
+# with a deterministic array_sort(collect_list(struct(ts, event_id,
+# event_type))) — NOT an ordered-window collect_list, whose ordering is
+# an implementation accident — so the (ts, event_id) total order makes
+# the journey string bit-identical cross-engine.
+# Scale shape: the gaps-and-islands pass is two windows partitioned by
+# user (uniform keys); the path agg is one groupBy (user, session) with
+# map-side partials; the final path rollup groups by a short string.
+# ---------------------------------------------------------------------------
+
+_SFP_GAP_MIN = 30
+_SFP_LEN = 3
+_SFP_TOP = 20
+
+SESSION_FUNNEL_PATHS_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {_SFP_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING
+    ) AS sid
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, sid,
+           array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{_SFP_LEN}], '>'
+           ) AS path
+    FROM numbered
+    GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_SFP_TOP}
+"""
+
+
+def build_session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id",
+        # unix_micros needs TIMESTAMP (ltz); session tz is pinned UTC by
+        # the catalog so the ntz->ltz cast preserves oracle parity
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > _SFP_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = (
+        numbered.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("evs", 1, _SFP_LEN), lambda s: s["event_type"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_SFP_TOP)
+    )
+
+
+register(
+    "session_funnel_paths",
+    oracle=SESSION_FUNNEL_PATHS_ORACLE,
+    doc="Top user journeys: first-3-event paths of 30-min-gap sessions, "
+    "deterministic struct-sort path assembly, total-order top-20.",
+    tags=("behavior", "window", "bi"),
+)(build_session_funnel_paths)

@@ -1040,3 +1040,56 @@ register(
     "doc_quality_score composition (LLM-pipeline extension).",
     tags=("dedup", "llm", "report"),
 )(build_dedup_keep_best)
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_source — syndication detection: near-duplicate pairs that
+# CROSS source boundaries (the same content arriving via two feeds — the
+# provenance question a mixture designer asks before weighting sources).
+# Source pair is canonicalized LEAST/GREATEST so (a,b) and (b,a) roll up
+# together. Edges come from the scale-path LSH miner.
+# ---------------------------------------------------------------------------
+
+CROSS_SOURCE_ORACLE = f"""
+WITH pairs AS (
+    SELECT doc1, doc2 FROM ({MINHASH_LSH_ORACLE})
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT
+    LEAST(a.source, b.source) AS source1,
+    GREATEST(a.source, b.source) AS source2,
+    CAST(COUNT(*) AS BIGINT) AS n_cross_pairs
+FROM pairs
+JOIN documents a ON pairs.doc1 = a.doc_id
+JOIN documents b ON pairs.doc2 = b.doc_id
+WHERE a.source <> b.source
+GROUP BY 1, 2
+"""
+
+
+def build_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    edges = lsh_edges_from(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc1"), F.col("source").alias("src1"))
+    b = src.select(F.col("doc_id").alias("doc2"), F.col("source").alias("src2"))
+    return (
+        edges.join(a, "doc1")
+        .join(b, "doc2")
+        .filter(F.col("src1") != F.col("src2"))
+        .groupBy(
+            F.least("src1", "src2").alias("source1"),
+            F.greatest("src1", "src2").alias("source2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cross_pairs"))
+    )
+
+
+register(
+    "dedup_cross_source",
+    oracle=CROSS_SOURCE_ORACLE,
+    doc="Syndication detection: LSH near-dup pairs crossing source "
+    "boundaries, canonicalized source-pair rollup (LLM-pipeline "
+    "extension).",
+    tags=("dedup", "llm", "report"),
+)(build_dedup_cross_source)

@@ -1067,3 +1067,87 @@ register(
     "unlike float-accumulating corr()).",
     tags=("gold", "agg", "stats"),
 )(build_size_price_correlation)
+
+
+# ---------------------------------------------------------------------------
+# revenue_gini — Gini concentration coefficient of customer revenue per
+# nation (the inequality number next to customer_pareto's curve). The
+# rank-sum identity G = (2*Σ rnk·x − (n+1)·Σx) / (n·Σx) over cents
+# integers: every accumulation is an exact int (rnk·cents stays under
+# int64 up to ~1e6 customers/nation at these revenue magnitudes — shard
+# the partition or rescale beyond that), and the single final division
+# is the same IEEE op on both engines. Rank is total-ordered
+# (cents, custkey), so ties are deterministic.
+# Scale shape: one agg on o_custkey, one window partitioned by nation,
+# one final agg — all on uniform keys.
+# ---------------------------------------------------------------------------
+
+REVENUE_GINI_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+j AS (
+    SELECT n_name, c_custkey, cents
+    FROM rev
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY n_name ORDER BY cents, c_custkey
+    ) AS rnk
+    FROM j
+)
+SELECT
+    n_name,
+    CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_revenue,
+    CAST(2 * SUM(rnk * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+        / CAST(COUNT(*) * SUM(cents) AS DOUBLE) AS gini
+FROM r
+GROUP BY n_name
+"""
+
+
+def build_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(scaled_long("o_totalprice")).alias("cents")
+    )
+    j = (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "cents")
+    )
+    r = j.withColumn(
+        "rnk",
+        F.row_number().over(W.partitionBy("n_name").orderBy("cents", "c_custkey")),
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("cents")
+    s = F.sum(F.col("rnk") * F.col("cents"))
+    return r.groupBy("n_name").agg(
+        n.alias("n_customers"),
+        (tot.cast("double") / 100.0).alias("total_revenue"),
+        (
+            (2 * s - (n + 1) * tot).cast("double") / (n * tot).cast("double")
+        ).alias("gini"),
+    )
+
+
+register(
+    "revenue_gini",
+    oracle=REVENUE_GINI_ORACLE,
+    doc="Per-nation Gini coefficient of customer revenue via the exact "
+    "integer rank-sum identity (deterministic tie order; single final "
+    "division).",
+    tags=("gold", "agg", "stats", "window"),
+)(build_revenue_gini)
