@@ -1,0 +1,942 @@
+"""Advanced analytics: windowed funnels, SCD2 history, regression audits,
+distribution-law checks, graph triangles, PMI mining, EWMA smoothing.
+
+These extend the reference's ClickHouse-style analytics surface
+(clickhouse_init/04_materialized_views.sql feeds Superset dashboards; the
+warehouse exposes windowFunnel/retention-class functions) and the silver
+layer's slowly-changing history handling (spark/batch_silver.py keeps the
+latest state per key — SCD2 is the versioned extension of that pattern),
+re-expressed Spark-first:
+
+- **window_funnel_levels**: ClickHouse ``windowFunnel(3600)``-style ordered
+  conversion with a deadline anchored at the first step. One shuffle on
+  ``user_id`` feeds three chained window mins, and the final per-user agg
+  reuses the same hash partitioning (no second exchange).
+- **scd2_user_tier**: SCD Type-2 validity intervals built from the event
+  stream with change-detection (lag) + run numbering (cumulative sum) +
+  interval close (lead) — all over one ``user_id`` partitioning.
+- **brand_price_regression**: per-group OLS (slope/intercept/R^2) computed
+  from *exact* sufficient statistics — integer/decimal sums, so the result
+  is order-independent and bit-stable at any parallelism.
+- **term_zipf_fit / benford_first_digit / status_priority_chisq**:
+  distribution-law audits (Zipf exponent of the term distribution, Benford
+  digit profile of money amounts, chi-square independence of two
+  categoricals) — the data-quality statistics a 100 TB corpus run reports.
+- **copurchase_triangle_count**: triangle counting on the support-bounded
+  co-purchase graph. The support threshold is the scale lever: edges are
+  frequent pairs (A-priori pruned), so the self-join fan-out stays bounded.
+- **term_pmi_top_pairs**: pointwise mutual information over top-vocabulary
+  term pairs — the co-occurrence step is bounded by |vocab| per doc.
+- **revenue_ewma**: exponentially weighted moving average over the daily
+  revenue series via per-year ``applyInPandas`` recursion (the oracle is a
+  recursive CTE). The grouped-map runs *after* aggregation, on one row per
+  day — driver-scale math on executor-side groups.
+
+All money paths go through the scaled-integer exact-sum helpers
+(:mod:`.parity`) so Spark's parallel sums equal DuckDB's sequential ones.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from ..functions.dates import isodow
+from .registry import register
+from .text import _sql_tokens, tokens_col
+
+# ---------------------------------------------------------------------------
+# window_funnel_levels — ClickHouse windowFunnel parity (deterministic
+# variant): deepest funnel stage per user where every later step happens
+# strictly after the previous one AND within WINDOW_SECONDS of the first.
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_HOURS = 1
+
+WINDOW_FUNNEL_ORACLE = f"""
+WITH v AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+),
+u AS (
+    SELECT v.user_id,
+           CASE
+             WHEN p.t_purchase IS NOT NULL
+                  AND p.t_purchase <= v.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR THEN 3
+             WHEN c.t_click IS NOT NULL
+                  AND c.t_click <= v.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR THEN 2
+             WHEN v.t_view IS NOT NULL THEN 1
+             ELSE 0
+           END AS funnel_level
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+)
+SELECT CAST(funnel_level AS INT) AS funnel_level,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY funnel_level
+"""
+
+
+def build_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    w = Window.partitionBy("user_id")
+    base = events.select("user_id", "ts", "event_type")
+    # Three chained per-user window mins: each step's anchor is the previous
+    # step's timestamp. Same partitioning throughout -> one Exchange total.
+    s1 = base.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    deadline = F.col("t_view") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOUR")
+    level = (
+        F.when(
+            F.col("t_purchase").isNotNull() & (F.col("t_purchase") <= deadline), 3
+        )
+        .when(F.col("t_click").isNotNull() & (F.col("t_click") <= deadline), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(level.cast("int").alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+register(
+    "window_funnel_levels",
+    oracle=WINDOW_FUNNEL_ORACLE,
+    doc="ClickHouse windowFunnel-style deepest-stage-per-user with a "
+    "1-hour deadline anchored at the first step; chained window mins on "
+    "one user_id partitioning.",
+    tags=("behavior", "clickhouse-parity", "window"),
+)(build_window_funnel_levels)
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_tier — SCD Type-2 validity intervals from the event stream:
+# collapse consecutive same-tier events into [valid_from, valid_to) runs.
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH t AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN COALESCE(value, 0) < 10 THEN 'low'
+                WHEN COALESCE(value, 0) < 100 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id, tier,
+           CASE WHEN LAG(tier) OVER w IS NULL
+                  OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, ts, tier,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM flagged
+),
+intervals AS (
+    SELECT user_id, run_id, MIN(tier) AS tier,
+           MIN(ts) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, tier, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+       n_events,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+           AS is_current
+FROM intervals
+"""
+
+
+def build_scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    tier = (
+        F.when(F.coalesce(F.col("value"), F.lit(0.0)) < 10, "low")
+        .when(F.coalesce(F.col("value"), F.lit(0.0)) < 100, "mid")
+        .otherwise("high")
+    )
+    t = events.select("user_id", "ts", "event_id", tier.alias("tier"))
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t.withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(worder).isNull()
+            | (F.lag("tier").over(worder) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(worder.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = runs.groupBy("user_id", "run_id").agg(
+        F.min("tier").alias("tier"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("run_id")
+    closed = intervals.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(wrun).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(wrun).isNull().alias("is_current"),
+    )
+    return closed
+
+
+register(
+    "scd2_user_tier",
+    oracle=SCD2_ORACLE,
+    doc="SCD Type-2 history: consecutive same-tier event runs collapsed "
+    "into [valid_from, valid_to) intervals via lag-change-detection + "
+    "cumulative run ids + lead-close — one user_id partitioning end to "
+    "end (versioned extension of the silver latest-state pattern, "
+    "spark/batch_silver.py).",
+    tags=("lakehouse", "scd", "window"),
+)(build_scd2_user_tier)
+
+
+# ---------------------------------------------------------------------------
+# brand_price_regression — per-brand OLS of extendedprice (y, dollars) on
+# quantity (x) from exact integer/decimal sufficient statistics.
+# ---------------------------------------------------------------------------
+
+_REG_STATS_SQL = """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(l.l_quantity AS BIGINT)
+                * CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(CAST(l.l_quantity AS BIGINT)
+                * CAST(l.l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+"""
+
+BRAND_REGRESSION_ORACLE = f"""
+WITH s AS ({_REG_STATS_SQL})
+SELECT p_brand, n_items,
+       ROUND((n_items * sxy - sx * sy)
+             / NULLIF(n_items * sxx - sx * sx, 0) / 100.0, 6) AS slope,
+       ROUND((sy - (n_items * sxy - sx * sy)
+                   / NULLIF(n_items * sxx - sx * sx, 0) * sx)
+             / n_items / 100.0, 4) AS intercept,
+       ROUND((n_items * sxy - sx * sy) * (n_items * sxy - sx * sy)
+             / NULLIF((n_items * sxx - sx * sx) * (n_items * syy - sy * sy), 0),
+             6) AS r2
+FROM s
+"""
+
+
+def build_brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    part = table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand", qty.alias("x"), cents.alias("y")
+    )
+    # Exact sufficient statistics: bigint / decimal(38,0) sums are
+    # order-independent, so the derived OLS doubles are bit-stable at any
+    # parallelism (parity.py rationale; decimal guards sum-of-squares
+    # overflow at 100 TB row counts).
+    stats = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_items").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_c = cov_n / F.nullif(var_x, F.lit(0.0))
+    return stats.select(
+        "p_brand",
+        "n_items",
+        F.round(slope_c / 100.0, 6).alias("slope"),
+        F.round((F.col("sy") - slope_c * F.col("sx")) / n / 100.0, 4).alias(
+            "intercept"
+        ),
+        F.round(cov_n * cov_n / F.nullif(var_x * var_y, F.lit(0.0)), 6).alias("r2"),
+    )
+
+
+register(
+    "brand_price_regression",
+    oracle=BRAND_REGRESSION_ORACLE,
+    doc="Per-brand OLS slope/intercept/R^2 of extendedprice on quantity "
+    "from exact integer sufficient statistics (order-independent, "
+    "overflow-safe via decimal(38,0) sums).",
+    tags=("statistics", "regression", "exact"),
+)(build_brand_price_regression)
+
+
+# ---------------------------------------------------------------------------
+# term_zipf_fit — Zipf exponent of the corpus term distribution: OLS of
+# ln(freq) on ln(rank) over the top-K terms, with logs quantized to 1e-6
+# before summing so both engines aggregate identical integers.
+# ---------------------------------------------------------------------------
+
+ZIPF_K = 100
+_LOG_SCALE = 1_000_000
+
+TERM_ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT lower(unnest({_sql_tokens()})) AS term FROM documents
+),
+freq AS (
+    SELECT term, COUNT(*) AS f FROM tok GROUP BY term
+    ORDER BY f DESC, term LIMIT {ZIPF_K}
+),
+ranked AS (
+    SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rnk FROM freq
+),
+q AS (
+    SELECT CAST(ROUND(ln(rnk) * {_LOG_SCALE}, 0) AS BIGINT) AS lx,
+           CAST(ROUND(ln(f) * {_LOG_SCALE}, 0) AS BIGINT) AS ly
+    FROM ranked
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+           CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+           CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
+           CAST(SUM(ly * ly) AS DOUBLE) AS syy
+    FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+def build_term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(F.explode(tokens_col()).alias("t")).select(
+        F.lower("t").alias("term")
+    )
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), "term")
+        .limit(ZIPF_K)
+    )
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "term")).alias("rnk")
+    )
+    # ln() of identical integers is the identical double on both engines;
+    # quantizing to 1e-6 before the sum makes the OLS inputs exact integers
+    # (order-independent — same rationale as parity.py's scaled money sums).
+    q = ranked.select(
+        F.round(F.log("rnk") * _LOG_SCALE, 0).cast("long").alias("lx"),
+        F.round(F.log("f") * _LOG_SCALE, 0).cast("long").alias("ly"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(cov_n / var_x, 6).alias("zipf_slope"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+register(
+    "term_zipf_fit",
+    oracle=TERM_ZIPF_ORACLE,
+    doc="Zipf exponent: OLS of ln(freq) on ln(rank) over top-100 terms "
+    "with logs quantized to exact integers before summing (corpus "
+    "distribution-law audit for LLM data work).",
+    tags=("text", "llm", "statistics"),
+)(build_term_zipf_fit)
+
+
+# ---------------------------------------------------------------------------
+# benford_first_digit — leading-digit profile of order totals vs Benford's
+# law. Digit extraction goes through the exact integer-cents string so both
+# engines see the same characters (no log10-boundary risk).
+# ---------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders WHERE o_totalprice > 0
+),
+c AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY digit
+)
+SELECT digit, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6)
+           AS observed_share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share
+FROM c
+"""
+
+
+def build_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    cents_str = F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents_str, 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    # The window over () runs on <=9 grouped rows — a single-partition
+    # window over already-aggregated data, not over the scan.
+    return c.select(
+        "digit",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(Window.partitionBy()),
+            6,
+        ).alias("observed_share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+    )
+
+
+register(
+    "benford_first_digit",
+    oracle=BENFORD_ORACLE,
+    doc="Benford's-law leading-digit audit of order totals; digits come "
+    "from the exact integer-cents string so both engines agree without "
+    "log10 boundary risk.",
+    tags=("quality", "statistics"),
+)(build_benford_first_digit)
+
+
+# ---------------------------------------------------------------------------
+# status_priority_chisq — chi-square independence test of orderstatus x
+# orderpriority. Expected counts come from integer marginals; the chi-square
+# terms are quantized to 1e-6 before the final sum (order-independent).
+# ---------------------------------------------------------------------------
+
+CHISQ_ORACLE = """
+WITH cells AS (
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+aug AS (
+    SELECT n,
+           SUM(n) OVER (PARTITION BY status) AS row_tot,
+           SUM(n) OVER (PARTITION BY priority) AS col_tot,
+           SUM(n) OVER () AS tot
+    FROM cells
+),
+terms AS (
+    SELECT CAST(ROUND(
+             (n - CAST(row_tot AS DOUBLE) * col_tot / tot)
+             * (n - CAST(row_tot AS DOUBLE) * col_tot / tot)
+             / (CAST(row_tot AS DOUBLE) * col_tot / tot) * 1000000, 0)
+           AS BIGINT) AS term_q
+    FROM aug
+),
+dims AS (
+    SELECT CAST((COUNT(DISTINCT o_orderstatus) - 1)
+                * (COUNT(DISTINCT o_orderpriority) - 1) AS INT) AS dof
+    FROM orders
+)
+SELECT ROUND(CAST(SUM(term_q) AS DOUBLE) / 1000000, 4) AS chi_square,
+       (SELECT dof FROM dims) AS dof
+FROM terms
+"""
+
+
+def build_status_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Windows run over the ~15 grouped cells, not the scan.
+    aug = cells.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("status")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("priority")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("tot")
+    term = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    terms = aug.select(
+        F.round(term * 1_000_000, 0).cast("long").alias("term_q")
+    )
+    dims = orders.agg(
+        (
+            (F.countDistinct("o_orderstatus") - 1)
+            * (F.countDistinct("o_orderpriority") - 1)
+        )
+        .cast("int")
+        .alias("dof")
+    )
+    chi = terms.agg(
+        F.round(F.sum("term_q").cast("double") / 1_000_000, 4).alias("chi_square")
+    )
+    return chi.crossJoin(dims)
+
+
+register(
+    "status_priority_chisq",
+    oracle=CHISQ_ORACLE,
+    doc="Chi-square independence of orderstatus x orderpriority from "
+    "integer marginals; per-cell terms quantized before the final sum "
+    "so the statistic is order-independent.",
+    tags=("statistics", "quality"),
+)(build_status_priority_chisq)
+
+
+# ---------------------------------------------------------------------------
+# weekday_adjusted_anomaly — daily revenue vs the trailing average of the
+# same weekday (4 prior occurrences): seasonal-naive residual flagging.
+# ---------------------------------------------------------------------------
+
+ANOMALY_HI = 1.5
+ANOMALY_LO = 0.6667
+
+WEEKDAY_ANOMALY_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS order_date,
+           isodow(o_orderdate) AS dow,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders GROUP BY o_orderdate
+),
+base AS (
+    SELECT order_date, rev_c,
+           SUM(rev_c) OVER w AS base_sum,
+           COUNT(*) OVER w AS base_n
+    FROM daily
+    WINDOW w AS (PARTITION BY dow ORDER BY order_date
+                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+)
+SELECT order_date,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(base_sum AS DOUBLE) / base_n / 100.0, 4) AS weekday_baseline,
+       ROUND(CAST(rev_c AS DOUBLE) / (CAST(base_sum AS DOUBLE) / base_n), 6)
+           AS rev_ratio
+FROM base
+WHERE base_n >= 4
+  AND (CAST(rev_c AS DOUBLE) / (CAST(base_sum AS DOUBLE) / base_n) > {ANOMALY_HI}
+       OR CAST(rev_c AS DOUBLE) / (CAST(base_sum AS DOUBLE) / base_n) < {ANOMALY_LO})
+"""
+
+
+def build_weekday_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    daily = orders.groupBy(F.col("o_orderdate").alias("order_date")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev_c"),
+    ).withColumn("dow", isodow("order_date"))
+    w = (
+        Window.partitionBy("dow")
+        .orderBy("order_date")
+        .rowsBetween(-4, -1)
+    )
+    base = daily.select(
+        "order_date",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("base_sum"),
+        F.count(F.lit(1)).over(w).alias("base_n"),
+    )
+    baseline = F.col("base_sum").cast("double") / F.col("base_n")
+    ratio = F.col("rev_c").cast("double") / baseline
+    return base.filter(
+        (F.col("base_n") >= 4) & ((ratio > ANOMALY_HI) | (ratio < ANOMALY_LO))
+    ).select(
+        "order_date",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        # base_n is always 4 (frame is 4 PRECEDING..1 PRECEDING with the
+        # >=4 filter), so baseline is an exact multiple of $0.0025 — round
+        # at 4 decimals where no half-boundary exists (2 decimals lands on
+        # .005 boundaries that the engines' ROUNDs resolve differently).
+        F.round(baseline / 100.0, 4).alias("weekday_baseline"),
+        F.round(ratio, 6).alias("rev_ratio"),
+    )
+
+
+register(
+    "weekday_adjusted_anomaly",
+    oracle=WEEKDAY_ANOMALY_ORACLE,
+    doc="Seasonal-naive anomaly flags: daily revenue vs trailing same-"
+    "weekday average (4 prior occurrences), exact integer-cents window "
+    "sums.",
+    tags=("timeseries", "anomaly", "window"),
+)(build_weekday_adjusted_anomaly)
+
+
+# ---------------------------------------------------------------------------
+# purchase_attribution — last-touch channel attribution: each purchase is
+# credited to the user's most recent preceding non-purchase event type.
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH tagged AS (
+    SELECT event_type, value,
+           COALESCE(
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             'direct') AS channel
+    FROM events
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS attributed_value
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY channel
+"""
+
+
+def build_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    tagged = events.select(
+        "event_type",
+        "value",
+        F.coalesce(last_touch, F.lit("direct")).alias("channel"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                / 100.0
+            ).alias("attributed_value"),
+        )
+    )
+
+
+register(
+    "purchase_attribution",
+    oracle=ATTRIBUTION_ORACLE,
+    doc="Last-touch attribution: purchases credited to the most recent "
+    "preceding non-purchase event via ignore-nulls last over a user "
+    "window; exact-cents value sums.",
+    tags=("behavior", "window"),
+)(build_purchase_attribution)
+
+
+# ---------------------------------------------------------------------------
+# copurchase_triangle_count — triangles in the support-thresholded
+# co-purchase graph. Support pruning (A-priori) is what bounds the
+# pair fan-out and the edge self-joins at scale.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_SUPPORT = 2
+
+TRIANGLE_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {TRIANGLE_SUPPORT}
+)
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM edges e1
+             JOIN edges e2 ON e1.pb = e2.pa
+             JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS BIGINT)
+           AS n_triangles
+"""
+
+
+def build_copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRIANGLE_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tris)
+
+
+register(
+    "copurchase_triangle_count",
+    oracle=TRIANGLE_ORACLE,
+    doc="Triangle count on the co-purchase part graph; support-2 frequent-"
+    "pair pruning bounds edge fan-out before the triangle self-joins "
+    "(A-priori-style scale lever).",
+    tags=("graph", "basket"),
+)(build_copurchase_triangle_count)
+
+
+# ---------------------------------------------------------------------------
+# term_pmi_top_pairs — pointwise mutual information of top-vocabulary term
+# pairs co-occurring in documents. Vocabulary capping (|V|=50) bounds the
+# per-doc pair fan-out at |V| choose 2 regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB_K = 50
+PMI_TOP_PAIRS = 20
+
+TERM_PMI_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lower(unnest({_sql_tokens()})) AS term FROM documents
+),
+vocab AS (
+    SELECT term, COUNT(*) AS f FROM tok GROUP BY term
+    ORDER BY f DESC, term LIMIT {PMI_VOCAB_K}
+),
+docterm AS (
+    SELECT DISTINCT t.doc_id, t.term FROM tok t JOIN vocab v ON t.term = v.term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+marg AS (SELECT term, COUNT(*) AS df FROM docterm GROUP BY term),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_both
+    FROM docterm a JOIN docterm b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+)
+SELECT term_a, term_b, CAST(n_both AS BIGINT) AS n_docs_both,
+       ROUND(ln(CAST(n_both AS DOUBLE) * (SELECT n_docs FROM n)
+                / (ma.df * CAST(mb.df AS DOUBLE))), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.term = pairs.term_a
+JOIN marg mb ON mb.term = pairs.term_b
+ORDER BY n_both DESC, term_a, term_b
+LIMIT {PMI_TOP_PAIRS}
+"""
+
+
+def build_term_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), "term")
+        .limit(PMI_VOCAB_K)
+        .select("term")
+    )
+    # vocab is a bounded top-K (constant size by construction) — the one
+    # case where an explicit broadcast is size-safe at any corpus scale.
+    docterm = tok.join(F.broadcast(vocab), "term").select("doc_id", "term").distinct()
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    marg = docterm.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = docterm.alias("a")
+    b = docterm.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    mb = marg.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pmi = (
+        pairs.join(F.broadcast(ma), "term_a")
+        .join(F.broadcast(mb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_both").alias("n_docs_both"),
+            F.round(
+                F.log(
+                    F.col("n_both").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("n_docs_both"), "term_a", "term_b").limit(
+        PMI_TOP_PAIRS
+    )
+
+
+register(
+    "term_pmi_top_pairs",
+    oracle=TERM_PMI_ORACLE,
+    doc="PMI of top-vocabulary term pairs: vocab cap bounds per-doc pair "
+    "fan-out; marginals and doc count broadcast (bounded by |V|).",
+    tags=("text", "llm", "statistics"),
+)(build_term_pmi_top_pairs)
+
+
+# ---------------------------------------------------------------------------
+# revenue_ewma — exponentially weighted moving average of daily revenue,
+# recursion per year via applyInPandas (grouped-map on the post-aggregation
+# series: one row per day). The oracle is a recursive CTE — this is one of
+# the few ops where the declarative form genuinely needs recursion.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+
+REVENUE_EWMA_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT o_orderdate AS order_date,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           ROW_NUMBER() OVER (PARTITION BY year(o_orderdate)
+                              ORDER BY o_orderdate) AS rn
+    FROM orders GROUP BY o_orderdate
+),
+r AS (
+    SELECT yr, rn, order_date, revenue, revenue AS ewma
+    FROM daily WHERE rn = 1
+    UNION ALL
+    SELECT d.yr, d.rn, d.order_date, d.revenue,
+           {EWMA_ALPHA} * d.revenue + {1 - EWMA_ALPHA} * r.ewma
+    FROM daily d JOIN r ON d.yr = r.yr AND d.rn = r.rn + 1
+)
+SELECT order_date, revenue, ROUND(ewma, 4) AS ewma FROM r
+"""
+
+
+def build_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    daily = orders.groupBy(F.col("o_orderdate").alias("order_date")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue")
+    ).withColumn("yr", F.year("order_date").cast("int"))
+
+    def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("order_date").reset_index(drop=True)
+        out = []
+        prev = None
+        for rev in pdf["revenue"]:
+            # Same expression shape as the oracle's recursive step so the
+            # IEEE op sequence matches bit-for-bit.
+            prev = rev if prev is None else EWMA_ALPHA * rev + (1 - EWMA_ALPHA) * prev
+            out.append(prev)
+        pdf["ewma"] = out
+        return pdf[["order_date", "revenue", "ewma"]]
+
+    # Round Spark-side (half-away-from-zero, matching DuckDB ROUND) rather
+    # than with Python's banker's-rounding round().
+    raw = daily.groupBy("yr").applyInPandas(
+        ewma_group, schema="order_date date, revenue double, ewma double"
+    )
+    return raw.select("order_date", "revenue", F.round("ewma", 4).alias("ewma"))
+
+
+register(
+    "revenue_ewma",
+    oracle=REVENUE_EWMA_ORACLE,
+    doc="EWMA of daily revenue: per-year grouped-map recursion over the "
+    "post-aggregation series (one row/day); recursive-CTE oracle. "
+    "Parallel across years; inherently sequential within a year.",
+    tags=("timeseries", "pandas-udf"),
+)(build_revenue_ewma)
