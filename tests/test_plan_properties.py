@@ -67,6 +67,9 @@ ALLOWED_BROADCAST_ARGS = {
     "daily",
     "keys",
     "subject_keys",  # GDPR erasure subject list (request-batch-bounded)
+    "ma",  # PMI marginals — bounded by the capped vocab (|V| rows)
+    "mb",  # PMI marginals — bounded by the capped vocab (|V| rows)
+    "n_docs",  # scalar (1-row) corpus count
 }
 
 FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}
