@@ -65,6 +65,11 @@ HEADLINE = [
     "tpch_q18",               # HAVING-agg broadcast back onto fact join
     "quality_gate",           # corpus filter chain with reject reasons
     "contamination_ngrams",   # broadcast benchmark-overlap decontamination
+    # round-3 additions
+    "window_funnel_levels",   # chained window mins on one user partitioning
+    "purchase_attribution",   # ignore-nulls last over user window
+    "brand_price_regression", # per-group OLS from exact sufficient stats
+    "revenue_ewma",           # grouped-map recursion over post-agg series
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
@@ -78,6 +83,12 @@ HEAVY = [
     "corpus_pack_chunks",      # per-source running-sum packing
     "vocab_growth_curve",      # cumulative distinct-vocab curve
     "dedup_ngram_jaccard",     # shingle inverted-index self-join
+    # round-3 additions
+    "doc_lm_perplexity",       # bigram-LM scoring: two fact-fact joins
+    "heavy_hitter_terms",      # Misra-Gries sketch + exact recount
+    "copurchase_triangle_count",  # pair mining + triangle self-joins
+    "term_pmi_top_pairs",      # vocab-capped co-occurrence PMI
+    "pagerank_copurchase",     # 10-iteration power method on arc set
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x

@@ -194,42 +194,28 @@ FROM intervals
 """
 
 
-def build_scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = spread(table(spark, sf_dir, "events"), spark)
+def user_tier_changes(events: DataFrame) -> DataFrame:
+    """The (user_id, ts, event_id, tier) change stream the SCD2 operators
+    consume — shared by the batch query and the streaming dimension sink."""
     tier = (
         F.when(F.coalesce(F.col("value"), F.lit(0.0)) < 10, "low")
         .when(F.coalesce(F.col("value"), F.lit(0.0)) < 100, "mid")
         .otherwise("high")
     )
-    t = events.select("user_id", "ts", "event_id", tier.alias("tier"))
-    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = t.withColumn(
-        "chg",
-        F.when(
-            F.lag("tier").over(worder).isNull()
-            | (F.lag("tier").over(worder) != F.col("tier")),
-            1,
-        ).otherwise(0),
+    return events.select("user_id", "ts", "event_id", tier.alias("tier"))
+
+
+def build_scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_intervals
+
+    events = spread(table(spark, sf_dir, "events"), spark)
+    return scd2_intervals(
+        user_tier_changes(events),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        value="tier",
     )
-    runs = flagged.withColumn(
-        "run_id",
-        F.sum("chg").over(worder.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    intervals = runs.groupBy("user_id", "run_id").agg(
-        F.min("tier").alias("tier"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    wrun = Window.partitionBy("user_id").orderBy("run_id")
-    closed = intervals.select(
-        "user_id",
-        "tier",
-        "valid_from",
-        F.lead("valid_from").over(wrun).alias("valid_to"),
-        "n_events",
-        F.lead("valid_from").over(wrun).isNull().alias("is_current"),
-    )
-    return closed
 
 
 register(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.aggregates import streaming_daily_sales, trending_topk_sink
 from ..streaming.sessionize import sessionize
+from .advanced import SCD2_ORACLE, user_tier_changes
 from .registry import register
 
 _GAP_MINUTES = 30
@@ -261,3 +262,44 @@ register(
     "sink (streaming/aggregates.py merge_topk_batch).",
     tags=("streaming", "topk", "drain"),
 )(streaming_trending_topk_drain)
+
+
+def streaming_scd2_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC -> SCD2 dimension maintenance through the real
+    foreachBatch path: each micro-batch lands in bronze, only the touched
+    keys' intervals are recomputed, and only the touched PK-hash buckets
+    of the dimension are rewritten (streaming/scd2.py). The drained
+    dimension must equal the batch SCD2 transform — same oracle as
+    scd2_user_tier."""
+    from ..streaming.scd2 import Scd2DimensionSink
+
+    changes = user_tier_changes(_events_stream(spark, sf_dir))
+    base = tempfile.mkdtemp(prefix="scd2_drain_")
+    sink = Scd2DimensionSink(
+        spark,
+        bronze_path=os.path.join(base, "bronze"),
+        dim_path=os.path.join(base, "dim"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        value="tier",
+    )
+    try:
+        q = sink.sink(changes, checkpoint_path=os.path.join(base, "ckpt"))
+        q.awaitTermination()
+        res = sink.read_dim()
+        # localize (one row per validity interval — dimension-sized) so
+        # the backing /tmp tree can be removed before returning
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+register(
+    "streaming_scd2_drain",
+    oracle=SCD2_ORACLE,
+    doc="SCD Type-2 dimension maintained by the streaming foreachBatch "
+    "sink (bronze landing + touched-key partial recompute + touched-"
+    "bucket dynamic overwrite); must equal the batch SCD2 transform.",
+    tags=("streaming", "scd", "lakehouse", "drain"),
+)(streaming_scd2_drain)
