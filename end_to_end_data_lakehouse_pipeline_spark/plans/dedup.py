@@ -1093,3 +1093,73 @@ register(
     "extension).",
     tags=("dedup", "llm", "report"),
 )(build_dedup_cross_source)
+
+
+# ---------------------------------------------------------------------------
+# minhash_error_report — the dedup path evaluating its own sketch quality
+# (the ann_recall_* pattern applied to MinHash): over all LSH candidate
+# pairs, how far is the 16-hash estimate from exact shingle Jaccard, and
+# what fraction of truly-duplicate candidates does the estimate keep at
+# the shared threshold?
+# ---------------------------------------------------------------------------
+
+MINHASH_ERROR_ORACLE = f"""
+WITH pairs AS ({MINHASH_LSH_ORACLE}),
+q AS (
+    SELECT CAST(ROUND(abs(est_jaccard - jaccard) * 1000000, 0) AS BIGINT)
+               AS err_q,
+           est_jaccard, jaccard
+    FROM pairs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(err_q) AS DOUBLE) / 1000000 / COUNT(*), 6)
+           AS mean_abs_err,
+       ROUND(CAST(MAX(err_q) AS DOUBLE) / 1000000, 6) AS max_abs_err,
+       ROUND(CAST(SUM(CASE WHEN jaccard >= {JACCARD_THRESHOLD}
+                            AND est_jaccard >= {JACCARD_THRESHOLD}
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN jaccard >= {JACCARD_THRESHOLD}
+                               THEN 1 ELSE 0 END), 0), 6) AS est_recall
+FROM q
+"""
+
+
+def build_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    s = docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    pairs = minhash_lsh_pairs_from(s)
+    # per-pair errors quantized to exact integers before the mean
+    # (parity.py rationale: order-independent sums)
+    err_q = F.round(
+        F.abs(F.col("est_jaccard") - F.col("jaccard")) * 1_000_000, 0
+    ).cast("long")
+    true_dup = F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+    kept_dup = F.when(
+        (F.col("jaccard") >= JACCARD_THRESHOLD)
+        & (F.col("est_jaccard") >= JACCARD_THRESHOLD),
+        1,
+    ).otherwise(0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(err_q).cast("double") / 1_000_000 / F.count(F.lit(1)), 6
+        ).alias("mean_abs_err"),
+        F.round(F.max(err_q).cast("double") / 1_000_000, 6).alias("max_abs_err"),
+        F.round(
+            F.sum(kept_dup).cast("double")
+            / F.nullif(F.sum(true_dup).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("est_recall"),
+    )
+
+
+register(
+    "minhash_error_report",
+    oracle=MINHASH_ERROR_ORACLE,
+    doc="MinHash sketch self-evaluation: mean/max |estimate - exact "
+    "Jaccard| and threshold recall over the LSH candidate pairs (the "
+    "ann_recall_* pattern for the dedup path).",
+    tags=("dedup", "llm", "evaluation"),
+)(build_minhash_error_report)

@@ -334,6 +334,7 @@ PR_SUPPORT = 2
 PR_DAMPING = 0.85
 PR_ITERATIONS = 10
 PR_TOP = 20
+PR_PARTITIONS = 8  # iteration-loop width: arc set is support-bounded
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,11 +364,25 @@ def build_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling mass. Each iteration is one join + one aggregate on the
     support-bounded arc set; lineage is truncated with localCheckpoint
     every iteration so 10 rounds do not stack into one mega-plan.
+
+    The support-pruned arc set is orders of magnitude smaller than the
+    scan, so the iteration loop runs on a FEW partitions (task-launch
+    overhead, not data volume, dominates a 10-round loop at the default
+    shuffle width; size PR_PARTITIONS up with the frequent-pair count).
     """
-    arcs = _copurchase_edges(spark, sf_dir).cache()
+    arcs = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(PR_PARTITIONS, "src")
+        .cache()
+    )
+    arcs.count()  # materialize once before the loop
     degrees = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = degrees.select(F.col("src").alias("node"), "deg")
-    n_nodes = nodes.count()  # K-row driver scalar (S12 shape)
+    nodes = (
+        degrees.select(F.col("src").alias("node"), "deg")
+        .repartition(PR_PARTITIONS, "node")
+        .cache()
+    )
+    n_nodes = nodes.count()  # K-row driver scalar (S12 shape); warms the cache
     ranks = nodes.select(
         "node", "deg", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()

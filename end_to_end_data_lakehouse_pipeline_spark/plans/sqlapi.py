@@ -158,3 +158,31 @@ register(
     "(serving-surface proof for the 6-way join).",
     tags=("sql", "join", "tpch"),
 )(build_sql_tpch_q5)
+
+
+# ---------------------------------------------------------------------------
+# sql_window_funnel — the windowFunnel family through the SQL-text serving
+# surface: Spark executes the SAME engine-shared ANSI text DuckDB verifies
+# (chained conditional-min CTEs; INTERVAL arithmetic is portable).
+# ---------------------------------------------------------------------------
+
+def build_sql_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .advanced import WINDOW_FUNNEL_ORACLE
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(WINDOW_FUNNEL_ORACLE)
+
+
+def _sql_window_funnel_oracle() -> str:
+    from .advanced import WINDOW_FUNNEL_ORACLE
+
+    return WINDOW_FUNNEL_ORACLE
+
+
+register(
+    "sql_window_funnel",
+    oracle=_sql_window_funnel_oracle(),
+    doc="windowFunnel levels as engine-shared SQL text through spark.sql "
+    "(the BI/serving surface twin of window_funnel_levels).",
+    tags=("sql", "behavior", "clickhouse-parity"),
+)(build_sql_window_funnel)

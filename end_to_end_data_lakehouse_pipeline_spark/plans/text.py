@@ -1154,3 +1154,60 @@ register(
     "classifiers threshold beyond the token gate.",
     tags=("text", "llm", "report"),
 )(build_char_class_profile)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility_by_lang — tokenizer-efficiency audit per language:
+# BPE-ish tokens per whitespace word (fertility) and characters per token.
+# High-fertility languages cost more context budget per word — the number
+# an LLM-data team checks before fixing a tokenizer or re-weighting a
+# language mix.
+# ---------------------------------------------------------------------------
+
+TOKENIZER_FERTILITY_ORACLE = f"""
+WITH t AS (
+    SELECT lang,
+           len({_sql_tokens()}) AS n_words,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+           n_chars
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6) AS chars_per_token
+FROM t GROUP BY lang
+"""
+
+
+def build_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    t = docs.select(
+        "lang",
+        F.size(tokens_col()).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n_bpe"),
+        "n_chars",
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+register(
+    "tokenizer_fertility_by_lang",
+    oracle=TOKENIZER_FERTILITY_ORACLE,
+    doc="Per-language tokenizer fertility (BPE tokens per word) and "
+    "chars-per-token — the context-budget economics of a language mix; "
+    "exact integer sums, one hash aggregate.",
+    tags=("text", "llm", "agg"),
+)(build_tokenizer_fertility_by_lang)

@@ -51,3 +51,18 @@ def write_csv_bulk(
     df.write.mode("overwrite").option("header", str(header).lower()).options(
         **options
     ).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch scan — columnar-format completeness next to parquet/CSV/
+    JSON (vectorized reader, predicate pushdown and column pruning apply
+    exactly as for parquet)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Distributed ORC writer (overwrite). ``n_files`` sizes output files
+    like write_csv_bulk."""
+    if n_files is not None:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").orc(path)

@@ -384,3 +384,21 @@ def test_erasure_propagates_across_tables_atomically(spark, tmp_path):
     assert sorted(r.order_id for r in orders.read().collect()) == [13]
     # pre-erasure versions still readable (legal-hold window), then prunable
     assert customers.read_version(1).count() == 3
+
+
+def test_orc_roundtrip_preserves_rows_and_schema(spark, sf_dir, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.catalog import table
+    from end_to_end_data_lakehouse_pipeline_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    src = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path, n_files=2)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # filters push down to the ORC scan like parquet
+    plan = back.filter("o_totalprice > 1000")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
