@@ -257,9 +257,12 @@ s AS (
     SELECT lag_days,
            CAST(COUNT(*) AS DOUBLE) AS n,
            CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-           CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-           CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-           CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE) AS syy
     FROM pairs GROUP BY lag_days
 )
 SELECT CAST(lag_days AS INT) AS lag_days,
@@ -292,13 +295,17 @@ def build_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        # cast to decimal BEFORE the multiply: daily-aggregated cents grow
+        # with data volume, so the bigint product overflows at ~10x (the
+        # exact failure the 10x rehearsal caught); decimal(19)x(19)->(38)
+        # stays exact at any realistic scale
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
         .cast("double")
         .alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
         .cast("double")
         .alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
         .cast("double")
         .alias("syy"),
     )
