@@ -157,3 +157,105 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup detection for binary payloads: 64-bit aHash
+# stand-in (bit i = byte-histogram bucket i above the per-payload mean),
+# banded into 4x16-bit keys for candidate generation, exact Hamming
+# verify. With a codec lib the bits would come from DCT coefficients of
+# decoded pixels (classic pHash) — the banding/verify scale machinery is
+# identical either way.
+#
+# Banding guarantee (pigeonhole): any pair within Hamming distance < 4
+# shares at least one of the 4 bands exactly, so candidates cover every
+# pair at the verify threshold (PHASH_MAX_HAMMING=3).
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+
+
+def phash_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, payload) -> (id, phash bigint, band_0..band_3 int).
+
+    mapInPandas computes the 64-bucket byte histogram per payload with
+    numpy (no row loop over bytes) and thresholds at the bucket mean;
+    the band keys are 16-bit slices of the hash.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("phash", T.LongType(), True),
+            *[
+                T.StructField(f"band_{j}", T.LongType(), True)
+                for j in range(PHASH_BANDS)
+            ],
+        ]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(a >> 2, minlength=64)[:64]
+                bits = hist > hist.mean()
+                h = 0
+                for b in bits:  # 64 iterations per payload, not per byte
+                    h = (h << 1) | int(b)
+                ids.append(int(mid))
+                hashes.append(h)
+            hs = np.array(hashes, dtype=np.uint64)
+            out = pd.DataFrame(
+                {
+                    id_col: np.array(ids, dtype=np.int64),
+                    # top bit maps to negative via the int64 view
+                    "phash": hs.view(np.int64),
+                }
+            )
+            for j in range(PHASH_BANDS):
+                shift = np.uint64(16 * (PHASH_BANDS - 1 - j))
+                out[f"band_{j}"] = ((hs >> shift) & np.uint64(0xFFFF)).astype(
+                    np.int64
+                )
+            yield out
+
+    return media.mapInPandas(hash_batches, schema=out_schema)
+
+
+def phash_near_dups(
+    hashed: DataFrame, id_col: str = "media_id", max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Banded candidate join + exact popcount(xor) Hamming verify."""
+    bands = hashed.select(
+        id_col,
+        "phash",
+        F.posexplode(
+            F.array(*[F.col(f"band_{j}") for j in range(PHASH_BANDS)])
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select("id1", "id2", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1255,3 +1255,78 @@ register(
     "motivation numbers; LLM-pipeline extension).",
     tags=("llm", "report"),
 )(build_truncation_loss_report)
+
+
+# ---------------------------------------------------------------------------
+# media_phash_near_dups — near-duplicate detection on BINARY payloads:
+# 64-bit byte-histogram aHash (multimodal/columns.py phash_media), banded
+# 4x16 bits for candidates, exact Hamming verify. Payloads derive from
+# the ASCII corpus (same trick as multimodal_byte_stats), so DuckDB
+# reproduces the hash bit-for-bit from ord() code points — the dedup
+# family extended across modalities, still fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+MEDIA_PHASH_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)) AS codes
+    FROM documents WHERE length(text) > 0
+),
+h AS (
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(64), i ->
+               CASE WHEN len(list_filter(codes, c -> (c // 4) = i))
+                         > len(codes) / 64.0
+                    THEN '1' ELSE '0' END), '') AS bs
+    FROM b
+),
+bands AS (
+    SELECT doc_id, bs, 0 AS band_idx, substr(bs, 1, 16) AS band_key FROM h
+    UNION ALL SELECT doc_id, bs, 1, substr(bs, 17, 16) FROM h
+    UNION ALL SELECT doc_id, bs, 2, substr(bs, 33, 16) FROM h
+    UNION ALL SELECT doc_id, bs, 3, substr(bs, 49, 16) FROM h
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           a.bs AS bs1, b.bs AS bs2
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+SELECT id1, id2,
+       CAST(len(list_filter(range(64),
+                 i -> substr(bs1, i + 1, 1) <> substr(bs2, i + 1, 1)))
+            AS INT) AS hamming
+FROM cand
+WHERE len(list_filter(range(64),
+          i -> substr(bs1, i + 1, 1) <> substr(bs2, i + 1, 1))) <= 3
+"""
+
+
+def build_media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import phash_media, phash_near_dups
+
+    docs = spread(table(spark, sf_dir, "documents"), spark).filter(
+        F.length("text") > 0
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    hashed = phash_media(media)
+    pairs = phash_near_dups(hashed)
+    return pairs.select(
+        F.col("id1"), F.col("id2"), F.col("hamming")
+    )
+
+
+register(
+    "media_phash_near_dups",
+    oracle=MEDIA_PHASH_ORACLE,
+    doc="Multimodal near-dup: 64-bit byte-histogram perceptual hash over "
+    "binary payloads, 4x16-bit banding (covers every pair at Hamming<4 "
+    "by pigeonhole) + exact popcount verify; oracle reproduces the hash "
+    "from ASCII code points.",
+    tags=("multimodal", "dedup", "llm"),
+)(build_media_phash_near_dups)

@@ -89,3 +89,40 @@ def test_frame_sample_explode_shape(spark):
     frames = frame_sample(media, every_ms=1000)
     per_media = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 4 for r in per_media)  # 0,1000,2000,3000
+
+
+def test_phash_near_dups_finds_duplicates_not_randoms(spark):
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from end_to_end_data_lakehouse_pipeline_spark.multimodal.columns import (
+        phash_media,
+        phash_near_dups,
+    )
+
+    def payload(seed: str) -> bytearray:
+        return bytearray(hashlib.sha256(seed.encode()).digest() * 8)  # 256 B
+
+    rows = []
+    for i in range(20):  # distinct random payloads
+        rows.append((i, payload(f"r{i}")))
+    dup = payload("r0")
+    rows.append((100, dup))  # exact duplicate of media 0
+    near = payload("r1")
+    near[0] = (near[0] + 1) % 256  # tiny perturbation of media 1
+    rows.append((101, near))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema).repartition(4, "media_id")
+    pairs = phash_near_dups(phash_media(media)).collect()
+    found = {(r["id1"], r["id2"]): r["hamming"] for r in pairs}
+    assert found.get((0, 100)) == 0, "exact duplicate must match at hamming 0"
+    assert (1, 101) in found, "1-byte perturbation must stay within the radius"
+    # random pairs must not collide (64 random bits, radius 3)
+    for (a, b) in found:
+        assert {a, b} <= {0, 100} or {a, b} <= {1, 101}, f"false pair {(a, b)}"
