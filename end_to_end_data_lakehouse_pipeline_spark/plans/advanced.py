@@ -926,3 +926,189 @@ register(
     "Parallel across years; inherently sequential within a year.",
     tags=("timeseries", "pandas-udf"),
 )(build_revenue_ewma)
+
+
+# ---------------------------------------------------------------------------
+# basket_association_rules — frequent-pair association rules with
+# support / confidence / lift. Support pruning (the A-priori property)
+# bounds the pair space; rules are emitted in both directions from each
+# frequent pair. The classic market-basket operator the reference's BI
+# layer motivates (04_materialized_views.sql product dashboards).
+# ---------------------------------------------------------------------------
+
+RULE_SUPPORT = 3  # pair must co-occur in >= 3 orders
+RULES_TOP = 30
+
+ASSOCIATION_RULES_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+part_n AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_a FROM items GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {RULE_SUPPORT}
+),
+rules AS (
+    SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+    UNION ALL
+    SELECT pb, pa, n_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_ab,
+       ROUND(CAST(r.n_ab AS DOUBLE) / (SELECT n_orders FROM n), 6) AS support,
+       ROUND(CAST(r.n_ab AS DOUBLE) / na.n_a, 6) AS confidence,
+       ROUND(CAST(r.n_ab AS DOUBLE) * (SELECT n_orders FROM n)
+             / (na.n_a * CAST(nc.n_a AS DOUBLE)), 6) AS lift
+FROM rules r
+JOIN part_n na ON na.l_partkey = r.antecedent
+JOIN part_n nc ON nc.l_partkey = r.consequent
+ORDER BY n_ab DESC, confidence DESC, antecedent, consequent
+LIMIT {RULES_TOP}
+"""
+
+
+def build_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_a"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= RULE_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
+        )
+    )
+    na = part_n.select(F.col("l_partkey").alias("antecedent"), F.col("n_a").alias("ant_n"))
+    nc = part_n.select(F.col("l_partkey").alias("consequent"), F.col("n_a").alias("con_n"))
+    # part_n grows with the catalog — shuffle joins (no broadcast hints);
+    # only the 1-row order count broadcasts.
+    out = (
+        rules.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("ant_n"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("ant_n") * F.col("con_n").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("n_ab"), F.desc("confidence"), "antecedent", "consequent"
+    ).limit(RULES_TOP)
+
+
+register(
+    "basket_association_rules",
+    oracle=ASSOCIATION_RULES_ORACLE,
+    doc=f"Association rules from support-{RULE_SUPPORT} frequent pairs "
+    "(A-priori pruned) with support/confidence/lift in both directions; "
+    "top rules by co-occurrence.",
+    tags=("basket", "mining", "join"),
+)(build_basket_association_rules)
+
+
+# ---------------------------------------------------------------------------
+# segment_migration_matrix — customer lifecycle: per-year spend terciles
+# (ntile within year) and the year-over-year segment transition counts.
+# The dimension a CRM dashboard tracks: who moved up, who churned down.
+# ---------------------------------------------------------------------------
+
+SEGMENT_MIGRATION_ORACLE = """
+WITH yearly AS (
+    SELECT o_custkey AS custkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS spend_c
+    FROM orders GROUP BY o_custkey, year(o_orderdate)
+),
+seg AS (
+    SELECT custkey, yr,
+           NTILE(3) OVER (PARTITION BY yr ORDER BY spend_c DESC, custkey)
+               AS tercile
+    FROM yearly
+),
+named AS (
+    SELECT custkey, yr,
+           CASE tercile WHEN 1 THEN 'high' WHEN 2 THEN 'mid'
+                        ELSE 'low' END AS segment
+    FROM seg
+)
+SELECT a.segment AS from_segment,
+       b.segment AS to_segment,
+       CAST(a.yr AS INT) AS from_year,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM named a JOIN named b
+  ON a.custkey = b.custkey AND b.yr = a.yr + 1
+GROUP BY a.segment, b.segment, a.yr
+"""
+
+
+def build_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    yearly = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_c")
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("spend_c"), "custkey")
+    named = yearly.select(
+        "custkey",
+        "yr",
+        F.when(F.ntile(3).over(w) == 1, "high")
+        .when(F.ntile(3).over(w) == 2, "mid")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a, b = named.alias("a"), named.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.segment").alias("from_segment"),
+            F.col("b.segment").alias("to_segment"),
+            F.col("a.yr").alias("from_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+register(
+    "segment_migration_matrix",
+    oracle=SEGMENT_MIGRATION_ORACLE,
+    doc="Year-over-year customer segment transitions: per-year spend "
+    "terciles (deterministic ntile: spend desc, custkey) self-joined on "
+    "year+1 — the CRM lifecycle matrix.",
+    tags=("behavior", "window", "join"),
+)(build_segment_migration_matrix)

@@ -70,6 +70,7 @@ ALLOWED_BROADCAST_ARGS = {
     "ma",  # PMI marginals — bounded by the capped vocab (|V| rows)
     "mb",  # PMI marginals — bounded by the capped vocab (|V| rows)
     "n_docs",  # scalar (1-row) corpus count
+    "n_orders",  # scalar (1-row) basket count
 }
 
 FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}
