@@ -234,3 +234,43 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_window_funnel_single_user_partitioning(spark, sf_dir):
+    # The three chained window mins and the per-user agg must share ONE
+    # hashpartitioning(user_id) — re-shuffling between chained windows on
+    # the same key would triple the funnel's shuffle volume.
+    import re as _re
+
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    plan = _initial_plan(plans.queries()["window_funnel_levels"](spark, sf_dir))
+    user_exchanges = len(
+        _re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    )
+    assert user_exchanges == 1, f"expected 1 user_id exchange, saw {user_exchanges}\n{plan}"
+
+
+def test_scd2_single_key_partitioning(spark, sf_dir):
+    # lag-flag, cumulative run ids, per-run collapse and lead-close all
+    # ride one user_id hash partitioning (operators/scd.py contract).
+    import re as _re
+
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    plan = _initial_plan(plans.queries()["scd2_user_tier"](spark, sf_dir))
+    user_exchanges = len(
+        _re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    )
+    assert user_exchanges == 1, f"expected 1 user_id exchange, saw {user_exchanges}\n{plan}"
+
+
+def test_heavy_hitter_candidates_broadcast(spark, sf_dir):
+    # Phase 2 recount joins the token stream against the BOUNDED candidate
+    # set — that side must physically broadcast (a shuffle join here would
+    # shuffle the full token stream, defeating the sketch).
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    plan = _initial_plan(plans.queries()["heavy_hitter_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
