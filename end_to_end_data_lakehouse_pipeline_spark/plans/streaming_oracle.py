@@ -303,3 +303,72 @@ register(
     "bucket dynamic overwrite); must equal the batch SCD2 transform.",
     tags=("streaming", "scd", "lakehouse", "drain"),
 )(streaming_scd2_drain)
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (same shape as
+    _events_stream: schema probe + glob filter on the sf directory)."""
+    from ..catalog import ensure_read_confs
+
+    ensure_read_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+STREAMING_DEDUP_ADMISSION_ORACLE = r"""
+WITH f AS (
+    SELECT doc_id, text,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM f
+)
+SELECT doc_id, text FROM ranked WHERE rn = 1
+"""
+
+
+def streaming_dedup_admission_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup admission gate (streaming/dedup_stream.py)
+    driven end-to-end: documents stream -> foreachBatch gate -> corpus
+    landing dirs. With one micro-batch over an empty corpus the admitted
+    set is exactly the within-batch exact-dedup winners (min doc_id per
+    normalized fingerprint) — the oracle above. Multi-batch and
+    redelivery behavior is covered by the dedicated pytest fixtures."""
+    from ..streaming.dedup_stream import incremental_dedup_sink
+
+    docs = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="dedup_admission_")
+    corpus = os.path.join(base, "corpus")
+    try:
+        q = incremental_dedup_sink(
+            docs,
+            corpus_path=corpus,
+            matches_path=os.path.join(base, "matches"),
+            checkpoint=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(corpus)
+            .select("doc_id", "text")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+register(
+    "streaming_dedup_admission_drain",
+    oracle=STREAMING_DEDUP_ADMISSION_ORACLE,
+    doc="Streaming dedup admission gate drained via availableNow: the "
+    "real foreachBatch corpus-landing path; single-batch result equals "
+    "exact-dedup winners (redelivery/multi-batch under pytest).",
+    tags=("streaming", "dedup", "drain"),
+)(streaming_dedup_admission_drain)
