@@ -71,6 +71,10 @@ ALLOWED_BROADCAST_ARGS = {
     "mb",  # PMI marginals — bounded by the capped vocab (|V| rows)
     "n_docs",  # scalar (1-row) corpus count
     "n_orders",  # scalar (1-row) basket count
+    # txnlog merge candidate ranges: O(#files) rows of (name,min,max) —
+    # ~10 MB at 100 TB with 1 GB files; the same metadata Delta's own log
+    # replay holds driver-side. The join's BIG side is `updates`.
+    "ranges_df",
 }
 
 FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}

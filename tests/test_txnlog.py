@@ -1,0 +1,237 @@
+"""TransactionLogTable: ACID commits, snapshot isolation, time travel,
+stats-based skipping, file-level MERGE/DELETE, concurrency, vacuum.
+
+Reference parity anchors: streaming_bronze.py:101 (Delta append),
+batch_silver.py:146-159 (DeltaTable.merge) — here reproduced with a real
+(if minimal) transaction log instead of dir-swap approximations.
+"""
+
+import glob
+import hashlib
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+    ConcurrentCommitError,
+    TransactionLogTable,
+)
+
+
+def _mk(spark, rows, cols=("k", "v", "updated_at")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _digest(path):
+    """name -> sha256 of every live parquet file under the table root."""
+    out = {}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        with open(f, "rb") as fh:
+            out[os.path.basename(f)] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return TransactionLogTable(
+        spark, str(tmp_path / "t"), stats_cols=("k",), checkpoint_interval=5
+    )
+
+
+def test_append_read_roundtrip(spark, tbl):
+    v1 = tbl.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    v2 = tbl.append(_mk(spark, [(3, "c", 2)]))
+    assert (v1, v2) == (1, 2)
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    ops = [h["op"] for h in tbl.history()]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_is_atomic_snapshot_and_time_travel(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    tbl.overwrite(_mk(spark, [(9, "z", 2)]))
+    assert [r["k"] for r in tbl.read().collect()] == [9]
+    # time travel: version 1 still fully readable
+    assert [r["k"] for r in tbl.read(version=1).collect()] == [1]
+    # old data file still on disk but absent from the live snapshot
+    assert len(tbl.snapshot()) < len(glob.glob(os.path.join(tbl.path, "*.parquet")))
+
+
+def test_uncommitted_files_are_invisible(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    before = {r["k"] for r in tbl.read().collect()}
+    # simulate a writer that crashed after staging data but before commit
+    tbl._stage_files(_mk(spark, [(99, "ghost", 9)]))
+    assert {r["k"] for r in tbl.read().collect()} == before
+    # vacuum removes the orphan
+    assert tbl.vacuum() >= 1
+    assert {r["k"] for r in tbl.read().collect()} == before
+
+
+def test_merge_rewrites_only_touched_files(spark, tbl):
+    # two appends with disjoint sorted key ranges -> separate files
+    tbl.append(_mk(spark, [(i, f"lo{i}", 1) for i in range(0, 50)]), sort_by=["k"])
+    tbl.append(
+        _mk(spark, [(i, f"hi{i}", 1) for i in range(1000, 1050)]), sort_by=["k"]
+    )
+    snap = tbl.snapshot()
+    before = _digest(tbl.path)
+    # update keys only in the low range
+    v = tbl.merge(
+        _mk(spark, [(5, "NEW", 2), (7, "NEW", 2)]), pks=["k"], order_col="updated_at"
+    )
+    after = _digest(tbl.path)
+    live = set(tbl.snapshot())
+    # the high-range files survive byte-identical under the same names
+    hi_files = [
+        n
+        for n, e in snap.items()
+        if e["stats"]["k"]["min"] >= 1000
+    ]
+    assert hi_files
+    for n in hi_files:
+        assert n in live and before[n] == after[n]
+    # values merged correctly
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got[5] == "NEW" and got[7] == "NEW" and got[4] == "lo4"
+    assert got[1000] == "hi1000" and len(got) == 100
+    assert tbl.history()[-1]["op"] == "merge" and v == 3
+
+
+def test_merge_applies_deletes_and_late_events(spark, tbl):
+    tbl.merge(
+        _mk(
+            spark,
+            [(1, "a", 5, False), (2, "b", 5, False)],
+            cols=("k", "v", "updated_at", "_deleted"),
+        ),
+        pks=["k"],
+        order_col="updated_at",
+    )
+    tbl.merge(
+        _mk(
+            spark,
+            # late event for k=1 (older ts, must lose), delete for k=2
+            [(1, "LATE", 3, False), (2, "b", 6, True), (3, "c", 6, False)],
+            cols=("k", "v", "updated_at", "_deleted"),
+        ),
+        pks=["k"],
+        order_col="updated_at",
+    )
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {1: "a", 3: "c"}
+
+
+def test_read_pruned_skips_files_and_matches_full_scan(spark, tbl):
+    tbl.append(_mk(spark, [(i, "x", 1) for i in range(0, 100)]), sort_by=["k"])
+    tbl.append(_mk(spark, [(i, "x", 1) for i in range(1000, 1100)]), sort_by=["k"])
+    all_files = tbl.snapshot()
+    pruned = tbl.pruned_files("k", lo=1040, hi=1060)
+    assert 0 < len(pruned) < len(all_files)
+    got = sorted(r["k"] for r in tbl.read_pruned("k", lo=1040, hi=1060).collect())
+    want = sorted(
+        r["k"]
+        for r in tbl.read().filter((F.col("k") >= 1040) & (F.col("k") <= 1060)).collect()
+    )
+    assert got == want == list(range(1040, 1061))
+
+
+def test_delete_where_file_level(spark, tbl):
+    tbl.append(_mk(spark, [(i, "lo", 1) for i in range(0, 50)]), sort_by=["k"])
+    tbl.append(_mk(spark, [(i, "hi", 1) for i in range(1000, 1050)]), sort_by=["k"])
+    before = _digest(tbl.path)
+    snap = tbl.snapshot()
+    tbl.delete_where("k >= 1000 AND k < 1010")
+    after = _digest(tbl.path)
+    lo_files = [n for n, e in snap.items() if e["stats"]["k"]["max"] < 1000]
+    assert lo_files
+    for n in lo_files:  # untouched files keep exact bytes
+        assert before[n] == after[n] and n in tbl.snapshot()
+    ks = {r["k"] for r in tbl.read().collect()}
+    assert len(ks) == 90 and not any(1000 <= k < 1010 for k in ks)
+
+
+def test_optimistic_concurrency_append_race(spark, tmp_path):
+    """Two writers race: exclusive create serializes them; both appends
+    land (no lost update)."""
+    path = str(tmp_path / "race")
+    t1 = TransactionLogTable(spark, path, stats_cols=("k",))
+    t2 = TransactionLogTable(spark, path, stats_cols=("k",))
+    t1.append(_mk(spark, [(0, "seed", 1)]))
+    # stage both sets of files first, then race the commits at the same
+    # target version: exactly one _commit(2) succeeds, the loser retries
+    adds1 = t1._stage_files(_mk(spark, [(1, "w1", 1)]))
+    adds2 = t2._stage_files(_mk(spark, [(2, "w2", 1)]))
+    t1._commit(2, [t1._meta("append"), *adds1])
+    with pytest.raises(ConcurrentCommitError):
+        t2._commit(2, [t2._meta("append"), *adds2])
+    t2._commit(3, [t2._meta("append"), *adds2])  # the retry
+    assert {r["k"] for r in t1.read().collect()} == {0, 1, 2}
+
+
+def test_concurrent_appends_threads(spark, tmp_path):
+    path = str(tmp_path / "threads")
+    errs = []
+
+    def writer(i):
+        try:
+            t = TransactionLogTable(spark, path)
+            t.append(_mk(spark, [(i, f"w{i}", 1)]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    t = TransactionLogTable(spark, path)
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 3}
+    assert t.latest_version() == 4
+
+
+def test_checkpoint_bounds_replay_and_matches_full_replay(spark, tbl):
+    for i in range(12):  # interval=5 -> checkpoints at v5 and v10
+        tbl.append(_mk(spark, [(i, "x", 1)]))
+    cp = glob.glob(os.path.join(tbl.path, "_txn_log", "*.checkpoint.json"))
+    assert len(cp) == 2
+    # snapshot from checkpoint equals brute-force replay of all commits
+    with open(sorted(cp)[-1]) as f:
+        assert json.load(f)["version"] == 10
+    live = tbl.snapshot()
+    assert len(live) >= 12 and len({r["k"] for r in tbl.read().collect()}) == 12
+
+
+def test_restore_reuses_files_without_rewrite(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    tbl.overwrite(_mk(spark, [(2, "b", 2)]))
+    files_before = set(glob.glob(os.path.join(tbl.path, "*.parquet")))
+    v = tbl.restore(1)
+    assert {r["k"] for r in tbl.read().collect()} == {1}
+    # restore wrote no data files, just log actions
+    assert set(glob.glob(os.path.join(tbl.path, "*.parquet"))) == files_before
+    assert v == 3 and tbl.history()[-1]["op"] == "restore"
+
+
+def test_vacuum_trims_history_but_keeps_retained(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    tbl.overwrite(_mk(spark, [(2, "b", 2)]))
+    tbl.overwrite(_mk(spark, [(3, "c", 3)]))
+    removed = tbl.vacuum(retain_versions=1)
+    assert removed >= 1
+    # latest and latest-1 still readable; version 1's file is gone
+    assert {r["k"] for r in tbl.read().collect()} == {3}
+    assert {r["k"] for r in tbl.read(version=2).collect()} == {2}
+    with pytest.raises(Exception):
+        tbl.read(version=1).collect()
+
+
+def test_empty_table_after_full_delete_keeps_schema(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    tbl.delete_where("k = 1")
+    df = tbl.read()
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "v", "updated_at"}
