@@ -101,3 +101,70 @@ register(
     "scan per table + one anti-join, violation counts per rule.",
     tags=("quality", "agg"),
 )(build_dq_checks)
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — privacy audit for a quasi-identifier tuple: group
+# sizes over (nation, market segment), each group's k-anonymity verdict,
+# and the table-wide k (the smallest group) every row can be attributed
+# to. The release-gating question a training-data pipeline asks before
+# shipping user-derived features (GDPR pseudonymisation guidance; the
+# erasure module handles the deletion side).
+#
+# Scale: one partial+final groupBy on the quasi-identifier tuple; the
+# table-wide min is a window over the (domain-bounded: |nations|x
+# |segments|) group list — no second scan of the base table.
+# ---------------------------------------------------------------------------
+
+K_ANON_K = 5
+
+K_ANON_ORACLE = f"""
+WITH g AS (
+    SELECT c.c_nationkey AS nationkey,
+           n.n_name      AS nation,
+           c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+)
+SELECT nationkey, nation, mktsegment, group_size,
+       CAST(group_size >= {K_ANON_K} AS BOOLEAN) AS meets_k,
+       CAST(MIN(group_size) OVER () AS BIGINT) AS table_k_anonymity
+FROM g
+"""
+
+
+def build_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    g = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "nationkey",
+        "nation",
+        "mktsegment",
+        "group_size",
+        (F.col("group_size") >= F.lit(K_ANON_K)).alias("meets_k"),
+        F.min("group_size").over(whole).alias("table_k_anonymity"),
+    )
+
+
+register(
+    "k_anonymity_audit",
+    oracle=K_ANON_ORACLE,
+    doc="k-anonymity release audit over the (nation, mktsegment) "
+    "quasi-identifier: per-group sizes, per-group k verdict, table-wide k.",
+    tags=("quality", "privacy"),
+)(build_k_anonymity_audit)

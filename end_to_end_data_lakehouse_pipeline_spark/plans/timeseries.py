@@ -265,3 +265,152 @@ register(
     "(ClickHouse WITH FILL analog).",
     tags=("timeseries", "window"),
 )(build_daily_revenue_gapfill)
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_7d — exact rolling median of daily revenue over a trailing
+# 7-CALENDAR-DAY range frame (not 7 rows: missing days shrink the window,
+# which is what an ops dashboard means by "7-day median").
+#
+# Exactness contract: the median is computed over integer CENTS and emitted
+# as cents (interpolated even-count medians are x.5 — exactly representable
+# in double), so there is NO floating division or rounding anywhere and the
+# two engines agree bit-for-bit. Scale: the windowed series is one row per
+# calendar day (calendar-bounded, same envelope as the other daily
+# windows); the heavy lifting is the one partial+final daily aggregate.
+# ---------------------------------------------------------------------------
+
+ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS dord,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+)
+SELECT d, n_orders,
+       CAST(rev_cents AS DOUBLE) AS revenue_cents,
+       CAST(MEDIAN(rev_cents) OVER (
+           ORDER BY dord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS median_revenue_cents_7d,
+       CAST(COUNT(*) OVER (
+           ORDER BY dord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS days_in_window
+FROM daily
+"""
+
+
+def build_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(scaled_long("o_totalprice")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).withColumn("dord", F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long"))
+    w = Window.orderBy("dord").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        "n_orders",
+        F.col("rev_cents").cast("double").alias("revenue_cents"),
+        F.percentile("rev_cents", F.lit(0.5)).over(w).cast("double")
+            .alias("median_revenue_cents_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+register(
+    "rolling_median_7d",
+    oracle=ROLLING_MEDIAN_ORACLE,
+    doc="Exact rolling median over a trailing 7-calendar-day RANGE frame "
+    "(integer-cents percentile — no float rounding on either engine).",
+    tags=("timeseries", "window"),
+)(build_rolling_median_7d)
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint — CUSUM shift detection on the daily revenue series:
+# s_t = sum_{i<=t}(x_i - mean(x)); the |s| peak marks the most likely
+# changepoint (Page's cumulative-sum statistic).
+#
+# Exactness: the naive form subtracts a fractional mean per day and
+# accumulates doubles — order-sensitive, hash-unstable. Multiply out
+# instead: s_t * N == S_t * N - t * S_N  (all integers). Cents sums reach
+# ~1e15 at 100 TB and N(days) ~1e4, so the products cross 2^63 — both
+# sides compute in DECIMAL(38,0) (same lesson as revenue_autocorrelation's
+# bigint overflow at the 10x rehearsal). The emitted statistic stays the
+# exact integer `cusum_scaled = s_t * N` in cents.
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+c AS (
+    SELECT d, x,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS DECIMAL(38,0)) AS s_t,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS DECIMAL(38,0)) AS t,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER () AS DECIMAL(38,0)) AS s_n,
+           CAST(COUNT(*) OVER () AS DECIMAL(38,0)) AS n
+    FROM daily
+),
+s AS (
+    SELECT d, x, CAST(s_t * n - t * s_n AS DECIMAL(38,0)) AS cusum_scaled FROM c
+)
+SELECT d,
+       CAST(x AS DOUBLE) AS revenue_cents,
+       CAST(cusum_scaled AS DOUBLE) AS cusum_scaled,
+       CAST(ABS(cusum_scaled) = MAX(ABS(cusum_scaled)) OVER () AS BOOLEAN)
+           AS is_changepoint
+FROM s
+"""
+
+
+def build_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(scaled_long("o_totalprice")).alias("x")
+    )
+    dec = "decimal(38,0)"
+    run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
+        "d",
+        "x",
+        F.sum(F.col("x").cast(dec)).over(run).cast(dec).alias("s_t"),
+        F.row_number().over(Window.orderBy("d")).cast(dec).alias("t"),
+        F.sum(F.col("x").cast(dec)).over(whole).cast(dec).alias("s_n"),
+        F.count(F.lit(1)).over(whole).cast(dec).alias("n"),
+    )
+    s = c.select(
+        "d",
+        "x",
+        (F.col("s_t") * F.col("n") - F.col("t") * F.col("s_n")).cast(dec).alias("cusum_scaled"),
+    )
+    # the peak test runs on the EXACT decimal; only the emitted column is
+    # cast down (DECIMAL output dtypes diverge across engines — registry
+    # convention), losing precision identically on both sides past 2^53
+    return s.select(
+        "d",
+        F.col("x").cast("double").alias("revenue_cents"),
+        F.col("cusum_scaled").cast("double").alias("cusum_scaled"),
+        (F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(whole))
+            .alias("is_changepoint"),
+    )
+
+
+register(
+    "cusum_changepoint",
+    oracle=CUSUM_ORACLE,
+    doc="Page's CUSUM changepoint statistic on daily revenue, multiplied "
+    "out to exact DECIMAL(38,0) integer arithmetic (no fractional-mean "
+    "accumulation; overflow-safe past bigint).",
+    tags=("timeseries", "window", "anomaly"),
+)(build_cusum_changepoint)

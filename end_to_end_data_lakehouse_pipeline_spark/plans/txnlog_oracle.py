@@ -1,0 +1,90 @@
+"""Oracle-checked drive of the transaction-log table (sources/txnlog.py).
+
+Same motivation as the streaming drains (streaming_oracle.py): the
+txnlog module is the engine's ACID write path — if it is pytest-only, the
+driver's differential gate never sees it. This entry pushes a
+deterministic CDC workload through the REAL TransactionLogTable —
+append (sorted, stats-harvested) → file-level MERGE (update + insert +
+delete images) → snapshot read — and returns the final table state, which
+a pure SQL expression over `orders` reproduces (reference anchor:
+batch_silver.py:146-159, the DeltaTable.merge upsert this engine rebuilds
+log-for-log rather than approximates).
+
+Determinism: the workload is a pure function of the orders table
+(key-modulus splits), the merge winner is decided by (order_col, source
+rank) exactly like merge_upsert's contract, and the temp table lives in a
+fresh uuid directory torn down after the final state is localized
+(bounded: one row per surviving order key — at sf0.01 ≈ 13.5k rows; the
+oracle side carries the identical row count).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..sources.txnlog import TransactionLogTable
+from .registry import register
+
+TXNLOG_MERGE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS updated_at
+FROM orders
+WHERE o_orderkey % 10 <> 0
+"""
+
+
+def build_txnlog_merge_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = (
+        orders.filter(F.col("k") % 2 == 1)
+        .withColumn("updated_at", F.lit(1).cast("long"))
+        # merge_upsert aligns current to updates.columns — the stored
+        # table must already carry the soft-delete flag column
+        .withColumn("_deleted", F.lit(False))
+    )
+    # one CDC batch carrying all three MERGE verbs: updates for %5 keys,
+    # inserts for the even keys the base never saw, delete images for %10
+    updates = (
+        orders.filter((F.col("k") % 2 == 0) | (F.col("k") % 5 == 0))
+        .withColumn(
+            "status",
+            F.when(F.col("k") % 5 == 0, F.lit("X")).otherwise(F.col("status")),
+        )
+        .withColumn(
+            "updated_at",
+            F.when(F.col("k") % 5 == 0, F.lit(2)).otherwise(F.lit(1)).cast("long"),
+        )
+        .withColumn("_deleted", F.col("k") % 10 == 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="txnlog_oracle_")
+    try:
+        t = TransactionLogTable(spark, f"{tmp}/t", stats_cols=("k",))
+        t.append(base, sort_by=["k"])
+        t.merge(updates, pks=["k"], order_col="updated_at")
+        final = t.read().select("k", "status", "price_cents", "updated_at")
+        # localize before the dir vanishes (bounded final state, S12 shape)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+register(
+    "txnlog_merge_reconcile",
+    oracle=TXNLOG_MERGE_ORACLE,
+    doc="ACID write path end-to-end: txnlog append -> file-level MERGE "
+    "(update/insert/delete images) -> snapshot read; final state equals "
+    "the relational MERGE identity over orders (batch_silver.py:146-159).",
+    tags=("lakehouse", "txnlog", "merge"),
+)(build_txnlog_merge_reconcile)
