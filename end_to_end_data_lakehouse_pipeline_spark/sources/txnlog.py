@@ -189,6 +189,35 @@ class TransactionLogTable:
                         live.pop(action["remove"]["name"], None)
         return live
 
+    def txn_versions(self, version: int | None = None) -> dict[str, int]:
+        """Writer-transaction watermarks at ``version``: app_id -> highest
+        committed batch id (the Delta ``txn`` action — the state that
+        makes a foreachBatch sink exactly-once under redelivery)."""
+        versions = self._log_versions()
+        if version is None:
+            if not versions:
+                return {}
+            version = versions[-1]
+        start = 0
+        txns: dict[str, int] = {}
+        for v in reversed([x for x in versions if x <= version]):
+            cp = self._log_path(v, checkpoint=True)
+            if os.path.isfile(cp):
+                with open(cp) as f:
+                    txns = dict(json.load(f).get("txns", {}))
+                start = v + 1
+                break
+        for v in versions:
+            if v < start or v > version:
+                continue
+            with open(self._log_path(v)) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "txn" in action:
+                        t = action["txn"]
+                        txns[t["app"]] = max(txns.get(t["app"], -1), t["version"])
+        return txns
+
     def history(self) -> list[dict]:
         """Commit metadata, oldest first (DESCRIBE HISTORY analog)."""
         out = []
@@ -221,13 +250,20 @@ class TransactionLogTable:
         if version % self.checkpoint_interval == 0:
             tmp = self._log_path(version, checkpoint=True) + f".tmp{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump({"version": version, "files": self.snapshot(version)}, f)
+                json.dump(
+                    {
+                        "version": version,
+                        "files": self.snapshot(version),
+                        "txns": self.txn_versions(version),
+                    },
+                    f,
+                )
             os.replace(tmp, self._log_path(version, checkpoint=True))
 
     # -- write path -------------------------------------------------------
 
     def _stage_files(
-        self, df: DataFrame, sort_by: Sequence[str] = ()
+        self, df: DataFrame, sort_by: Sequence[str] = (), n_files: int | None = None
     ) -> list[dict]:
         """Write ``df``'s files into the table root under unique names and
         return their add-action entries (stats from the footers). Files
@@ -238,7 +274,12 @@ class TransactionLogTable:
             # range-partition + sort by the leading key so per-file
             # [min,max] ranges are disjoint and tight — this is what makes
             # stats-based skipping decisive for merge/read_pruned
-            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+            parts = [n_files] if n_files else []
+            df = df.repartitionByRange(*parts, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        elif n_files:
+            df = df.coalesce(n_files)
         df.write.mode("overwrite").parquet(staging)
         adds = []
         try:
@@ -268,6 +309,40 @@ class TransactionLogTable:
         adds = self._stage_files(df, sort_by)
         actions = [self._meta("append", df), *adds]
         while True:
+            version = (self.latest_version() or 0) + 1
+            try:
+                self._commit(version, actions)
+                return version
+            except ConcurrentCommitError:
+                continue
+
+    def append_txn(
+        self, df: DataFrame, app_id: str, batch_id: int, sort_by: Sequence[str] = ()
+    ) -> int | None:
+        """Idempotent append — the Delta ``txn`` action. A (app_id,
+        batch_id) pair commits AT MOST once: a redelivered micro-batch
+        (foreachBatch retry after a sink write that committed but a
+        checkpoint that didn't) sees its batch id already recorded and
+        becomes a no-op instead of duplicating rows. This is exactly how
+        delta's streaming sink gets exactly-once on top of Spark's
+        at-least-once foreachBatch contract.
+
+        Returns the committed version, or None if this batch was already
+        applied. The skip re-checks AFTER losing any commit race, so two
+        concurrent deliveries of the same batch cannot both land."""
+        if self.txn_versions().get(app_id, -1) >= batch_id:
+            return None
+        adds = self._stage_files(df, sort_by)
+        actions = [
+            self._meta("append", df),
+            {"txn": {"app": app_id, "version": batch_id}},
+            *adds,
+        ]
+        while True:
+            if self.txn_versions().get(app_id, -1) >= batch_id:
+                for a in adds:  # lost to a concurrent delivery of the SAME batch
+                    os.remove(os.path.join(self.path, a["add"]["name"]))
+                return None
             version = (self.latest_version() or 0) + 1
             try:
                 self._commit(version, actions)
@@ -487,6 +562,47 @@ class TransactionLogTable:
                 return v
             except ConcurrentCommitError:
                 continue
+
+    def compact(self, max_file_bytes: int = 128 * 1024 * 1024) -> int | None:
+        """OPTIMIZE: bin-pack the files SMALLER than ``max_file_bytes``
+        into full-size sorted files in one atomic commit (remove smalls +
+        add packed). Already-large files are left alone — their bytes and
+        log entries are untouched, so a steady-state table converges
+        instead of rewriting itself forever. Readers time-travel across
+        the compaction freely; data content is identical before/after
+        (the test asserts the full-row multiset).
+
+        This is the maintenance op a streaming txnlog sink needs: high-
+        frequency appends accumulate small files, and small files poison
+        both scan planning (task per file) and stats pruning (overlapping
+        tiny ranges). Returns the new version, or None if <2 small files.
+        """
+        base_version = self.latest_version()
+        if base_version is None:
+            return None
+        snap = self.snapshot(base_version)
+        small = [n for n, e in snap.items() if e.get("bytes", 0) < max_file_bytes]
+        if len(small) < 2:
+            return None
+        n_out = int(
+            max(1, sum(snap[n].get("bytes", 0) for n in small) // max_file_bytes)
+        )
+        df = self.spark.read.parquet(*self._abs(small))
+        adds = self._stage_files(
+            df, sort_by=list(self.stats_cols[:1]), n_files=n_out
+        )
+        removes = [{"remove": {"name": n}} for n in sorted(small)]
+        while True:
+            version = (self.latest_version() or 0) + 1
+            try:
+                self._commit(version, [self._meta("optimize"), *removes, *adds])
+                return version
+            except ConcurrentCommitError:
+                # a concurrent writer may have removed one of our source
+                # files (e.g. a merge); recompute from the new snapshot
+                for a in adds:
+                    os.remove(os.path.join(self.path, a["add"]["name"]))
+                return self.compact(max_file_bytes)
 
     def vacuum(self, retain_versions: int = 0) -> int:
         """Delete data files referenced by NO snapshot in the retained
