@@ -70,6 +70,10 @@ HEADLINE = [
     "purchase_attribution",   # ignore-nulls last over user window
     "brand_price_regression", # per-group OLS from exact sufficient stats
     "revenue_ewma",           # grouped-map recursion over post-agg series
+    # round-3 wave-3 additions
+    "rolling_median_7d",      # exact percentile over a RANGE frame
+    "cusum_changepoint",      # integer-exact CUSUM with global-window peak
+    "k_anonymity_audit",      # privacy audit: QI groupBy + domain window
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

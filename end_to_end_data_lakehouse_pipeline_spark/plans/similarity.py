@@ -1249,3 +1249,88 @@ register(
     "sqrt; LLM-pipeline extension).",
     tags=("similarity", "llm", "report"),
 )(build_embedding_outliers)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_variance — distributed PCA spectrum of the embedding
+# space: the dimensionality-collapse diagnostic an embedding-dedup /
+# semantic-search pipeline runs before trusting cosine distances
+# (anisotropic spaces need whitening; a handful of dominant components
+# means near-dup thresholds are unstable).
+#
+# The classic Spark linear-algebra split: ONE distributed pass computes
+# the exact covariance sufficient statistics — per-Arrow-batch numpy
+# X^T X / column sums over INTEGER-quantized micro-units (exact int64
+# partials, so the result is independent of partitioning and row order) —
+# then the driver eigendecomposes the tiny D x D matrix (D=64: 4 KB).
+# Work: O(rows * D^2 / cores) map-side, O(partitions) rows collected
+# (S12 shape), O(D^3) driver eigh. At 100 TB this is the only sane plan;
+# no shuffle of row data at all.
+#
+# Rows-only registration: eigendecomposition is not expressible in SQL;
+# the pytest property suite pins trace preservation (sum of eigenvalues
+# == total variance), descending order, and ratio normalization.
+# ---------------------------------------------------------------------------
+
+
+def pca_spectrum(q, spark):
+    """Exact-covariance PCA spectrum of a DataFrame with one
+    ``qa: array<long>`` column (integer micro-units). Partition-count
+    invariant: int64 numpy partials summed as python ints."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["qa"].to_numpy())  # (n, D) int64
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    stats = q.mapInPandas(
+        partials, schema="n long, s array<long>, ss array<long>"
+    ).collect()  # one row per non-empty partition — bounded, S12 shape
+    n = sum(r["n"] for r in stats)
+    d = len(stats[0]["s"])
+    # python-int accumulation: exact regardless of partition count
+    s = [sum(r["s"][i] for r in stats) for i in range(d)]
+    ss = [sum(r["ss"][i] for r in stats) for i in range(d * d)]
+    sv = np.array(s, dtype=np.float64)
+    ssm = np.array(ss, dtype=np.float64).reshape(d, d)
+    cov = (ssm - np.outer(sv, sv) / n) / (n - 1) / 1e12  # micro-units^2 -> units^2
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    cum = np.cumsum(evals)
+    rows = [
+        (
+            int(i + 1),
+            round(float(evals[i]), 9),
+            round(float(evals[i] / total), 9),
+            round(float(cum[i] / total), 9),
+        )
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double, cum_ratio double"
+    )
+
+
+def build_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    return pca_spectrum(emb.select(quantized().alias("qa")), spark)
+
+
+register(
+    "embedding_pca_variance",
+    oracle=None,
+    doc="PCA spectrum of the embedding space: exact int64 covariance "
+    "partials via mapInPandas, driver eigh of the DxD matrix; rows-only "
+    "(eigendecomposition is not SQL-expressible).",
+    tags=("similarity", "llm", "pca"),
+)(build_embedding_pca_variance)

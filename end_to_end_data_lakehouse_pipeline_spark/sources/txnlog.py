@@ -384,14 +384,22 @@ class TransactionLogTable:
                 return StructType.fromJson(json.loads(m["schema"]))
         return None
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions column sets across files written at
+        different schema versions (streaming_bronze.py:101's
+        ``mergeSchema`` bronze semantics — appends may add columns; older
+        files surface them as NULL). Off by default: the footer merge
+        costs one extra metadata pass over the snapshot's files."""
         files = self._abs(self.snapshot(version))
         if not files:
             schema = self._schema_at(version)
             if schema is None:
                 raise FileNotFoundError(f"no committed data at {self.path}")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def pruned_files(self, col: str, lo=None, hi=None, version: int | None = None) -> list[str]:
         """Data skipping: live files whose [min,max] for ``col`` can

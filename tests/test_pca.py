@@ -1,0 +1,49 @@
+"""embedding_pca_variance properties: trace preservation, ordering,
+partitioning-invariance (exact integer partials)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_lakehouse_pipeline_spark.plans.registry import queries
+from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import quantized
+from end_to_end_data_lakehouse_pipeline_spark.catalog import table
+
+
+@pytest.fixture(scope="module")
+def pca_rows(spark, sf_dir):
+    return queries()["embedding_pca_variance"](spark, sf_dir).collect()
+
+
+def test_spectrum_shape_and_order(pca_rows):
+    assert len(pca_rows) == 64
+    ev = [r.eigenvalue for r in pca_rows]
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert all(e >= -1e-9 for e in ev)  # covariance is PSD
+    assert pca_rows[-1].cum_ratio == pytest.approx(1.0, abs=1e-6)
+
+
+def test_trace_equals_total_variance(spark, sf_dir, pca_rows):
+    """Sum of eigenvalues == sum of per-dimension variances (trace
+    preservation) — computed independently via a Catalyst aggregate."""
+    emb = table(spark, sf_dir, "embeddings").select(quantized().alias("qa"))
+    d = 64
+    per_dim = emb.select(
+        *[F.element_at("qa", i + 1).alias(f"x{i}") for i in range(d)]
+    )
+    row = per_dim.agg(
+        *[F.var_samp(f"x{i}").alias(f"v{i}") for i in range(d)]
+    ).first()
+    trace = sum(row[f"v{i}"] for i in range(d)) / 1e12
+    assert sum(r.eigenvalue for r in pca_rows) == pytest.approx(trace, rel=1e-6)
+
+
+def test_partitioning_invariance(spark, sf_dir):
+    """Exact int64 partials: the spectrum is bit-identical no matter how
+    the rows are partitioned (the property double partials would lose)."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import pca_spectrum
+
+    q = table(spark, sf_dir, "embeddings").select(quantized().alias("qa"))
+    one = pca_spectrum(q.repartition(1), spark).collect()
+    many = pca_spectrum(q.repartition(13, "qa"), spark).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]

@@ -316,3 +316,14 @@ def test_compact_binpacks_small_files_atomically(spark, tbl):
     assert tbl.history()[-1]["op"] == "optimize"
     # steady state: compacting again is a no-op (one packed file left)
     assert tbl.compact() is None
+
+
+def test_schema_evolution_merge_schema_read(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    tbl.append(
+        spark.createDataFrame([(2, "b", 1, "extra")], ["k", "v", "updated_at", "new_col"])
+    )
+    df = tbl.read(merge_schema=True)
+    assert set(df.columns) == {"k", "v", "updated_at", "new_col"}
+    got = {r["k"]: r["new_col"] for r in df.collect()}
+    assert got == {1: None, 2: "extra"}
