@@ -168,3 +168,81 @@ register(
     "quasi-identifier: per-group sizes, per-group k verdict, table-wide k.",
     tags=("quality", "privacy"),
 )(build_k_anonymity_audit)
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_error_report — the engine measures its own sketch
+# accuracy (same family as ann_recall_* and minhash_error_report): for
+# each metric column and quantile, compute approx_percentile (the
+# KLL-style sketch every 100 TB pipeline must use — exact percentile is
+# a full sort) AND the exact percentile, then the TRUE rank error of the
+# sketch answer, checked against the sketch's accuracy contract
+# (rank error <= n / accuracy).
+#
+# Plan shape: pass 1 = one aggregate producing approx+exact per column
+# (the exact side is the expensive full-distribution percentile — this
+# report is a VALIDATION query, run at sampled scale; production serves
+# the approx path); pass 2 = one conditional aggregate counting rows at
+# or below each sketch answer (rank lookup), driven by the K collected
+# scalars (S12 shape). Rows-only registration: approx_percentile's
+# sketch state is engine-specific, so no cross-engine oracle exists by
+# design — the pytest property pins the error bound instead.
+# ---------------------------------------------------------------------------
+
+_AQ_ACCURACY = 1000
+_AQ_QS = [0.5, 0.9, 0.99]
+
+
+def build_approx_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    targets = [
+        ("orders", "o_totalprice"),
+        ("lineitem", "l_extendedprice"),
+        ("events", "value"),
+    ]
+    out_rows = []
+    for tbl_name, col in targets:
+        df = table(spark, sf_dir, tbl_name)
+        agg = df.agg(
+            F.count(col).alias("n"),
+            F.percentile_approx(col, _AQ_QS, _AQ_ACCURACY).alias("approx"),
+            F.percentile(col, _AQ_QS).alias("exact"),
+        ).first()
+        n = agg["n"]
+        # rank lookup for all q in ONE conditional aggregate
+        ranks = df.agg(
+            *[
+                F.count(F.when(F.col(col) <= F.lit(av), 1)).alias(f"r{i}")
+                for i, av in enumerate(agg["approx"])
+            ]
+        ).first()
+        for i, q in enumerate(_AQ_QS):
+            rank_err = abs(ranks[f"r{i}"] - q * n)
+            bound = n / _AQ_ACCURACY + 1  # +1: rank of a present value
+            out_rows.append(
+                (
+                    tbl_name,
+                    col,
+                    q,
+                    float(agg["exact"][i]),
+                    float(agg["approx"][i]),
+                    float(rank_err),
+                    float(bound),
+                    bool(rank_err <= bound),
+                )
+            )
+    return spark.createDataFrame(
+        out_rows,
+        "table_name string, column_name string, q double, exact_value double, "
+        "approx_value double, rank_error double, rank_error_bound double, "
+        "within_bound boolean",
+    )
+
+
+register(
+    "approx_quantile_error_report",
+    oracle=None,
+    doc="Sketch-accuracy self-measurement: approx_percentile vs exact "
+    "percentile with true rank error against the n/accuracy contract; "
+    "rows-only (sketch state is engine-specific by design).",
+    tags=("quality", "sketch", "self-measurement"),
+)(build_approx_quantile_error_report)

@@ -372,3 +372,65 @@ register(
     "exact-dedup winners (redelivery/multi-batch under pytest).",
     tags=("streaming", "dedup", "drain"),
 )(streaming_dedup_admission_drain)
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join through the REAL streaming path: two
+    watermarked event streams (views, purchases) joined on user with a
+    1-hour event-time bound, drained via availableNow. Exercises the
+    symmetric-hash-join state store (both sides buffer until the
+    watermark releases them) — the streaming family that was pytest-only
+    before this entry. Batch oracle: the equivalent time-bounded
+    self-join of `events`."""
+    from ..streaming.aggregates import streaming_orders_with_payments
+
+    base = _events_stream(spark, sf_dir)
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = streaming_orders_with_payments(
+        views,
+        purchases,
+        key="user_id",
+        orders_ts="view_ts",
+        payments_ts="purchase_ts",
+        within="1 hour",
+        watermark="2 hours",
+    ).select("view_event_id", "purchase_event_id", "user_id", "view_ts", "purchase_ts")
+    return _drain_to_memory(joined, "append")
+
+
+register(
+    "streaming_join_drain",
+    oracle=STREAM_STREAM_JOIN_ORACLE,
+    doc="Watermarked stream-stream inner join (1h event-time bound) via "
+    "availableNow drain; symmetric hash-join state store end-to-end "
+    "(streaming/aggregates.py:143).",
+    tags=("streaming", "join", "drain"),
+)(streaming_join_drain)
