@@ -303,10 +303,15 @@ class TransactionLogTable:
             meta["schema"] = df.schema.json()
         return {"meta": meta}
 
-    def append(self, df: DataFrame, sort_by: Sequence[str] = ()) -> int:
+    def append(
+        self, df: DataFrame, sort_by: Sequence[str] = (), n_files: int | None = None
+    ) -> int:
         """Blind append: stages files once, then retries only the O(1)
-        commit on version conflicts (appends never conflict logically)."""
-        adds = self._stage_files(df, sort_by)
+        commit on version conflicts (appends never conflict logically).
+        ``n_files`` pins the output file count — size it for ~128 MB-1 GB
+        per file; left None, AQE picks (and may coalesce small tables to
+        one file, which blunts per-file stats pruning)."""
+        adds = self._stage_files(df, sort_by, n_files)
         actions = [self._meta("append", df), *adds]
         while True:
             version = (self.latest_version() or 0) + 1
@@ -350,12 +355,14 @@ class TransactionLogTable:
             except ConcurrentCommitError:
                 continue
 
-    def overwrite(self, df: DataFrame, sort_by: Sequence[str] = ()) -> int:
+    def overwrite(
+        self, df: DataFrame, sort_by: Sequence[str] = (), n_files: int | None = None
+    ) -> int:
         """Full refresh as one atomic commit: remove every live file, add
         the new ones. Readers see the old or the new snapshot, never a
         mix — the window LakehouseTable.overwrite's two-rename swap left
         open is gone."""
-        adds = self._stage_files(df, sort_by)
+        adds = self._stage_files(df, sort_by, n_files)
         while True:
             version = (self.latest_version() or 0) + 1
             removes = [
