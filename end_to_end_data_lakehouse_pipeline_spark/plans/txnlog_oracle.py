@@ -47,12 +47,8 @@ def build_txnlog_merge_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     )
-    base = (
-        orders.filter(F.col("k") % 2 == 1)
-        .withColumn("updated_at", F.lit(1).cast("long"))
-        # merge_upsert aligns current to updates.columns — the stored
-        # table must already carry the soft-delete flag column
-        .withColumn("_deleted", F.lit(False))
+    base = orders.filter(F.col("k") % 2 == 1).withColumn(
+        "updated_at", F.lit(1).cast("long")
     )
     # one CDC batch carrying all three MERGE verbs: updates for %5 keys,
     # inserts for the even keys the base never saw, delete images for %10

@@ -70,6 +70,10 @@ def merge_upsert(
     an ingest offset or payload hash when the source can emit such ties."""
     upd = updates.withColumn("_src_rank", F.lit(1))
     if current is not None:
+        if deleted_col in updates.columns and deleted_col not in current.columns:
+            # a stored table written before any delete arrived has no
+            # soft-delete column; its rows are by definition live
+            current = current.withColumn(deleted_col, F.lit(False))
         cur = current.select(*updates.columns).withColumn("_src_rank", F.lit(0))
         upd = cur.unionByName(upd)
     merged = latest_per_key(upd, pks, order_col, tiebreak=["_src_rank", *tiebreak])

@@ -263,14 +263,40 @@ class TransactionLogTable:
     # -- write path -------------------------------------------------------
 
     def _stage_files(
-        self, df: DataFrame, sort_by: Sequence[str] = (), n_files: int | None = None
+        self,
+        df: DataFrame,
+        sort_by: Sequence[str] = (),
+        n_files: int | None = None,
+        zorder_by: Sequence[str] = (),
     ) -> list[dict]:
         """Write ``df``'s files into the table root under unique names and
         return their add-action entries (stats from the footers). Files
         are invisible to readers until a commit references them; a crash
-        here strands orphans that ``vacuum`` removes."""
+        here strands orphans that ``vacuum`` removes.
+
+        ``zorder_by=(a, b)`` clusters files by the Morton interleave of
+        the two keys (functions/zorder.py — the Delta OPTIMIZE ZORDER
+        analog): per-file [min,max] then prune on EITHER key via
+        ``read_pruned``, not just the leading sort key. Mutually
+        exclusive with ``sort_by``."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
-        if sort_by:
+        if zorder_by:
+            from ..functions.zorder import ZORDER_BITS, morton2
+
+            a, b = zorder_by
+            mask = (1 << ZORDER_BITS) - 1
+            code = morton2(
+                F.col(a).cast("long").bitwiseAND(F.lit(mask)),
+                F.col(b).cast("long").bitwiseAND(F.lit(mask)),
+            )
+            df = df.withColumn("_z", code)
+            parts = [n_files] if n_files else []
+            df = (
+                df.repartitionByRange(*parts, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             # range-partition + sort by the leading key so per-file
             # [min,max] ranges are disjoint and tight — this is what makes
             # stats-based skipping decisive for merge/read_pruned
@@ -304,14 +330,18 @@ class TransactionLogTable:
         return {"meta": meta}
 
     def append(
-        self, df: DataFrame, sort_by: Sequence[str] = (), n_files: int | None = None
+        self,
+        df: DataFrame,
+        sort_by: Sequence[str] = (),
+        n_files: int | None = None,
+        zorder_by: Sequence[str] = (),
     ) -> int:
         """Blind append: stages files once, then retries only the O(1)
         commit on version conflicts (appends never conflict logically).
         ``n_files`` pins the output file count — size it for ~128 MB-1 GB
         per file; left None, AQE picks (and may coalesce small tables to
         one file, which blunts per-file stats pruning)."""
-        adds = self._stage_files(df, sort_by, n_files)
+        adds = self._stage_files(df, sort_by, n_files, zorder_by)
         actions = [self._meta("append", df), *adds]
         while True:
             version = (self.latest_version() or 0) + 1
@@ -441,6 +471,61 @@ class TransactionLogTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        pks: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Change Data Feed (Delta CDF analog): NET row-level changes
+        between two snapshots, computed from the FILE diff alone — files
+        present in both snapshots are never opened, so after a file-level
+        merge the scan is O(changed files), which is what makes
+        incremental MV refresh cheaper than recompute at 100 TB.
+
+        Output = the table columns plus ``_change_type``:
+        ``insert`` / ``delete`` when ``pks`` is None (file-diff rows that
+        vanished vs appeared); with ``pks`` the key-matched pairs are
+        reclassified ``update_preimage`` / ``update_postimage``.
+
+        Rows that were merely REWRITTEN unchanged (co-located in a file a
+        merge touched) are cancelled by exceptAll before classification —
+        a file-only diff would misreport them as delete+insert."""
+        snap_a = self.snapshot(from_version)
+        snap_b = self.snapshot(to_version)
+        removed = self._abs(set(snap_a) - set(snap_b))
+        added = self._abs(set(snap_b) - set(snap_a))
+        schema = self._schema_at(to_version)
+        if schema is None:
+            raise FileNotFoundError(f"no committed data at {self.path}")
+        empty = self.spark.createDataFrame([], schema)
+        old = self.spark.read.parquet(*removed) if removed else empty
+        new = self.spark.read.parquet(*added) if added else empty
+        cols = new.columns
+        old = old.select(*cols)
+        gone = old.exceptAll(new)  # deletes + update preimages
+        came = new.exceptAll(old)  # inserts + update postimages
+        if not pks:
+            return gone.withColumn("_change_type", F.lit("delete")).unionByName(
+                came.withColumn("_change_type", F.lit("insert"))
+            )
+        gone_keys = gone.select(*pks).distinct()
+        came_keys = came.select(*pks).distinct()
+        both = gone_keys.join(came_keys, list(pks), "inner")
+        pre = gone.join(both, list(pks), "left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        dele = gone.join(both, list(pks), "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        post = came.join(both, list(pks), "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = came.join(both, list(pks), "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        return pre.unionByName(dele).unionByName(post).unionByName(ins)
+
     # -- file-level merge -------------------------------------------------
 
     def merge(
@@ -467,7 +552,13 @@ class TransactionLogTable:
         for _ in range(max_retries):
             base_version = self.latest_version()
             if base_version is None:
-                merged = merge_upsert(None, updates, pks, order_col, deleted_col)
+                # drop the soft-delete flag from the STORED table: deleted
+                # rows are already filtered, and keeping a constant-False
+                # column would fork the snapshot schema between tables
+                # written before vs after the first delete arrived
+                merged = merge_upsert(None, updates, pks, order_col, deleted_col).drop(
+                    deleted_col
+                )
                 adds = self._stage_files(merged, sort_by=[key])
                 try:
                     self._commit(1, [self._meta("merge", merged), *adds])
@@ -503,7 +594,9 @@ class TransactionLogTable:
             current = (
                 self.spark.read.parquet(*self._abs(touched)) if touched else None
             )
-            merged = merge_upsert(current, updates, pks, order_col, deleted_col)
+            merged = merge_upsert(current, updates, pks, order_col, deleted_col).drop(
+                deleted_col
+            )
             adds = self._stage_files(merged, sort_by=[key])
             removes = [{"remove": {"name": n}} for n in sorted(touched)]
             try:

@@ -327,3 +327,58 @@ def test_schema_evolution_merge_schema_read(spark, tbl):
     assert set(df.columns) == {"k", "v", "updated_at", "new_col"}
     got = {r["k"]: r["new_col"] for r in df.collect()}
     assert got == {1: None, 2: "extra"}
+
+
+def test_zorder_append_prunes_on_both_keys(spark, tmp_path):
+    t = TransactionLogTable(
+        spark, str(tmp_path / "z"), stats_cols=("a", "b"), checkpoint_interval=50
+    )
+    rows = [(i % 64, i // 64, i) for i in range(4096)]
+    df = spark.createDataFrame(rows, ["a", "b", "payload"])
+    t.append(df, zorder_by=("a", "b"), n_files=16)
+    n = len(t.snapshot())
+    assert n >= 8
+    # point-range on EITHER key prunes (a linear sort would only prune a)
+    pa = t.pruned_files("a", lo=3, hi=4)
+    pb = t.pruned_files("b", lo=3, hi=4)
+    assert len(pa) < n and len(pb) < n
+    got_a = sorted(r["payload"] for r in t.read_pruned("a", 3, 4).collect())
+    want_a = sorted(r["payload"] for r in df.filter("a between 3 and 4").collect())
+    assert got_a == want_a
+    got_b = sorted(r["payload"] for r in t.read_pruned("b", 3, 4).collect())
+    want_b = sorted(r["payload"] for r in df.filter("b between 3 and 4").collect())
+    assert got_b == want_b
+
+
+def test_read_changes_cdf_classification(spark, tbl):
+    tbl.append(
+        _mk(spark, [(i, f"v{i}", 1) for i in range(100)], cols=("k", "v", "updated_at")),
+        sort_by=["k"],
+    )
+    v1 = tbl.latest_version()
+    upd = spark.createDataFrame(
+        [(5, "NEW", 2, False), (200, "ins", 2, False), (7, "v7", 2, True)],
+        ["k", "v", "updated_at", "_deleted"],
+    )
+    tbl.merge(upd, pks=["k"], order_col="updated_at")
+    changes = tbl.read_changes(v1, pks=["k"]).collect()
+    by_type = {}
+    for r in changes:
+        by_type.setdefault(r["_change_type"], []).append(r["k"])
+    assert sorted(by_type["update_preimage"]) == [5]
+    assert sorted(by_type["update_postimage"]) == [5]
+    assert by_type["delete"] == [7]
+    assert by_type["insert"] == [200]
+    # rewritten-but-unchanged co-located rows are cancelled, not reported
+    all_keys = [r["k"] for r in changes]
+    assert set(all_keys) == {5, 7, 200}
+
+
+def test_read_changes_without_pks_is_file_diff_net(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    v1 = tbl.latest_version()
+    tbl.overwrite(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    changes = tbl.read_changes(v1).collect()
+    # row (1,a,1) exists in both snapshots but in DIFFERENT files; the
+    # exceptAll cancellation still suppresses it
+    assert [(r["k"], r["_change_type"]) for r in changes] == [(2, "insert")]
