@@ -84,3 +84,108 @@ register(
     "the relational MERGE identity over orders (batch_silver.py:146-159).",
     tags=("lakehouse", "txnlog", "merge"),
 )(build_txnlog_merge_reconcile)
+
+
+# ---------------------------------------------------------------------------
+# txnlog_cdf_mv_refresh — incremental MV maintenance driven by the
+# Change Data Feed: compute the daily-sales MV at version 1, apply ONLY
+# the read_changes() delta of the merge commit (postimages/inserts add,
+# preimages/deletes subtract — sums in exact cents so the algebra is
+# associative), and emit the refreshed MV. The oracle aggregates the
+# FINAL table state directly — if the delta algebra or the CDF
+# classification dropped or double-counted a single row, the totals
+# cannot match. This is the O(changed files) refresh that replaces
+# recompute at 100 TB (same motivation as plans/quality.py's
+# mv_incremental_refresh, now powered by the log's file diff instead of
+# a manually tracked delta set).
+# ---------------------------------------------------------------------------
+
+TXNLOG_CDF_MV_ORACLE = """
+WITH final AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN k % 5 = 0 THEN price_cents * 2 ELSE price_cents END)
+            AS DOUBLE) / 100.0 AS revenue
+FROM final GROUP BY d
+"""
+
+
+def build_txnlog_cdf_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = orders.filter(F.col("k") % 2 == 1).withColumn(
+        "updated_at", F.lit(1).cast("long")
+    )
+    # update: %5 keys double in price; insert: even keys; delete: %10 keys
+    updates = (
+        orders.filter((F.col("k") % 2 == 0) | (F.col("k") % 5 == 0))
+        .withColumn(
+            "price_cents",
+            F.when(F.col("k") % 5 == 0, F.col("price_cents") * 2).otherwise(
+                F.col("price_cents")
+            ),
+        )
+        .withColumn(
+            "updated_at",
+            F.when(F.col("k") % 5 == 0, F.lit(2)).otherwise(F.lit(1)).cast("long"),
+        )
+        .withColumn("_deleted", F.col("k") % 10 == 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="txnlog_cdf_")
+    try:
+        t = TransactionLogTable(spark, f"{tmp}/t", stats_cols=("k",))
+        t.append(base, sort_by=["k"], n_files=8)
+        v1 = t.latest_version()
+        mv_v1 = t.read(v1).groupBy("d").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("rev_cents"),
+        )
+        t.merge(updates, pks=["k"], order_col="updated_at")
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            t.read_changes(v1, pks=["k"])
+            .withColumn("_sign", sign)
+            .groupBy("d")
+            .agg(
+                F.sum("_sign").alias("n_orders"),
+                F.sum(F.col("price_cents") * F.col("_sign")).alias("rev_cents"),
+            )
+        )
+        refreshed = (
+            mv_v1.unionByName(delta)
+            .groupBy("d")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("rev_cents").alias("rev_cents"),
+            )
+            .filter(F.col("n_orders") > 0)
+            .select(
+                "d",
+                "n_orders",
+                (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(refreshed.collect(), refreshed.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+register(
+    "txnlog_cdf_mv_refresh",
+    oracle=TXNLOG_CDF_MV_ORACLE,
+    doc="Incremental MV refresh from the Change Data Feed: MV@v1 plus the "
+    "signed CDF delta of a merge commit equals the direct aggregation of "
+    "the final state (exact-cents algebra; O(changed files) refresh).",
+    tags=("lakehouse", "txnlog", "cdf", "mv"),
+)(build_txnlog_cdf_mv_refresh)
