@@ -1334,3 +1334,91 @@ register(
     "(eigendecomposition is not SQL-expressible).",
     tags=("similarity", "llm", "pca"),
 )(build_embedding_pca_variance)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_clusters — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space with k-means, then compare pairs ONLY
+# within a cluster and drop every vector cosine-similar (>= threshold) to
+# a lower-id cluster-mate. Complements dedup_embedding_cosine: LSH bands
+# mine pairs by random hyperplanes (recall depends on the S-curve);
+# SemDeDup's clusters adapt to the data's actual density, which is why
+# the paper uses it at web scale.
+#
+# Scale shape: the k-means assignment is the broadcast-centroid pass
+# (corpus never collected); within-cluster comparison is O(sum c_i^2),
+# so clusters are deterministically SUB-SPLIT (hash of vec_id) above
+# CLUSTER_PAIR_CAP members — the same population-cap discipline as every
+# other dedup family here (bounded work per cell, documented recall
+# trade; in production scale K with n so mean cluster size stays fixed).
+# Rows-only registration: the clustering is iterative (no SQL oracle);
+# the pytest pins determinism and the no-dup-survivor invariant.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = PAIR_THRESHOLD  # share the family's near-dup bar
+CLUSTER_PAIR_CAP = 200
+
+
+def build_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    assigned = build_kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster")
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", quantized().alias("qa")).withColumn(
+        "ssq", ssq(F.col("qa"))
+    )
+    m = assigned.join(n, "vec_id")
+    # deterministic sub-split of oversized clusters: bounded pair work
+    sizes = W.partitionBy("cluster")
+    m = m.withColumn(
+        "cell",
+        F.concat_ws(
+            "_",
+            F.col("cluster"),
+            F.pmod(
+                F.xxhash64(F.col("vec_id")),
+                F.ceil(
+                    F.count(F.lit(1)).over(sizes) / F.lit(CLUSTER_PAIR_CAP)
+                ).cast("long"),
+            ),
+        ),
+    )
+    a = m.select(
+        "cell",
+        F.col("vec_id").alias("vec1"),
+        F.col("qa").alias("qa1"),
+        F.col("ssq").alias("ssq1"),
+    )
+    b = m.select(
+        "cell",
+        F.col("vec_id").alias("vec2"),
+        F.col("qa").alias("qa2"),
+        F.col("ssq").alias("ssq2"),
+    )
+    cos = cosine(int_dot(F.col("qa1"), F.col("qa2")), F.col("ssq1"), F.col("ssq2"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("vec1") < F.col("vec2"))
+        .filter(cos >= SEMDEDUP_THRESHOLD)
+        .select(F.col("vec2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.select("vec_id", "cluster")
+        .join(drops.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+register(
+    "dedup_semantic_clusters",
+    oracle=None,
+    doc=f"SemDeDup: k-means clusters + within-cluster cosine dedup "
+    f"(threshold {SEMDEDUP_THRESHOLD}, sub-split above {CLUSTER_PAIR_CAP} "
+    "members); rows-only (iterative clustering).",
+    tags=("similarity", "llm", "dedup", "iterative"),
+)(build_dedup_semantic_clusters)

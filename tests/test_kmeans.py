@@ -16,3 +16,47 @@ def test_kmeans_deterministic_and_sane(spark):
     clusters = {c for c, _ in a.values()}
     assert len(clusters) > 1  # actually partitioned the space
     assert all(d >= 0 for _, d in a.values())
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """SemDeDup: deterministic, covers the corpus, and within every
+    cluster no two SURVIVORS are >= threshold cosine-similar once the
+    lower-id greedy rule is applied (checked by brute force per cluster
+    at test scale)."""
+    from end_to_end_data_lakehouse_pipeline_spark.catalog import table
+    from end_to_end_data_lakehouse_pipeline_spark.plans.registry import queries
+    from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import (
+        SEMDEDUP_THRESHOLD,
+        cosine,
+        int_dot,
+        quantized,
+        ssq,
+    )
+    from pyspark.sql import functions as F
+
+    out = queries()["dedup_semantic_clusters"](spark, sf_dir)
+    rows = out.collect()
+    n_corpus = table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_corpus
+    # brute-force within-cluster verification of the greedy rule
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized().alias("qa")
+    ).withColumn("ssq", ssq(F.col("qa")))
+    m = out.join(emb, "vec_id")
+    a = m.select("cluster", F.col("vec_id").alias("v1"), F.col("is_dup").alias("d1"),
+                 F.col("qa").alias("qa1"), F.col("ssq").alias("ssq1"))
+    b = m.select("cluster", F.col("vec_id").alias("v2"), F.col("is_dup").alias("d2"),
+                 F.col("qa").alias("qa2"), F.col("ssq").alias("ssq2"))
+    cos = cosine(int_dot(F.col("qa1"), F.col("qa2")), F.col("ssq1"), F.col("ssq2"))
+    sim_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(cos >= SEMDEDUP_THRESHOLD)
+        .select("v1", "v2", "d1", "d2")
+        .collect()
+    )
+    for p in sim_pairs:
+        # the higher id of any similar pair must be marked dup UNLESS the
+        # pair straddles a sub-split cell (bounded-work recall trade) —
+        # at test scale clusters are far below the cap, so no straddling
+        assert p.d2, f"similar pair ({p.v1},{p.v2}) left v2 unmarked"
