@@ -246,3 +246,109 @@ register(
     "rows-only (sketch state is engine-specific by design).",
     tags=("quality", "sketch", "self-measurement"),
 )(build_approx_quantile_error_report)
+
+
+# ---------------------------------------------------------------------------
+# source_drift_ks — per-source distribution-drift audit: the exact
+# two-sample Kolmogorov-Smirnov statistic between each source's document
+# length distribution and the rest of the corpus, with the alpha=0.05
+# rejection flag (D > 1.36 * sqrt((n1+n2)/(n1*n2))). The ingestion-time
+# canary an LLM corpus pipeline runs per feed: a drifting source means a
+# scraper change or a new content mix upstream.
+#
+# Shape: the audit needs F_source and F_rest evaluated at the UNION of
+# sample points, so the metric rows are replicated once per audited
+# source (|sources| x rows — bounded by the SOURCE DOMAIN, not data
+# volume; at scale shard the audit by source and this is one window per
+# shard). ECDFs are RANGE-frame running counts (ties included on both
+# engines); the supremum is a groupBy max. All counts are integers, the
+# final division is one double op per row — cross-engine stable.
+# ---------------------------------------------------------------------------
+
+SOURCE_DRIFT_KS_ORACLE = """
+WITH m AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+a AS (SELECT DISTINCT source AS audit_source FROM m),
+crossed AS (
+    SELECT a.audit_source, m.x, CAST(m.source = a.audit_source AS INTEGER) AS is_in
+    FROM a CROSS JOIN m
+),
+e AS (
+    SELECT audit_source,
+           SUM(is_in) OVER (PARTITION BY audit_source ORDER BY x
+                            RANGE UNBOUNDED PRECEDING) AS cum_in,
+           SUM(1 - is_in) OVER (PARTITION BY audit_source ORDER BY x
+                                RANGE UNBOUNDED PRECEDING) AS cum_out,
+           SUM(is_in) OVER (PARTITION BY audit_source) AS n_in,
+           SUM(1 - is_in) OVER (PARTITION BY audit_source) AS n_out
+    FROM crossed
+)
+SELECT audit_source AS source,
+       CAST(MAX(n_in) AS BIGINT) AS n_docs,
+       ROUND(MAX(ABS(CAST(cum_in AS DOUBLE) / n_in
+                     - CAST(cum_out AS DOUBLE) / n_out)), 6) AS ks_d,
+       CAST(MAX(ABS(CAST(cum_in AS DOUBLE) / n_in
+                    - CAST(cum_out AS DOUBLE) / n_out))
+            > 1.36 * sqrt(CAST(MAX(n_in) + MAX(n_out) AS DOUBLE)
+                          / (MAX(n_in) * MAX(n_out))) AS BOOLEAN) AS drifted
+FROM e
+GROUP BY audit_source
+"""
+
+
+def build_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    audit = docs.select(F.col("source").alias("audit_source")).distinct()
+    crossed = audit.crossJoin(docs).select(
+        "audit_source",
+        "x",
+        (F.col("source") == F.col("audit_source")).cast("int").alias("is_in"),
+    )
+    run = (
+        Window.partitionBy("audit_source")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("audit_source")
+    e = crossed.select(
+        "audit_source",
+        F.sum("is_in").over(run).alias("cum_in"),
+        F.sum(1 - F.col("is_in")).over(run).alias("cum_out"),
+        F.sum("is_in").over(whole).alias("n_in"),
+        F.sum(1 - F.col("is_in")).over(whole).alias("n_out"),
+    )
+    d = F.abs(
+        F.col("cum_in").cast("double") / F.col("n_in")
+        - F.col("cum_out").cast("double") / F.col("n_out")
+    )
+    return (
+        e.withColumn("d", d)
+        .groupBy(F.col("audit_source").alias("source"))
+        .agg(
+            F.max("n_in").alias("n_docs"),
+            F.round(F.max("d"), 6).alias("ks_d"),
+            (
+                F.max("d")
+                > 1.36
+                * F.sqrt(
+                    (F.max("n_in") + F.max("n_out")).cast("double")
+                    / (F.max("n_in") * F.max("n_out"))
+                )
+            ).alias("drifted"),
+        )
+    )
+
+
+register(
+    "source_drift_ks",
+    oracle=SOURCE_DRIFT_KS_ORACLE,
+    doc="Exact two-sample KS drift audit per source vs rest-of-corpus "
+    "(RANGE-frame ECDFs, alpha=0.05 rejection flag); replication bounded "
+    "by the source domain.",
+    tags=("quality", "llm", "drift", "stats"),
+)(build_source_drift_ks)

@@ -3196,3 +3196,47 @@ register(
     "(micro-unit integer selection parity).",
     tags=("relational", "window", "stats"),
 )(build_value_five_number_summary)
+
+
+# ---------------------------------------------------------------------------
+# brand_percentile_ranks — the relative-rank window family the surface
+# did not yet exercise: percent_rank (rank-1)/(n-1), cume_dist (rows <=
+# current)/n, and ntile quartile, all over ONE per-brand window pass with
+# a unique total order (retailprice, partkey) so every engine agrees on
+# ties. One shuffle on p_brand; per-brand state is the sort — the same
+# envelope as every other per-group window here.
+# ---------------------------------------------------------------------------
+
+PERCENTILE_RANKS_ORACLE = """
+SELECT
+    p_brand,
+    CAST(p_partkey AS BIGINT) AS partkey,
+    ROUND(CAST(p_retailprice AS DOUBLE), 2) AS retailprice,
+    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+    ROUND(CUME_DIST() OVER w, 6) AS cume_dist,
+    CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+"""
+
+
+def build_brand_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        F.col("p_partkey").cast("long").alias("partkey"),
+        F.round(F.col("p_retailprice").cast("double"), 2).alias("retailprice"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+register(
+    "brand_percentile_ranks",
+    oracle=PERCENTILE_RANKS_ORACLE,
+    doc="percent_rank / cume_dist / ntile quartile per brand in one window "
+    "pass with a unique total order (tie-stable across engines).",
+    tags=("relational", "window"),
+)(build_brand_percentile_ranks)

@@ -278,3 +278,26 @@ def test_heavy_hitter_candidates_broadcast(spark, sf_dir):
     plan = _initial_plan(plans.queries()["heavy_hitter_terms"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # one Exchange: all three ranking fns share a single window pass
+        ("brand_percentile_ranks", 1),
+        # daily groupBy shuffle + the calendar-bounded global window
+        ("rolling_median_7d", 2),
+        ("cusum_changepoint", 2),
+        # nation broadcast + QI groupBy shuffle + domain-bounded window
+        ("k_anonymity_audit", 3),
+    ],
+)
+def test_round3_wave3_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    """New window/agg queries must not regress past their audited shuffle
+    counts (PLANS.md round-3 wave 3): an extra Exchange here means a
+    window lost its shared partitioning or an agg lost its partial."""
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    plan = _initial_plan(plans.queries()[name](spark, sf_dir))
+    got = plan.count("Exchange")
+    assert got <= max_exchanges, f"{name}: {got} Exchanges\n{plan}"
