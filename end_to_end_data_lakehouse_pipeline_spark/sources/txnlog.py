@@ -612,39 +612,50 @@ class TransactionLogTable:
             f"merge lost the commit race {max_retries} times at {self.path}"
         )
 
-    def delete_where(self, condition: str) -> int:
+    def delete_where(self, condition: str, max_retries: int = 5) -> int:
         """File-level DELETE: scan finds the files that actually contain
         matching rows (via ``_metadata.file_path`` — one distributed scan,
         no driver data), only those are rewritten without the matches.
-        Files with no matching row keep their exact bytes."""
-        base_version = self.latest_version()
-        if base_version is None:
-            raise FileNotFoundError(f"no committed data at {self.path}")
-        df = self.read(base_version)
-        touched_abs = {
-            r["f"]
-            for r in df.filter(condition)
-            .select(F.col("_metadata.file_path").alias("f"))
-            .distinct()
-            .collect()
-        }
-        if not touched_abs:
-            return base_version
-        touched = {os.path.basename(p.replace("file://", "")) for p in touched_abs}
-        # keep rows where the condition is NOT TRUE — a bare NOT(cond)
-        # would drop NULL-evaluating rows from both sides (silent loss)
-        keep = self.spark.read.parquet(*self._abs(touched)).filter(
-            ~F.coalesce(F.expr(condition), F.lit(False))
-        )
-        adds = self._stage_files(keep, sort_by=list(self.stats_cols[:1]))
-        removes = [{"remove": {"name": n}} for n in sorted(touched)]
-        while True:
-            version = (self.latest_version() or 0) + 1
+        Files with no matching row keep their exact bytes.
+
+        A lost commit race RE-EXECUTES the delete against the winner's
+        snapshot (a blind version-bump retry would replay removes/keeps
+        computed from a stale file set and resurrect rows a concurrent
+        merge rewrote — the delete must be serialized AFTER the winner)."""
+        for _ in range(max_retries):
+            base_version = self.latest_version()
+            if base_version is None:
+                raise FileNotFoundError(f"no committed data at {self.path}")
+            df = self.read(base_version)
+            touched_abs = {
+                r["f"]
+                for r in df.filter(condition)
+                .select(F.col("_metadata.file_path").alias("f"))
+                .distinct()
+                .collect()
+            }
+            if not touched_abs:
+                return base_version
+            touched = {os.path.basename(p.replace("file://", "")) for p in touched_abs}
+            # keep rows where the condition is NOT TRUE — a bare NOT(cond)
+            # would drop NULL-evaluating rows from both sides (silent loss)
+            keep = self.spark.read.parquet(*self._abs(touched)).filter(
+                ~F.coalesce(F.expr(condition), F.lit(False))
+            )
+            adds = self._stage_files(keep, sort_by=list(self.stats_cols[:1]))
+            removes = [{"remove": {"name": n}} for n in sorted(touched)]
             try:
-                self._commit(version, [self._meta("delete", keep), *removes, *adds])
-                return version
+                self._commit(
+                    base_version + 1, [self._meta("delete", keep), *removes, *adds]
+                )
+                return base_version + 1
             except ConcurrentCommitError:
+                for a in adds:
+                    os.remove(os.path.join(self.path, a["add"]["name"]))
                 continue
+        raise ConcurrentCommitError(
+            f"delete lost the commit race {max_retries} times at {self.path}"
+        )
 
     # -- maintenance ------------------------------------------------------
 

@@ -382,3 +382,37 @@ def test_read_changes_without_pks_is_file_diff_net(spark, tbl):
     # row (1,a,1) exists in both snapshots but in DIFFERENT files; the
     # exceptAll cancellation still suppresses it
     assert [(r["k"], r["_change_type"]) for r in changes] == [(2, "insert")]
+
+
+def test_delete_where_reexecutes_after_lost_race(spark, tbl):
+    """A delete that loses its commit race must RE-EXECUTE against the
+    winner's snapshot: the winner here is a merge that rewrites a
+    matching row — a stale blind retry would resurrect the old image."""
+    tbl.append(
+        _mk(spark, [(i, "old", 1) for i in range(10)]), sort_by=["k"]
+    )
+    real_commit = tbl._commit
+    fired = {"n": 0}
+
+    def racing_commit(version, actions):
+        if fired["n"] == 0 and any("remove" in a for a in actions):
+            fired["n"] = 1
+            # interleave a merge that rewrites k=3 (which the delete
+            # targets) to "new" BEFORE the delete's commit lands
+            t2 = TransactionLogTable(spark, tbl.path, stats_cols=("k",))
+            t2.merge(
+                _mk(spark, [(3, "new", 2)]), pks=["k"], order_col="updated_at"
+            )
+            raise ConcurrentCommitError("simulated lost race")
+        return real_commit(version, actions)
+
+    tbl._commit = racing_commit
+    try:
+        tbl.delete_where("v = 'old' AND k >= 5")
+    finally:
+        tbl._commit = real_commit
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    # k>=5 old rows deleted; k=3 carries the merge's value, not a stale
+    # resurrection; no duplicates anywhere
+    assert got == {0: "old", 1: "old", 2: "old", 3: "new", 4: "old"}
+    assert tbl.read().count() == 5
