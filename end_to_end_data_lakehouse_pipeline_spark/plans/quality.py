@@ -352,3 +352,68 @@ register(
     "by the source domain.",
     tags=("quality", "llm", "drift", "stats"),
 )(build_source_drift_ks)
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit — k-anonymity's companion: a QI group can be large
+# (k-anonymous) yet expose everyone in it if a SENSITIVE attribute is
+# homogeneous. Per QI group (nation), report the number of distinct
+# sensitive values (market segment), the group's l verdict, and the
+# table-wide l (the weakest group). Same single-scan shape as
+# k_anonymity_audit: one groupBy, one domain-bounded window.
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY_L = 3
+
+L_DIVERSITY_ORACLE = f"""
+WITH g AS (
+    SELECT c.c_nationkey AS nationkey,
+           n.n_name      AS nation,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT c.c_mktsegment) AS BIGINT) AS distinct_sensitive
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+)
+SELECT nationkey, nation, group_size, distinct_sensitive,
+       CAST(distinct_sensitive >= {L_DIVERSITY_L} AS BOOLEAN) AS meets_l,
+       CAST(MIN(distinct_sensitive) OVER () AS BIGINT) AS table_l_diversity
+FROM g
+"""
+
+
+def build_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    g = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("distinct_sensitive"),
+        )
+    )
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "nationkey",
+        "nation",
+        "group_size",
+        "distinct_sensitive",
+        (F.col("distinct_sensitive") >= F.lit(L_DIVERSITY_L)).alias("meets_l"),
+        F.min("distinct_sensitive").over(whole).alias("table_l_diversity"),
+    )
+
+
+register(
+    "l_diversity_audit",
+    oracle=L_DIVERSITY_ORACLE,
+    doc="l-diversity release audit: distinct sensitive values (mktsegment) "
+    "per QI group (nation), per-group l verdict, table-wide l.",
+    tags=("quality", "privacy"),
+)(build_l_diversity_audit)
