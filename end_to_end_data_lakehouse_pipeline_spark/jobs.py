@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from .sources import LakehouseTable, parse_cdc_envelope
 from .sources.cdc import split_corrupt_cdc
+from .sources.txnlog import TransactionLogTable
 from .streaming.bronze import process_cdc_stream
 from .streaming.generator import synthetic_cdc_stream
 
@@ -54,7 +55,20 @@ def run_bronze(spark: SparkSession, lake: str, seconds: float, rows_per_second: 
     q.awaitTermination(60)
 
 
-def run_silver(spark: SparkSession, lake: str) -> tuple[int, int]:
+def _table(spark: SparkSession, path: str, acid: bool):
+    """Silver/gold table factory. ``acid=True`` (default) routes through
+    the transaction log — the reference's production posture
+    (batch_silver.py:146-159 is DeltaTable.merge; TransactionLogTable is
+    this engine's log-backed equivalent: atomic commits, snapshot
+    isolation, file-level merge, time travel). ``acid=False`` keeps the
+    dir-swap LakehouseTable for environments where the plain-parquet
+    layout must stay directly readable by other tools."""
+    if acid:
+        return TransactionLogTable(spark, path, stats_cols=("order_id",))
+    return LakehouseTable(spark, path)
+
+
+def run_silver(spark: SparkSession, lake: str, acid: bool = True) -> tuple[int, int]:
     bronze = LakehouseTable(spark, f"{lake}/bronze/orders").read().select(
         F.col("_raw_value").alias("value")
     )
@@ -62,26 +76,28 @@ def run_silver(spark: SparkSession, lake: str) -> tuple[int, int]:
     if not bad.isEmpty():
         LakehouseTable(spark, f"{lake}/quarantine/orders").append(bad)
     parsed = parse_cdc_envelope(ok, ORDER_PAYLOAD)
-    silver = LakehouseTable(spark, f"{lake}/silver/orders")
+    silver = _table(spark, f"{lake}/silver/orders", acid)
     silver.merge(parsed, pks=["order_id"], order_col="_event_ts")
     return silver.read().count(), bad.count()
 
 
-def run_gold(spark: SparkSession, lake: str) -> int:
-    silver = LakehouseTable(spark, f"{lake}/silver/orders").read()
+def run_gold(spark: SparkSession, lake: str, acid: bool = True) -> int:
+    silver = _table(spark, f"{lake}/silver/orders", acid).read()
     daily = silver.groupBy("order_status").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("amount").alias("revenue"),
     )
-    gold = LakehouseTable(spark, f"{lake}/gold/status_summary")
+    gold = _table(spark, f"{lake}/gold/status_summary", acid)
     gold.overwrite(daily)
     return gold.read().count()
 
 
-def run_medallion(spark: SparkSession, lake: str, seconds: float = 10.0) -> dict[str, int]:
+def run_medallion(
+    spark: SparkSession, lake: str, seconds: float = 10.0, acid: bool = True
+) -> dict[str, int]:
     run_bronze(spark, lake, seconds)
-    n_silver, n_quarantined = run_silver(spark, lake)
-    n_gold = run_gold(spark, lake)
+    n_silver, n_quarantined = run_silver(spark, lake, acid)
+    n_gold = run_gold(spark, lake, acid)
     return {"silver_rows": n_silver, "quarantined": n_quarantined, "gold_rows": n_gold}
 
 
@@ -91,9 +107,14 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("lake", help="lakehouse root directory")
     ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument(
+        "--no-acid",
+        action="store_true",
+        help="use dir-swap parquet tables instead of the transaction log",
+    )
     args = ap.parse_args()
     spark = get_spark("medallion")
-    stats = run_medallion(spark, args.lake, args.seconds)
+    stats = run_medallion(spark, args.lake, args.seconds, acid=not args.no_acid)
     print(stats)
     spark.stop()
 

@@ -97,3 +97,48 @@ def test_runnable_medallion_job(spark, tmp_path):
     assert stats["quarantined"] == 0  # generator emits only valid envelopes
     gold = spark.read.parquet(str(tmp_path / "lake" / "gold" / "status_summary"))
     assert set(gold.columns) == {"order_status", "n_orders", "revenue"}
+
+
+def test_medallion_acid_silver_gold(spark, tmp_path):
+    """run_silver/run_gold with acid=True (the default): the silver MERGE
+    and gold overwrite go through the transaction log — version history
+    exists, a second silver run is a new commit, and time travel reaches
+    the first silver state."""
+    from end_to_end_data_lakehouse_pipeline_spark import jobs
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        TransactionLogTable,
+    )
+
+    lake = str(tmp_path / "lake")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    with open(src / "batch0.jsonl", "w") as f:
+        for op, before, after, ts in EVENTS:
+            rec = {"value": json.dumps(
+                {"before": before, "after": after, "op": op, "source_ts_ms": ts}
+            )}
+            f.write(json.dumps(rec) + "\n")
+    raw_schema = T.StructType([T.StructField("value", T.StringType(), True)])
+    stream = spark.readStream.schema(raw_schema).json(str(src))
+    q = process_cdc_stream(
+        stream, "orders", f"{lake}/bronze/orders", str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    n_silver, n_bad = jobs.run_silver(spark, lake)
+    assert (n_silver, n_bad) == (2, 0)  # o2 deleted, o1 latest-wins, o3
+    n_gold = jobs.run_gold(spark, lake)
+    assert n_gold == 2  # delivered (o1) + created (o3)
+
+    silver = TransactionLogTable(spark, f"{lake}/silver/orders")
+    assert [h["op"] for h in silver.history()] == ["merge"]
+    got = {r.order_id: r.amount for r in silver.read().collect()}
+    assert got == {"o1": 15.0, "o3": 7.0}
+    # idempotent re-run: same CDC batch merges to the same state, one
+    # more version in history, first version still time-travelable
+    jobs.run_silver(spark, lake)
+    assert [h["op"] for h in silver.history()] == ["merge", "merge"]
+    assert {r.order_id for r in silver.read(version=1).collect()} == {"o1", "o3"}
+    got2 = {r.order_id: r.amount for r in silver.read().collect()}
+    assert got2 == got
