@@ -455,6 +455,38 @@ class TransactionLogTable:
             keep.append(name)
         return self._abs(keep)
 
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL analog: the live file inventory as a DataFrame
+        — name, bytes, and per-tracked-column min/max/null stats (as a
+        map of JSON-ish strings for type uniformity). Feeds maintenance
+        decisions (what compact() will touch, how tight the ranges are)
+        without opening a single data file."""
+        rows = [
+            (
+                name,
+                int(e.get("bytes", 0)),
+                {
+                    c: f"[{s['min']}, {s['max']}] nulls={s['nulls']}"
+                    for c, s in e.get("stats", {}).items()
+                },
+            )
+            for name, e in sorted(self.snapshot().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "file string, bytes long, stats map<string,string>"
+        )
+
+    def pruned_files_multi(
+        self, ranges: dict, version: int | None = None
+    ) -> list[str]:
+        """AND-composed skipping: keep files intersecting EVERY
+        ``{col: (lo, hi)}`` range (None bounds are open). With Z-ordered
+        files this is the two-key point-lookup path."""
+        keep = set(self._abs(self.snapshot(version)))
+        for col, (lo, hi) in ranges.items():
+            keep &= set(self.pruned_files(col, lo, hi, version))
+        return sorted(keep)
+
     def read_pruned(self, col: str, lo=None, hi=None) -> DataFrame:
         """Range read that skips non-intersecting files before Spark ever
         lists them, then applies the exact residual filter."""

@@ -416,3 +416,30 @@ def test_delete_where_reexecutes_after_lost_race(spark, tbl):
     # resurrection; no duplicates anywhere
     assert got == {0: "old", 1: "old", 2: "old", 3: "new", 4: "old"}
     assert tbl.read().count() == 5
+
+
+def test_detail_and_multi_column_pruning(spark, tmp_path):
+    t = TransactionLogTable(spark, str(tmp_path / "d"), stats_cols=("a", "b"))
+    df = spark.createDataFrame(
+        [(i % 64, i // 64, i) for i in range(4096)], ["a", "b", "payload"]
+    )
+    t.append(df, zorder_by=("a", "b"), n_files=16)
+    det = t.detail().collect()
+    assert len(det) == len(t.snapshot())
+    assert all(r.bytes > 0 and "a" in r.stats and "b" in r.stats for r in det)
+    # AND-composed pruning is at least as tight as either single-column cut
+    pa = set(t.pruned_files("a", 3, 4))
+    pb = set(t.pruned_files("b", 3, 4))
+    both = set(t.pruned_files_multi({"a": (3, 4), "b": (3, 4)}))
+    assert both <= pa and both <= pb and both
+    got = sorted(
+        r["payload"]
+        for r in spark.read.parquet(*both)
+        .filter("a between 3 and 4 and b between 3 and 4")
+        .collect()
+    )
+    want = sorted(
+        r["payload"]
+        for r in df.filter("a between 3 and 4 and b between 3 and 4").collect()
+    )
+    assert got == want
