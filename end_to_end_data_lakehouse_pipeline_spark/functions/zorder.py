@@ -40,3 +40,23 @@ def sql_morton2(x: str, y: str, bits: int = ZORDER_BITS) -> str:
         parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
         parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return " + ".join(parts)
+
+
+def zorder_cluster(df, a: str, b: str, n_files: int | None = None):
+    """Range-partition + sort ``df`` by the Morton interleave of two key
+    columns (each masked to ZORDER_BITS), optionally pinning the output
+    partition count. The shared write-time clustering step behind
+    LakehouseTable.overwrite(zorder_by=...) and the txnlog's Z-ordered
+    staging — per-file min/max stats then prune on EITHER key."""
+    mask = (1 << ZORDER_BITS) - 1
+    code = morton2(
+        F.col(a).cast("long").bitwiseAND(F.lit(mask)),
+        F.col(b).cast("long").bitwiseAND(F.lit(mask)),
+    )
+    out = df.withColumn("_zorder", code)
+    parts = [n_files] if n_files else []
+    return (
+        out.repartitionByRange(*parts, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+    )

@@ -89,6 +89,13 @@ def run_gold(spark: SparkSession, lake: str, acid: bool = True) -> int:
     )
     gold = _table(spark, f"{lake}/gold/status_summary", acid)
     gold.overwrite(daily)
+    if acid:
+        # gold is a SERVING table: vacuum superseded files right away so a
+        # consumer that (wrongly but commonly) reads the directory with
+        # plain spark.read.parquet sees only the live snapshot instead of
+        # every refresh's files side by side. The trade is no gold time
+        # travel — silver keeps its full history for that.
+        gold.vacuum(retain_versions=0)
     return gold.read().count()
 
 

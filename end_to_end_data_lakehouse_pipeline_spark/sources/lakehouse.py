@@ -169,23 +169,9 @@ class LakehouseTable:
         atomic cutover when that window is unacceptable."""
         staging = f"{self.path}_staging_{uuid.uuid4().hex[:8]}"
         if zorder_by:
-            from pyspark.sql import functions as F
+            from ..functions.zorder import zorder_cluster
 
-            from ..functions.zorder import ZORDER_BITS, morton2
-
-            a, b = zorder_by
-            mask = (1 << ZORDER_BITS) - 1
-            code = morton2(
-                F.col(a).cast("long").bitwiseAND(F.lit(mask)),
-                F.col(b).cast("long").bitwiseAND(F.lit(mask)),
-            )
-            df = df.withColumn("_zorder", code)
-            df = (
-                df.repartitionByRange(zorder_files, "_zorder")
-                if zorder_files
-                else df.repartitionByRange("_zorder")
-            )
-            df = df.sortWithinPartitions("_zorder").drop("_zorder")
+            df = zorder_cluster(df, *zorder_by, n_files=zorder_files)
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
         w = df.write.format(self.fmt).mode("overwrite")

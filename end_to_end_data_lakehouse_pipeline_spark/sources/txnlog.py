@@ -157,24 +157,30 @@ class TransactionLogTable:
         versions = self._log_versions()
         return versions[-1] if versions else None
 
-    def snapshot(self, version: int | None = None) -> dict[str, dict]:
-        """Live file set at ``version`` (default latest): relative file
-        name -> its add-action entry. Replays from the newest checkpoint
-        at or below the target, then the tail commits."""
+    def _replay(
+        self, version: int | None, strict: bool = True
+    ) -> tuple[dict[str, dict], dict[str, int]]:
+        """One pass over the log: (live file set, txn watermarks) at
+        ``version`` (default latest). Starts from the newest checkpoint at
+        or below the target, then replays the tail commits — the single
+        place that knows the checkpoint/replay protocol."""
         versions = self._log_versions()
         if version is None:
             if not versions:
-                return {}
+                return {}, {}
             version = versions[-1]
-        elif version not in versions:
+        elif strict and version not in versions:
             raise FileNotFoundError(f"version {version} not in log at {self.path}")
         start = 0
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         for v in reversed([x for x in versions if x <= version]):
             cp = self._log_path(v, checkpoint=True)
             if os.path.isfile(cp):
                 with open(cp) as f:
-                    live = json.load(f)["files"]
+                    state = json.load(f)
+                live = state["files"]
+                txns = dict(state.get("txns", {}))
                 start = v + 1
                 break
         for v in versions:
@@ -187,36 +193,21 @@ class TransactionLogTable:
                         live[action["add"]["name"]] = action["add"]
                     elif "remove" in action:
                         live.pop(action["remove"]["name"], None)
-        return live
+                    elif "txn" in action:
+                        t = action["txn"]
+                        txns[t["app"]] = max(txns.get(t["app"], -1), t["version"])
+        return live, txns
+
+    def snapshot(self, version: int | None = None) -> dict[str, dict]:
+        """Live file set at ``version`` (default latest): relative file
+        name -> its add-action entry."""
+        return self._replay(version)[0]
 
     def txn_versions(self, version: int | None = None) -> dict[str, int]:
         """Writer-transaction watermarks at ``version``: app_id -> highest
         committed batch id (the Delta ``txn`` action — the state that
         makes a foreachBatch sink exactly-once under redelivery)."""
-        versions = self._log_versions()
-        if version is None:
-            if not versions:
-                return {}
-            version = versions[-1]
-        start = 0
-        txns: dict[str, int] = {}
-        for v in reversed([x for x in versions if x <= version]):
-            cp = self._log_path(v, checkpoint=True)
-            if os.path.isfile(cp):
-                with open(cp) as f:
-                    txns = dict(json.load(f).get("txns", {}))
-                start = v + 1
-                break
-        for v in versions:
-            if v < start or v > version:
-                continue
-            with open(self._log_path(v)) as f:
-                for line in f:
-                    action = json.loads(line)
-                    if "txn" in action:
-                        t = action["txn"]
-                        txns[t["app"]] = max(txns.get(t["app"], -1), t["version"])
-        return txns
+        return self._replay(version)[1]
 
     def history(self) -> list[dict]:
         """Commit metadata, oldest first (DESCRIBE HISTORY analog)."""
@@ -248,13 +239,14 @@ class TransactionLogTable:
         finally:
             os.close(fd)
         if version % self.checkpoint_interval == 0:
+            files, txns = self._replay(version)  # one pass for both maps
             tmp = self._log_path(version, checkpoint=True) + f".tmp{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(
                     {
                         "version": version,
-                        "files": self.snapshot(version),
-                        "txns": self.txn_versions(version),
+                        "files": files,
+                        "txns": txns,
                     },
                     f,
                 )
@@ -281,21 +273,9 @@ class TransactionLogTable:
         exclusive with ``sort_by``."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
         if zorder_by:
-            from ..functions.zorder import ZORDER_BITS, morton2
+            from ..functions.zorder import zorder_cluster
 
-            a, b = zorder_by
-            mask = (1 << ZORDER_BITS) - 1
-            code = morton2(
-                F.col(a).cast("long").bitwiseAND(F.lit(mask)),
-                F.col(b).cast("long").bitwiseAND(F.lit(mask)),
-            )
-            df = df.withColumn("_z", code)
-            parts = [n_files] if n_files else []
-            df = (
-                df.repartitionByRange(*parts, "_z")
-                .sortWithinPartitions("_z")
-                .drop("_z")
-            )
+            df = zorder_cluster(df, *zorder_by, n_files=n_files)
         elif sort_by:
             # range-partition + sort by the leading key so per-file
             # [min,max] ranges are disjoint and tight — this is what makes
@@ -363,9 +343,15 @@ class TransactionLogTable:
         at-least-once foreachBatch contract.
 
         Returns the committed version, or None if this batch was already
-        applied. The skip re-checks AFTER losing any commit race, so two
-        concurrent deliveries of the same batch cannot both land."""
-        if self.txn_versions().get(app_id, -1) >= batch_id:
+        applied. Atomicity of the dedup: the watermark is read AT the
+        pinned base version and the commit targets exactly base+1 — any
+        commit interleaving between the check and the create changes the
+        target version, the exclusive create fails, and the loop
+        re-checks against the new state. A check against 'latest' with a
+        separately-read version number would leave a window where two
+        deliveries of the same batch both land."""
+        base = self.latest_version()
+        if self.txn_versions(base).get(app_id, -1) >= batch_id:
             return None
         adds = self._stage_files(df, sort_by)
         actions = [
@@ -374,14 +360,14 @@ class TransactionLogTable:
             *adds,
         ]
         while True:
-            if self.txn_versions().get(app_id, -1) >= batch_id:
+            base = self.latest_version()
+            if self.txn_versions(base).get(app_id, -1) >= batch_id:
                 for a in adds:  # lost to a concurrent delivery of the SAME batch
                     os.remove(os.path.join(self.path, a["add"]["name"]))
                 return None
-            version = (self.latest_version() or 0) + 1
             try:
-                self._commit(version, actions)
-                return version
+                self._commit((base or 0) + 1, actions)
+                return (base or 0) + 1
             except ConcurrentCommitError:
                 continue
 
@@ -531,10 +517,29 @@ class TransactionLogTable:
         if schema is None:
             raise FileNotFoundError(f"no committed data at {self.path}")
         empty = self.spark.createDataFrame([], schema)
-        old = self.spark.read.parquet(*removed) if removed else empty
-        new = self.spark.read.parquet(*added) if added else empty
-        cols = new.columns
-        old = old.select(*cols)
+        # mergeSchema on BOTH sides: the diff may straddle a schema
+        # evolution (older files lack later-added columns), and a plain
+        # read would infer from one arbitrary file
+        rd = self.spark.read.option("mergeSchema", "true")
+        old = rd.parquet(*removed) if removed else empty
+        new = rd.parquet(*added) if added else empty
+        # align to the UNION of columns; a column absent on one side
+        # surfaces as NULL there (so materializing a value in a new
+        # column IS a change, which is the honest CDF semantics)
+        cols = list(dict.fromkeys([*old.columns, *new.columns]))
+        types = {f.name: f.dataType for f in [*old.schema.fields, *new.schema.fields]}
+        old = old.select(
+            *[
+                F.col(c) if c in old.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+        new = new.select(
+            *[
+                F.col(c) if c in new.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
         gone = old.exceptAll(new)  # deletes + update preimages
         came = new.exceptAll(old)  # inserts + update postimages
         if not pks:
@@ -696,25 +701,31 @@ class TransactionLogTable:
         — history moves forward, data files are reused, nothing is
         rewritten."""
         target = self.snapshot(version)
-        current = self.snapshot()
-        actions = [self._meta("restore")]
-        actions += [
-            {"remove": {"name": n}} for n in sorted(set(current) - set(target))
-        ]
-        actions += [
-            {"add": entry}
-            for n, entry in sorted(target.items())
-            if n not in current
-        ]
         while True:
-            v = (self.latest_version() or 0) + 1
+            # recompute the diff against the CURRENT head each attempt and
+            # pin the commit to head+1 — a blind retry of a stale action
+            # list would leave concurrently-added files live after a
+            # "restore", which must make the live set exactly the target
+            base = self.latest_version() or 0
+            current = self.snapshot(base if base else None)
+            actions = [self._meta("restore")]
+            actions += [
+                {"remove": {"name": n}} for n in sorted(set(current) - set(target))
+            ]
+            actions += [
+                {"add": entry}
+                for n, entry in sorted(target.items())
+                if n not in current
+            ]
             try:
-                self._commit(v, actions)
-                return v
+                self._commit(base + 1, actions)
+                return base + 1
             except ConcurrentCommitError:
                 continue
 
-    def compact(self, max_file_bytes: int = 128 * 1024 * 1024) -> int | None:
+    def compact(
+        self, max_file_bytes: int = 128 * 1024 * 1024, max_retries: int = 5
+    ) -> int | None:
         """OPTIMIZE: bin-pack the files SMALLER than ``max_file_bytes``
         into full-size sorted files in one atomic commit (remove smalls +
         add packed). Already-large files are left alone — their bytes and
@@ -728,32 +739,38 @@ class TransactionLogTable:
         both scan planning (task per file) and stats pruning (overlapping
         tiny ranges). Returns the new version, or None if <2 small files.
         """
-        base_version = self.latest_version()
-        if base_version is None:
-            return None
-        snap = self.snapshot(base_version)
-        small = [n for n, e in snap.items() if e.get("bytes", 0) < max_file_bytes]
-        if len(small) < 2:
-            return None
-        n_out = int(
-            max(1, sum(snap[n].get("bytes", 0) for n in small) // max_file_bytes)
-        )
-        df = self.spark.read.parquet(*self._abs(small))
-        adds = self._stage_files(
-            df, sort_by=list(self.stats_cols[:1]), n_files=n_out
-        )
-        removes = [{"remove": {"name": n}} for n in sorted(small)]
-        while True:
-            version = (self.latest_version() or 0) + 1
+        for _ in range(max_retries):
+            base_version = self.latest_version()
+            if base_version is None:
+                return None
+            snap = self.snapshot(base_version)
+            small = [n for n, e in snap.items() if e.get("bytes", 0) < max_file_bytes]
+            if len(small) < 2:
+                return None
+            n_out = int(
+                max(1, sum(snap[n].get("bytes", 0) for n in small) // max_file_bytes)
+            )
+            df = self.spark.read.parquet(*self._abs(small))
+            adds = self._stage_files(
+                df, sort_by=list(self.stats_cols[:1]), n_files=n_out
+            )
+            removes = [{"remove": {"name": n}} for n in sorted(small)]
+            # commit pinned to base_version+1: ANY interleaved commit
+            # (e.g. a merge that rewrote one of our source files) forces a
+            # conflict and a full re-execution — committing at a later
+            # version would silently re-add the stale pre-merge rows
             try:
-                self._commit(version, [self._meta("optimize"), *removes, *adds])
-                return version
+                self._commit(
+                    base_version + 1, [self._meta("optimize"), *removes, *adds]
+                )
+                return base_version + 1
             except ConcurrentCommitError:
-                # a concurrent writer may have removed one of our source
-                # files (e.g. a merge); recompute from the new snapshot
                 for a in adds:
                     os.remove(os.path.join(self.path, a["add"]["name"]))
-                return self.compact(max_file_bytes)
+                continue
+        raise ConcurrentCommitError(
+            f"compact lost the commit race {max_retries} times at {self.path}"
+        )
 
     def vacuum(self, retain_versions: int = 0) -> int:
         """Delete data files referenced by NO snapshot in the retained

@@ -443,3 +443,77 @@ def test_detail_and_multi_column_pruning(spark, tmp_path):
         for r in df.filter("a between 3 and 4 and b between 3 and 4").collect()
     )
     assert got == want
+
+
+def test_compact_conflicts_instead_of_absorbing_concurrent_merge(spark, tbl):
+    """compact() pins its commit to base_version+1: a merge landing
+    between its snapshot read and its commit forces re-execution, so the
+    packed output contains the merged row, never the stale pre-merge
+    image (which a later-version blind commit would have resurrected)."""
+    for i in range(4):
+        tbl.append(_mk(spark, [(i, "old", 1)]), sort_by=["k"])
+    real_commit = tbl._commit
+    fired = {"n": 0}
+
+    def racing_commit(version, actions):
+        if fired["n"] == 0 and any(
+            a.get("meta", {}).get("op") == "optimize" for a in actions
+        ):
+            fired["n"] = 1
+            t2 = TransactionLogTable(spark, tbl.path, stats_cols=("k",))
+            t2.merge(_mk(spark, [(2, "merged", 9)]), pks=["k"], order_col="updated_at")
+        return real_commit(version, actions)
+
+    tbl._commit = racing_commit
+    try:
+        v = tbl.compact()
+    finally:
+        tbl._commit = real_commit
+    assert v is not None and fired["n"] == 1
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {0: "old", 1: "old", 2: "merged", 3: "old"}
+    assert tbl.read().count() == 4  # no duplicated key 2
+
+
+def test_append_txn_same_batch_race_single_landing(spark, tbl):
+    """The dedup check is pinned to the commit's base version: a same-
+    batch commit interleaving between check and create forces a conflict
+    and a re-check — the second delivery must NOT land."""
+    tbl.append(_mk(spark, [(0, "seed", 1)]))
+    real_commit = tbl._commit
+    fired = {"n": 0}
+
+    def racing_commit(version, actions):
+        if fired["n"] == 0 and any("txn" in a for a in actions):
+            fired["n"] = 1
+            # the twin delivery of the SAME (app, batch) lands first
+            t2 = TransactionLogTable(spark, tbl.path, stats_cols=("k",))
+            assert t2.append_txn(_mk(spark, [(1, "twin", 1)]), "app", 7) == 2
+        return real_commit(version, actions)
+
+    tbl._commit = racing_commit
+    try:
+        out = tbl.append_txn(_mk(spark, [(1, "mine", 1)]), "app", 7)
+    finally:
+        tbl._commit = real_commit
+    assert out is None and fired["n"] == 1
+    rows = [(r["k"], r["v"]) for r in tbl.read().collect()]
+    assert sorted(rows) == [(0, "seed"), (1, "twin")]  # exactly once
+
+
+def test_read_changes_across_schema_evolution(spark, tbl):
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    v1 = tbl.latest_version()
+    tbl.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1, "x"), (2, "b", 1, "y")],
+            ["k", "v", "updated_at", "new_col"],
+        )
+    )
+    changes = tbl.read_changes(v1).collect()
+    by = {(r["k"], r["_change_type"]): r for r in changes}
+    # k=1 changed: its new image materializes new_col ('x' vs absent/NULL)
+    assert (1, "delete") in by and by[(1, "delete")]["new_col"] is None
+    assert (1, "insert") in by and by[(1, "insert")]["new_col"] == "x"
+    assert (2, "insert") in by and by[(2, "insert")]["new_col"] == "y"
+    assert len(changes) == 3
