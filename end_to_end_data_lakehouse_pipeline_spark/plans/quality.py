@@ -417,3 +417,225 @@ register(
     "per QI group (nation), per-group l verdict, table-wide l.",
     tags=("quality", "privacy"),
 )(build_l_diversity_audit)
+
+
+# ---------------------------------------------------------------------------
+# source_drift_psi — Population Stability Index per source vs the rest of
+# the corpus: PSI = sum_bins (p_i - q_i) * ln(p_i / q_i) over GLOBAL
+# decile bins of document length. The industry-standard model/feature
+# drift metric (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted) —
+# complements source_drift_ks: KS is the sharpest single deviation, PSI
+# weights the whole shape.
+#
+# Determinism: bin edges are the global deciles computed ONCE (exact
+# percentile over bigint lengths — the same values on both engines), so
+# binning is pure integer comparison; bin probabilities are Laplace-
+# smoothed (+1 per bin) so empty bins never hit ln(0) and the smoothing
+# is identical algebra on both sides. One pass to bin (broadcastable
+# 9-value edge list via a CASE chain), one groupBy, one ln per bin.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def _psi_edges_sql() -> str:
+    qs = ", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))
+    return f"quantile_cont(CAST(n_chars AS BIGINT), [{qs}])"
+
+
+SOURCE_DRIFT_PSI_ORACLE = f"""
+WITH m AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+edges AS (
+    SELECT {_psi_edges_sql()} AS e FROM documents
+),
+binned AS (
+    SELECT m.source, m.x,
+           (SELECT COUNT(*) FROM unnest((SELECT e FROM edges)) AS t(v)
+            WHERE m.x > v) AS bin
+    FROM m
+),
+per_source AS (
+    SELECT s.source AS audit_source, b.bin,
+           COUNT(CASE WHEN b.source = s.source THEN 1 END) AS c_in,
+           COUNT(CASE WHEN b.source <> s.source THEN 1 END) AS c_out
+    FROM (SELECT DISTINCT source FROM m) s
+    CROSS JOIN binned b
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT audit_source,
+           SUM(c_in) AS n_in, SUM(c_out) AS n_out,
+           COUNT(*) AS n_bins
+    FROM per_source GROUP BY 1
+),
+p AS (
+    SELECT ps.audit_source,
+           (CAST(ps.c_in + 1 AS DOUBLE)) / (t.n_in + t.n_bins) AS p_in,
+           (CAST(ps.c_out + 1 AS DOUBLE)) / (t.n_out + t.n_bins) AS p_out
+    FROM per_source ps JOIN tot t ON ps.audit_source = t.audit_source
+)
+SELECT audit_source AS source,
+       ROUND(SUM((p_in - p_out) * ln(p_in / p_out)), 6) AS psi,
+       CAST(SUM((p_in - p_out) * ln(p_in / p_out)) > 0.25 AS BOOLEAN)
+           AS shifted
+FROM p
+GROUP BY audit_source
+"""
+
+
+def build_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    edges = m.agg(F.percentile("x", F.lit(qs)).alias("e")).first()["e"]  # S12
+    bin_col = sum((F.col("x") > F.lit(float(v))).cast("int") for v in edges)
+    binned = m.withColumn("bin", bin_col)
+    audit = m.select(F.col("source").alias("audit_source")).distinct()
+    per_source = (
+        audit.crossJoin(binned)
+        .groupBy("audit_source", "bin")
+        .agg(
+            F.count(F.when(F.col("source") == F.col("audit_source"), 1)).alias("c_in"),
+            F.count(F.when(F.col("source") != F.col("audit_source"), 1)).alias("c_out"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("audit_source")
+    p = per_source.select(
+        "audit_source",
+        (
+            (F.col("c_in") + 1).cast("double")
+            / (F.sum("c_in").over(w) + F.count(F.lit(1)).over(w))
+        ).alias("p_in"),
+        (
+            (F.col("c_out") + 1).cast("double")
+            / (F.sum("c_out").over(w) + F.count(F.lit(1)).over(w))
+        ).alias("p_out"),
+    )
+    term = (F.col("p_in") - F.col("p_out")) * F.log(F.col("p_in") / F.col("p_out"))
+    return (
+        p.withColumn("t", term)
+        .groupBy(F.col("audit_source").alias("source"))
+        .agg(
+            F.round(F.sum("t"), 6).alias("psi"),
+            (F.sum("t") > 0.25).alias("shifted"),
+        )
+    )
+
+
+register(
+    "source_drift_psi",
+    oracle=SOURCE_DRIFT_PSI_ORACLE,
+    doc="Population Stability Index per source vs rest over global decile "
+    "bins (exact shared edges, Laplace-smoothed; PSI > 0.25 flag).",
+    tags=("quality", "llm", "drift", "stats"),
+)(build_source_drift_psi)
+
+
+# ---------------------------------------------------------------------------
+# source_drift_mannwhitney — location-shift drift test per source: the
+# Mann-Whitney U statistic of each source's document lengths against the
+# rest, with the tie-corrected normal approximation z and the alpha=0.05
+# two-sided flag. Completes the drift toolkit: KS = sharpest single
+# deviation, PSI = whole-shape weight, U = median shift direction.
+#
+# Cost shape beats the other two: ranks are computed ONCE over the whole
+# corpus (U against "rest" only needs union ranks), so there is NO
+# per-source replication — one global sort window + one groupBy(source).
+# Ties use average ranks (rank + (t-1)/2, exact halves in double); the
+# tie correction term sum(t^3 - t) is an exact bigint aggregate.
+# ---------------------------------------------------------------------------
+
+SOURCE_DRIFT_MW_ORACLE = """
+WITH m AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+r AS (
+    SELECT source, x,
+           RANK() OVER (ORDER BY x)
+             + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS avg_rank
+    FROM m
+),
+ties AS (
+    SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM (SELECT COUNT(*) AS t, SUM(COUNT(*)) OVER () AS n FROM m GROUP BY x)
+),
+s AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n1,
+           SUM(avg_rank) AS r1
+    FROM r GROUP BY source
+)
+SELECT s.source,
+       s.n1 AS n_docs,
+       ROUND(s.r1 - s.n1 * (s.n1 + 1) / 2.0, 1) AS u_stat,
+       ROUND(
+         (s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * (ties.n - s.n1) / 2.0)
+         / sqrt( (CAST(s.n1 AS DOUBLE) * (ties.n - s.n1) / 12.0)
+                 * ((ties.n + 1) - CAST(ties.tie_term AS DOUBLE)
+                                    / (ties.n * (ties.n - 1.0))) ),
+         6) AS z_score,
+       CAST(ABS(
+         (s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * (ties.n - s.n1) / 2.0)
+         / sqrt( (CAST(s.n1 AS DOUBLE) * (ties.n - s.n1) / 12.0)
+                 * ((ties.n + 1) - CAST(ties.tie_term AS DOUBLE)
+                                    / (ties.n * (ties.n - 1.0))) )
+       ) > 1.96 AS BOOLEAN) AS shifted
+FROM s CROSS JOIN ties
+"""
+
+
+def build_source_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    r = m.select(
+        "source",
+        (
+            F.rank().over(Window.orderBy("x"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    tie_row = (
+        m.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+        .first()  # S12: two scalars
+    )
+    n, tie_term = tie_row["n"], tie_row["tie_term"]
+    s = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("avg_rank").alias("r1")
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * (F.lit(n) - F.col("n1")) / 2.0
+    var = (
+        F.col("n1").cast("double") * (F.lit(n) - F.col("n1")) / 12.0
+    ) * (F.lit(float(n + 1)) - F.lit(float(tie_term)) / F.lit(float(n * (n - 1))))
+    z = (u - mu) / F.sqrt(var)
+    return s.select(
+        "source",
+        F.col("n1").alias("n_docs"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("shifted"),
+    )
+
+
+register(
+    "source_drift_mannwhitney",
+    oracle=SOURCE_DRIFT_MW_ORACLE,
+    doc="Mann-Whitney U location-shift test per source vs rest (average "
+    "ranks, tie-corrected z, alpha=0.05 flag); single global ranking, no "
+    "per-source replication.",
+    tags=("quality", "llm", "drift", "stats"),
+)(build_source_drift_mannwhitney)
