@@ -1330,3 +1330,69 @@ register(
     "from ASCII code points.",
     tags=("multimodal", "dedup", "llm"),
 )(build_media_phash_near_dups)
+
+
+# ---------------------------------------------------------------------------
+# weighted_priority_sample — weight-proportional sampling without
+# replacement via PRIORITY SAMPLING (Ohlsson's sequential Poisson;
+# Duffield-Lund-Thorup): key_i = u_i / w_i with u_i uniform, keep the K
+# smallest keys. Heavier documents get smaller keys more often, so
+# inclusion probability is ~proportional to weight — the corpus
+# subsampling shape ("sample 50 docs favoring long ones") that plain
+# hash_sample (uniform) cannot express.
+#
+# Chosen over Efraimidis-Spirakis (u^(1/w)) deliberately: E-S needs a
+# transcendental (ln/pow) whose last-ulp behavior differs between
+# engines and could flip near-tied ranks; the priority key is ONE IEEE
+# division of two exact integers — bit-identical everywhere. u_i is the
+# md5-derived 32-bit integer +1 (never zero), the module's standard
+# deterministic-uniform primitive, so the sample is stable under reruns
+# and appends. Scale: keys are computed scan-side; the top-K is a single
+# ORDER BY ... LIMIT (TakeOrderedAndProject — no full sort materialized).
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_K = 50
+
+WEIGHTED_PRIORITY_SAMPLE_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           CAST({_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} + 1 AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS priority
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, source, weight, ROUND(priority, 6) AS priority
+FROM k
+ORDER BY priority, doc_id
+LIMIT {PRIORITY_SAMPLE_K}
+"""
+
+
+def build_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ).cast("double")
+    k = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        (u / F.col("n_chars").cast("double")).alias("priority"),
+    )
+    return (
+        k.orderBy("priority", "doc_id")
+        .limit(PRIORITY_SAMPLE_K)
+        .select("doc_id", "source", "weight", F.round("priority", 6).alias("priority"))
+    )
+
+
+register(
+    "weighted_priority_sample",
+    oracle=WEIGHTED_PRIORITY_SAMPLE_ORACLE,
+    doc=f"Weight-proportional sample (K={PRIORITY_SAMPLE_K}) via priority "
+    "sampling — deterministic md5 uniforms, one IEEE division per row, "
+    "TakeOrderedAndProject top-K (no full sort).",
+    tags=("pipeline", "llm", "sampling"),
+)(build_weighted_priority_sample)

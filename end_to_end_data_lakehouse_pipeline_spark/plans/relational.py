@@ -3240,3 +3240,84 @@ register(
     "pass with a unique total order (tie-stable across engines).",
     tags=("relational", "window"),
 )(build_brand_percentile_ranks)
+
+
+# ---------------------------------------------------------------------------
+# brand_weighted_median_price — exact QUANTITY-weighted median unit price
+# per brand: the smallest price where the running quantity reaches half
+# the brand's total (lower weighted median — a pure selection, no
+# interpolation, so the answer is an exact input value on both engines).
+# qty_weighted_price gives the weighted MEAN; the median resists the
+# outlier orders that drag the mean. One shuffle (brand window sort);
+# integer cents + integer quantities throughout.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH j AS (
+    SELECT p.p_brand,
+           CAST(ROUND(l.l_extendedprice / l.l_quantity * 100) AS BIGINT)
+               AS unit_price_cents,
+           CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+w AS (
+    SELECT p_brand, unit_price_cents, qty,
+           SUM(qty) OVER (PARTITION BY p_brand
+                          ORDER BY unit_price_cents, qty
+                          ROWS UNBOUNDED PRECEDING) AS cum_qty,
+           SUM(qty) OVER (PARTITION BY p_brand) AS total_qty
+    FROM j
+)
+SELECT p_brand,
+       CAST(MIN(CASE WHEN cum_qty * 2 >= total_qty THEN unit_price_cents END)
+            AS DOUBLE) / 100.0 AS weighted_median_price,
+       CAST(MAX(total_qty) AS BIGINT) AS total_qty
+FROM w
+GROUP BY p_brand
+"""
+
+
+def build_brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = lineitem.join(part, lineitem.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            .cast("long")
+            .alias("unit_price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    run = (
+        Window.partitionBy("p_brand")
+        .orderBy("unit_price_cents", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("p_brand")
+    w = j.select(
+        "p_brand",
+        "unit_price_cents",
+        F.sum("qty").over(run).alias("cum_qty"),
+        F.sum("qty").over(whole).alias("total_qty"),
+    )
+    return w.groupBy("p_brand").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum_qty") * 2 >= F.col("total_qty"),
+                    F.col("unit_price_cents"),
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("weighted_median_price"),
+        F.max("total_qty").alias("total_qty"),
+    )
+
+
+register(
+    "brand_weighted_median_price",
+    oracle=WEIGHTED_MEDIAN_ORACLE,
+    doc="Exact quantity-weighted median unit price per brand (running-"
+    "weight selection, integer cents — no interpolation, outlier-robust "
+    "vs the weighted mean).",
+    tags=("relational", "window", "stats"),
+)(build_brand_weighted_median_price)
