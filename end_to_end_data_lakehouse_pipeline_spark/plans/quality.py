@@ -639,3 +639,120 @@ register(
     "per-source replication.",
     tags=("quality", "llm", "drift", "stats"),
 )(build_source_drift_mannwhitney)
+
+
+# ---------------------------------------------------------------------------
+# weekly_value_psi — TEMPORAL drift: PSI of the event-value distribution
+# for each ISO week against the PREVIOUS week (the production-monitoring
+# twin of source_drift_psi's cross-source audit — "did this week's
+# traffic change shape?"). Same exact machinery: global decile edges
+# (computed once, shared), Laplace-smoothed bin probabilities, one ln per
+# bin. The week-to-week pairing is a self-join on week_index-1 over the
+# (weeks x bins) aggregate — domain-bounded rows, never data-sized.
+# ---------------------------------------------------------------------------
+
+WEEKLY_PSI_ORACLE = f"""
+WITH m AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start
+    FROM events WHERE value IS NOT NULL
+),
+edges AS (
+    SELECT quantile_cont(x, [{", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))}]) AS e
+    FROM m
+),
+binned AS (
+    SELECT week_start,
+           (SELECT COUNT(*) FROM unnest((SELECT e FROM edges)) AS t(v)
+            WHERE m.x > v) AS bin
+    FROM m
+),
+counts AS (
+    SELECT week_start, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+),
+-- dense bin grid so empty bins exist for smoothing
+grid AS (
+    SELECT w.week_start, b.bin
+    FROM (SELECT DISTINCT week_start FROM counts) w
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) b
+),
+full_counts AS (
+    SELECT g.week_start, g.bin, COALESCE(c.c, 0) AS c
+    FROM grid g LEFT JOIN counts c
+      ON g.week_start = c.week_start AND g.bin = c.bin
+),
+p AS (
+    SELECT week_start, bin,
+           CAST(c + 1 AS DOUBLE)
+             / (SUM(c) OVER (PARTITION BY week_start) + {_PSI_BINS}) AS pr
+    FROM full_counts
+),
+pairs AS (
+    SELECT cur.week_start, cur.pr AS p_cur, prv.pr AS p_prev
+    FROM p cur JOIN p prv
+      ON cur.bin = prv.bin AND prv.week_start = cur.week_start - INTERVAL 7 DAY
+)
+SELECT week_start,
+       ROUND(SUM((p_cur - p_prev) * ln(p_cur / p_prev)), 6) AS psi,
+       CAST(SUM((p_cur - p_prev) * ln(p_cur / p_prev)) > 0.25 AS BOOLEAN)
+           AS shifted
+FROM pairs
+GROUP BY week_start
+"""
+
+
+def build_weekly_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    )
+    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    edges = m.agg(F.percentile("x", F.lit(qs)).alias("e")).first()["e"]  # S12
+    bin_col = sum((F.col("x") > F.lit(float(v))).cast("int") for v in edges)
+    counts = (
+        m.withColumn("bin", bin_col).groupBy("week_start", "bin").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    weeks = counts.select("week_start").distinct()
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = weeks.crossJoin(F.broadcast(bins))
+    full_counts = grid.join(counts, ["week_start", "bin"], "left").select(
+        "week_start", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("week_start")
+    p = full_counts.select(
+        "week_start",
+        "bin",
+        (
+            (F.col("c") + 1).cast("double")
+            / (F.sum("c").over(w) + F.lit(_PSI_BINS))
+        ).alias("pr"),
+    )
+    prv = p.select(
+        (F.col("week_start") + F.expr("INTERVAL 7 DAY")).cast("date").alias("week_start"),
+        "bin",
+        F.col("pr").alias("p_prev"),
+    )
+    pairs = p.withColumnRenamed("pr", "p_cur").join(prv, ["week_start", "bin"])
+    term = (F.col("p_cur") - F.col("p_prev")) * F.log(F.col("p_cur") / F.col("p_prev"))
+    return (
+        pairs.withColumn("t", term)
+        .groupBy("week_start")
+        .agg(
+            F.round(F.sum("t"), 6).alias("psi"),
+            (F.sum("t") > 0.25).alias("shifted"),
+        )
+    )
+
+
+register(
+    "weekly_value_psi",
+    oracle=WEEKLY_PSI_ORACLE,
+    doc="Week-over-week PSI of the event-value distribution (shared exact "
+    "decile edges, dense smoothed bin grid, week self-join on the "
+    "domain-bounded weeks-x-bins aggregate).",
+    tags=("quality", "drift", "timeseries", "stats"),
+)(build_weekly_value_psi)

@@ -75,6 +75,7 @@ ALLOWED_BROADCAST_ARGS = {
     # ~10 MB at 100 TB with 1 GB files; the same metadata Delta's own log
     # replay holds driver-side. The join's BIG side is `updates`.
     "ranges_df",
+    "bins",  # PSI bin grid: spark.range(_PSI_BINS) — 10 literal rows
 }
 
 FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}
