@@ -1360,11 +1360,15 @@ WITH k AS (
              / CAST(n_chars AS DOUBLE) AS priority
     FROM documents
     WHERE n_chars > 0
+),
+-- select by the RAW priority in a subquery: in the flat form ORDER BY
+-- priority binds to the ROUND(...) output alias (PG alias precedence),
+-- while Spark orders by the raw column — near-K-boundary rank ties
+-- rounding equal at 6 dp would then select different sets
+top AS (
+    SELECT * FROM k ORDER BY priority, doc_id LIMIT {PRIORITY_SAMPLE_K}
 )
-SELECT doc_id, source, weight, ROUND(priority, 6) AS priority
-FROM k
-ORDER BY priority, doc_id
-LIMIT {PRIORITY_SAMPLE_K}
+SELECT doc_id, source, weight, ROUND(priority, 6) AS priority FROM top
 """
 
 

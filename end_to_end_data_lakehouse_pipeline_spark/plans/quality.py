@@ -438,9 +438,21 @@ register(
 _PSI_BINS = 10
 
 
-def _psi_edges_sql() -> str:
+def _psi_edges_sql(col: str = "n_chars") -> str:
     qs = ", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))
-    return f"quantile_cont(CAST(n_chars AS BIGINT), [{qs}])"
+    return f"quantile_cont(CAST({col} AS BIGINT), [{qs}])"
+
+
+def _psi_edges(m, x_col: str = "x"):
+    """Global decile edges of ``m[x_col]`` — one exact-percentile scalar
+    fetch (S12), shared by every PSI variant so edges can't drift."""
+    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    return m.agg(F.percentile(x_col, F.lit(qs)).alias("e")).first()["e"]
+
+
+def _psi_bin_col(edges, x_col: str = "x"):
+    """Bin index 0..9 by pure integer comparison against the shared edges."""
+    return sum((F.col(x_col) > F.lit(float(v))).cast("int") for v in edges)
 
 
 SOURCE_DRIFT_PSI_ORACLE = f"""
@@ -448,78 +460,84 @@ WITH m AS (
     SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
 ),
 edges AS (
-    SELECT {_psi_edges_sql()} AS e FROM documents
+    SELECT {_psi_edges_sql("n_chars")} AS e FROM documents
 ),
-binned AS (
-    SELECT m.source, m.x,
+-- aggregate FIRST: one data-sized pass to (source, bin) counts; the
+-- rest is algebra on the domain-bounded sources x bins grid (PSI never
+-- needs the per-source data replication KS does)
+counts AS (
+    SELECT m.source,
            (SELECT COUNT(*) FROM unnest((SELECT e FROM edges)) AS t(v)
-            WHERE m.x > v) AS bin
-    FROM m
+            WHERE m.x > v) AS bin,
+           COUNT(*) AS c
+    FROM m GROUP BY 1, 2
 ),
-per_source AS (
-    SELECT s.source AS audit_source, b.bin,
-           COUNT(CASE WHEN b.source = s.source THEN 1 END) AS c_in,
-           COUNT(CASE WHEN b.source <> s.source THEN 1 END) AS c_out
-    FROM (SELECT DISTINCT source FROM m) s
-    CROSS JOIN binned b
-    GROUP BY 1, 2
+grid AS (
+    SELECT s.source, b.bin
+    FROM (SELECT DISTINCT source FROM counts) s
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) b
 ),
-tot AS (
-    SELECT audit_source,
-           SUM(c_in) AS n_in, SUM(c_out) AS n_out,
-           COUNT(*) AS n_bins
-    FROM per_source GROUP BY 1
+full_counts AS (
+    SELECT g.source, g.bin, COALESCE(c.c, 0) AS c_in,
+           SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.bin) - COALESCE(c.c, 0)
+               AS c_out
+    FROM grid g LEFT JOIN counts c
+      ON g.source = c.source AND g.bin = c.bin
 ),
 p AS (
-    SELECT ps.audit_source,
-           (CAST(ps.c_in + 1 AS DOUBLE)) / (t.n_in + t.n_bins) AS p_in,
-           (CAST(ps.c_out + 1 AS DOUBLE)) / (t.n_out + t.n_bins) AS p_out
-    FROM per_source ps JOIN tot t ON ps.audit_source = t.audit_source
+    SELECT source,
+           CAST(c_in + 1 AS DOUBLE)
+             / (SUM(c_in) OVER (PARTITION BY source) + {_PSI_BINS}) AS p_in,
+           CAST(c_out + 1 AS DOUBLE)
+             / (SUM(c_out) OVER (PARTITION BY source) + {_PSI_BINS}) AS p_out
+    FROM full_counts
 )
-SELECT audit_source AS source,
+SELECT source,
        ROUND(SUM((p_in - p_out) * ln(p_in / p_out)), 6) AS psi,
        CAST(SUM((p_in - p_out) * ln(p_in / p_out)) > 0.25 AS BOOLEAN)
            AS shifted
 FROM p
-GROUP BY audit_source
+GROUP BY source
 """
 
 
 def build_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     m = table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").cast("long").alias("x")
     )
-    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
-    edges = m.agg(F.percentile("x", F.lit(qs)).alias("e")).first()["e"]  # S12
-    bin_col = sum((F.col("x") > F.lit(float(v))).cast("int") for v in edges)
-    binned = m.withColumn("bin", bin_col)
-    audit = m.select(F.col("source").alias("audit_source")).distinct()
-    per_source = (
-        audit.crossJoin(binned)
-        .groupBy("audit_source", "bin")
-        .agg(
-            F.count(F.when(F.col("source") == F.col("audit_source"), 1)).alias("c_in"),
-            F.count(F.when(F.col("source") != F.col("audit_source"), 1)).alias("c_out"),
-        )
+    edges = _psi_edges(m)
+    counts = (
+        m.withColumn("bin", _psi_bin_col(edges))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("audit_source")
-    p = per_source.select(
-        "audit_source",
+    sources = counts.select("source").distinct()
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = sources.crossJoin(F.broadcast(bins))
+    wb = Window.partitionBy("bin")
+    full_counts = (
+        grid.join(counts, ["source", "bin"], "left")
+        .select("source", "bin", F.coalesce("c", F.lit(0)).alias("c_in"))
+        .withColumn("c_out", F.sum("c_in").over(wb) - F.col("c_in"))
+    )
+    ws = Window.partitionBy("source")
+    p = full_counts.select(
+        "source",
         (
             (F.col("c_in") + 1).cast("double")
-            / (F.sum("c_in").over(w) + F.count(F.lit(1)).over(w))
+            / (F.sum("c_in").over(ws) + F.lit(_PSI_BINS))
         ).alias("p_in"),
         (
             (F.col("c_out") + 1).cast("double")
-            / (F.sum("c_out").over(w) + F.count(F.lit(1)).over(w))
+            / (F.sum("c_out").over(ws) + F.lit(_PSI_BINS))
         ).alias("p_out"),
     )
     term = (F.col("p_in") - F.col("p_out")) * F.log(F.col("p_in") / F.col("p_out"))
     return (
         p.withColumn("t", term)
-        .groupBy(F.col("audit_source").alias("source"))
+        .groupBy("source")
         .agg(
             F.round(F.sum("t"), 6).alias("psi"),
             (F.sum("t") > 0.25).alias("shifted"),
@@ -531,7 +549,9 @@ register(
     "source_drift_psi",
     oracle=SOURCE_DRIFT_PSI_ORACLE,
     doc="Population Stability Index per source vs rest over global decile "
-    "bins (exact shared edges, Laplace-smoothed; PSI > 0.25 flag).",
+    "bins (exact shared edges, Laplace-smoothed; PSI > 0.25 flag). "
+    "Aggregate-first: one data-sized pass to (source, bin) counts, then "
+    "algebra on the domain-bounded grid — no per-source replication.",
     tags=("quality", "llm", "drift", "stats"),
 )(build_source_drift_psi)
 
@@ -570,23 +590,26 @@ s AS (
            CAST(COUNT(*) AS BIGINT) AS n1,
            SUM(avg_rank) AS r1
     FROM r GROUP BY source
+),
+v AS (
+    SELECT s.source, s.n1,
+           s.r1 - s.n1 * (s.n1 + 1) / 2.0 AS u,
+           s.n1 * (ties.n - s.n1) / 2.0 AS mu,
+           (CAST(s.n1 AS DOUBLE) * (ties.n - s.n1) / 12.0)
+             * ((ties.n + 1) - CAST(ties.tie_term AS DOUBLE)
+                                / (ties.n * (ties.n - 1.0))) AS var
+    FROM s CROSS JOIN ties
 )
-SELECT s.source,
-       s.n1 AS n_docs,
-       ROUND(s.r1 - s.n1 * (s.n1 + 1) / 2.0, 1) AS u_stat,
-       ROUND(
-         (s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * (ties.n - s.n1) / 2.0)
-         / sqrt( (CAST(s.n1 AS DOUBLE) * (ties.n - s.n1) / 12.0)
-                 * ((ties.n + 1) - CAST(ties.tie_term AS DOUBLE)
-                                    / (ties.n * (ties.n - 1.0))) ),
-         6) AS z_score,
-       CAST(ABS(
-         (s.r1 - s.n1 * (s.n1 + 1) / 2.0 - s.n1 * (ties.n - s.n1) / 2.0)
-         / sqrt( (CAST(s.n1 AS DOUBLE) * (ties.n - s.n1) / 12.0)
-                 * ((ties.n + 1) - CAST(ties.tie_term AS DOUBLE)
-                                    / (ties.n * (ties.n - 1.0))) )
-       ) > 1.96 AS BOOLEAN) AS shifted
-FROM s CROSS JOIN ties
+SELECT source,
+       n1 AS n_docs,
+       ROUND(u, 1) AS u_stat,
+       -- var = 0 (single source, or all values tied) must be NULL on
+       -- BOTH engines: DuckDB returns NULL for x/0.0 while Spark
+       -- returns IEEE Inf/NaN, so an unguarded division diverges
+       ROUND(CASE WHEN var > 0 THEN (u - mu) / sqrt(var) END, 6) AS z_score,
+       CAST(CASE WHEN var > 0 THEN ABS((u - mu) / sqrt(var)) > 1.96 END
+            AS BOOLEAN) AS shifted
+FROM v
 """
 
 
@@ -621,7 +644,9 @@ def build_source_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFram
     var = (
         F.col("n1").cast("double") * (F.lit(n) - F.col("n1")) / 12.0
     ) * (F.lit(float(n + 1)) - F.lit(float(tie_term)) / F.lit(float(n * (n - 1))))
-    z = (u - mu) / F.sqrt(var)
+    # var = 0 (single source / all values tied) -> NULL, matching the
+    # oracle's guard; Spark's raw x/0.0 would be Inf/NaN, not NULL
+    z = F.when(var > 0, (u - mu) / F.sqrt(var))
     return s.select(
         "source",
         F.col("n1").alias("n_docs"),
@@ -658,8 +683,7 @@ WITH m AS (
     FROM events WHERE value IS NOT NULL
 ),
 edges AS (
-    SELECT quantile_cont(x, [{", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))}]) AS e
-    FROM m
+    SELECT {_psi_edges_sql("x")} AS e FROM m
 ),
 binned AS (
     SELECT week_start,
@@ -708,13 +732,11 @@ def build_weekly_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("x"),
         F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
     )
-    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
-    edges = m.agg(F.percentile("x", F.lit(qs)).alias("e")).first()["e"]  # S12
-    bin_col = sum((F.col("x") > F.lit(float(v))).cast("int") for v in edges)
+    edges = _psi_edges(m)  # S12 scalar fetch, shared PSI primitive
     counts = (
-        m.withColumn("bin", bin_col).groupBy("week_start", "bin").agg(
-            F.count(F.lit(1)).alias("c")
-        )
+        m.withColumn("bin", _psi_bin_col(edges))
+        .groupBy("week_start", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     weeks = counts.select("week_start").distinct()
     bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
