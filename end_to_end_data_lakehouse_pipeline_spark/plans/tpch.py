@@ -1468,3 +1468,61 @@ register(
     "decorrelated double-EXISTS over the derived receipt/commit dates.",
     tags=("relational", "join", "tpch", "lineitem_ext"),
 )(build_tpch_q21)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report, the canonical form. q1_pricing_summary
+# (plans/relational.py) predates the tpch_* series and omits sum_charge;
+# this is the full spec column set so the engine exposes tpch_q1..q22
+# under one naming scheme. sum_charge multiplies two discounts before
+# scaling (scale 10000: cents x basis-points stays exact in bigint).
+# ---------------------------------------------------------------------------
+
+from .parity import o_avg, exact_avg  # noqa: E402
+
+Q1_FULL_ORACLE = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+    {o_sum('l_extendedprice', 'sum_base_price')},
+    {o_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 10000)},
+    {o_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 1000000)},
+    {o_avg('l_quantity', 'avg_qty')},
+    {o_avg('l_extendedprice', 'avg_price')},
+    {o_avg('l_discount', 'avg_disc', 10000)},
+    CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def build_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price", scale=10000),
+            exact_sum(charge, "sum_charge", scale=1000000),
+            exact_avg("l_quantity", "avg_qty"),
+            exact_avg("l_extendedprice", "avg_price"),
+            exact_avg("l_discount", "avg_disc", scale=10000),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "tpch_q1",
+    oracle=Q1_FULL_ORACLE,
+    doc="TPC-H Q1 pricing summary, full spec column set incl. sum_charge "
+    "(scaled-integer exactness at basis-point precision); one pushed "
+    "filter + partial+final hash agg.",
+    tags=("relational", "agg", "tpch"),
+)(build_tpch_q1)
