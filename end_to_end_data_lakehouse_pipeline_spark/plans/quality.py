@@ -269,20 +269,30 @@ SOURCE_DRIFT_KS_ORACLE = """
 WITH m AS (
     SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
 ),
-a AS (SELECT DISTINCT source AS audit_source FROM m),
-crossed AS (
-    SELECT a.audit_source, m.x, CAST(m.source = a.audit_source AS INTEGER) AS is_in
-    FROM a CROSS JOIN m
+-- aggregate FIRST (same discipline as source_drift_psi): one data-sized
+-- pass to (x, source) counts; everything after runs on the
+-- value-domain x source-domain grid, never on raw rows
+vc AS (
+    SELECT x, source, COUNT(*) AS c FROM m GROUP BY 1, 2
+),
+xt AS (
+    SELECT x, SUM(c) AS c_all FROM vc GROUP BY 1
+),
+grid AS (
+    SELECT s.audit_source, xt.x, xt.c_all, COALESCE(vc.c, 0) AS c_in
+    FROM (SELECT DISTINCT source AS audit_source FROM m) s
+    CROSS JOIN xt
+    LEFT JOIN vc ON vc.x = xt.x AND vc.source = s.audit_source
 ),
 e AS (
     SELECT audit_source,
-           SUM(is_in) OVER (PARTITION BY audit_source ORDER BY x
-                            RANGE UNBOUNDED PRECEDING) AS cum_in,
-           SUM(1 - is_in) OVER (PARTITION BY audit_source ORDER BY x
-                                RANGE UNBOUNDED PRECEDING) AS cum_out,
-           SUM(is_in) OVER (PARTITION BY audit_source) AS n_in,
-           SUM(1 - is_in) OVER (PARTITION BY audit_source) AS n_out
-    FROM crossed
+           SUM(c_in) OVER (PARTITION BY audit_source ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS cum_in,
+           SUM(c_all - c_in) OVER (PARTITION BY audit_source ORDER BY x
+                                   ROWS UNBOUNDED PRECEDING) AS cum_out,
+           SUM(c_in) OVER (PARTITION BY audit_source) AS n_in,
+           SUM(c_all - c_in) OVER (PARTITION BY audit_source) AS n_out
+    FROM grid
 )
 SELECT audit_source AS source,
        CAST(MAX(n_in) AS BIGINT) AS n_docs,
@@ -300,27 +310,35 @@ GROUP BY audit_source
 def build_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents").select(
+    m = table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").cast("long").alias("x")
     )
-    audit = docs.select(F.col("source").alias("audit_source")).distinct()
-    crossed = audit.crossJoin(docs).select(
-        "audit_source",
-        "x",
-        (F.col("source") == F.col("audit_source")).cast("int").alias("is_in"),
+    vc = m.groupBy("x", "source").agg(F.count(F.lit(1)).alias("c"))
+    xt = vc.groupBy("x").agg(F.sum("c").alias("c_all"))
+    audit = m.select(F.col("source").alias("audit_source")).distinct()
+    grid = (
+        audit.crossJoin(xt)
+        .join(
+            vc.withColumnRenamed("source", "audit_source"),
+            ["audit_source", "x"],
+            "left",
+        )
+        .select(
+            "audit_source", "x", "c_all", F.coalesce("c", F.lit(0)).alias("c_in")
+        )
     )
     run = (
         Window.partitionBy("audit_source")
         .orderBy("x")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     whole = Window.partitionBy("audit_source")
-    e = crossed.select(
+    e = grid.select(
         "audit_source",
-        F.sum("is_in").over(run).alias("cum_in"),
-        F.sum(1 - F.col("is_in")).over(run).alias("cum_out"),
-        F.sum("is_in").over(whole).alias("n_in"),
-        F.sum(1 - F.col("is_in")).over(whole).alias("n_out"),
+        F.sum("c_in").over(run).alias("cum_in"),
+        F.sum(F.col("c_all") - F.col("c_in")).over(run).alias("cum_out"),
+        F.sum("c_in").over(whole).alias("n_in"),
+        F.sum(F.col("c_all") - F.col("c_in")).over(whole).alias("n_out"),
     )
     d = F.abs(
         F.col("cum_in").cast("double") / F.col("n_in")
@@ -348,8 +366,9 @@ register(
     "source_drift_ks",
     oracle=SOURCE_DRIFT_KS_ORACLE,
     doc="Exact two-sample KS drift audit per source vs rest-of-corpus "
-    "(RANGE-frame ECDFs, alpha=0.05 rejection flag); replication bounded "
-    "by the source domain.",
+    "(running-count ECDFs over the value-domain grid, alpha=0.05 flag). "
+    "Aggregate-first: raw rows collapse to (value, source) counts before "
+    "any replication — grid size is value-domain x source-domain.",
     tags=("quality", "llm", "drift", "stats"),
 )(build_source_drift_ks)
 
