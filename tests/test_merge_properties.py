@@ -201,3 +201,46 @@ def test_bucketed_merge_pk_dtype_width_mismatch(spark, tmp_path):
     assert (
         out.groupBy("pk").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# TransactionLogTable.merge: the same fold model must hold through the
+# ACID path — file staging, stats-based candidate selection, log commit.
+# Any divergence (a candidate file the range-join missed, a stale file
+# surviving a remove) shows up as a wrong final state.
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(event, min_size=1, max_size=10), st.integers(min_value=0, max_value=10))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txnlog_merge_equals_fold_model(spark, tmp_path_factory, events, split):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        TransactionLogTable,
+    )
+
+    split = min(split, len(events))
+    raw_batches = [events[:split], events[split:]]
+    batches = [
+        [(pk, ts * 100 + seq, op == "d", payload) for seq, (pk, ts, op, payload) in enumerate(b)]
+        for b in raw_batches
+        if b
+    ]
+    tbl = TransactionLogTable(
+        spark,
+        str(tmp_path_factory.mktemp("txnprop") / "t"),
+        stats_cols=("pk",),
+    )
+    for batch in batches:
+        updates = spark.createDataFrame(batch, ["pk", "ts", "_deleted", "payload"])
+        tbl.merge(updates, pks=["pk"], order_col="ts")
+    got = {r.pk: (r.ts, r.payload) for r in tbl.read().collect()}
+    assert got == _fold_model(batches)
+    # and the snapshot history replays: version 1 equals the first batch's
+    # own fold
+    if len(batches) == 2:
+        v1 = {r.pk: (r.ts, r.payload) for r in tbl.read(version=1).collect()}
+        assert v1 == _fold_model(batches[:1])
