@@ -127,6 +127,9 @@ class DuckDBDataSource(DataSource):
             return DuckDBReaderNoPushdown(self.options, schema)
         return DuckDBReader(self.options, schema)
 
+    def writer(self, schema, overwrite: bool) -> "DuckDBWriter":
+        return DuckDBWriter(self.options, overwrite)
+
 
 class _DuckDBReaderBase(DataSourceReader):
     """Partition planning + Arrow reads shared by both reader variants."""
@@ -227,3 +230,96 @@ class DuckDBReaderNoPushdown(_DuckDBReaderBase):
     """Partitioned Arrow reads without a pushFilters method — for
     sessions where the filter-pushdown conf is off; Spark then applies
     every filter post-scan."""
+
+
+# ---------------------------------------------------------------------------
+# Write path: the warehouse-LOAD half of the connector (the reference's
+# load_warehouse.py:61-87 JDBC batch insert + side-channel TRUNCATE,
+# S8/S9) with a real two-phase commit:
+#
+#   phase 1 (executors)  — each task stages its rows as one parquet file
+#     in a task-private temp dir and returns the path as its commit
+#     message. DuckDB is single-writer, so tasks never touch the database.
+#   phase 2 (driver)     — commit(messages) opens ONE write connection and
+#     loads every staged file inside ONE transaction (INSERT INTO ...
+#     FROM read_parquet([...])); overwrite mode deletes existing rows in
+#     the same transaction (transactional TRUNCATE — S9 without the side
+#     channel). abort() deletes the staged files; a crashed job leaves
+#     the warehouse untouched.
+#
+# Exactly-once by construction: the warehouse sees either the whole
+# dataframe or none of it.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import tempfile as _tempfile
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class DuckDBWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.options = dict(options)
+        self.overwrite = overwrite
+        self.staging_dir = self.options.get("staging_dir") or _tempfile.gettempdir()
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        path = _os.path.join(
+            self.staging_dir, f"duckdb_stage_{_uuid.uuid4().hex}.parquet"
+        )
+        if rows:
+            table = pa.Table.from_pylist(rows)
+            pq.write_table(table, path)
+            return _StagedFile(path=path, rows=len(rows))
+        return _StagedFile(path="", rows=0)
+
+    def _connect_rw(self):
+        import duckdb
+
+        return duckdb.connect(self.options["database"])
+
+    def commit(self, messages):
+        files = [m.path for m in messages if m.rows > 0]
+        table = self.options["table"]
+        con = self._connect_rw()
+        try:
+            con.begin()
+            if self.overwrite:
+                con.sql(f"DELETE FROM {_quote(table)}")
+            if files:
+                file_list = ", ".join(_sql_literal(f) for f in files)
+                con.sql(
+                    f"INSERT INTO {_quote(table)} "
+                    f"SELECT * FROM read_parquet([{file_list}])"
+                )
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+            for f in files:
+                try:
+                    _os.remove(f)
+                except OSError:
+                    pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m.rows > 0:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass

@@ -122,3 +122,40 @@ def test_no_pushdown_mode(spark, duck_db):
     # score = (7i) % 100 and 7 is invertible mod 100, so every residue
     # appears exactly once per 100 ids -> 9 residues > 90, 10 cycles = 90
     assert df.filter(F.col("score") > 90).count() == 90
+
+
+def test_writer_two_phase_commit_append_and_overwrite(registered, tmp_path):
+    """Warehouse-load path (S8/S9): tasks stage parquet, the driver loads
+    every staged file in ONE DuckDB transaction; overwrite deletes
+    existing rows in the same transaction (transactional TRUNCATE)."""
+    db = str(tmp_path / "wh.duckdb")
+    con = duckdb.connect(db)
+    con.sql("CREATE TABLE sink (id BIGINT, v VARCHAR)")
+    con.sql("INSERT INTO sink VALUES (999, 'pre')")
+    con.close()
+
+    df = registered.range(100).selectExpr("id", "CAST(id AS STRING) AS v")
+    (
+        df.repartition(4)
+        .write.format("duckdb")
+        .option("database", db)
+        .option("table", "sink")
+        .mode("append")
+        .save()
+    )
+    con = duckdb.connect(db, read_only=True)
+    assert con.sql("SELECT COUNT(*) FROM sink").fetchone()[0] == 101
+    con.close()
+
+    (
+        df.filter("id < 10")
+        .write.format("duckdb")
+        .option("database", db)
+        .option("table", "sink")
+        .mode("overwrite")
+        .save()
+    )
+    con = duckdb.connect(db, read_only=True)
+    assert con.sql("SELECT COUNT(*) FROM sink").fetchone()[0] == 10
+    assert con.sql("SELECT COUNT(*) FROM sink WHERE v = 'pre'").fetchone()[0] == 0
+    con.close()
