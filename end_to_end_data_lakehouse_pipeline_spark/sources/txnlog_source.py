@@ -1,0 +1,134 @@
+"""``format("txnlog")``: Spark DataSource over the transaction-log table.
+
+Gives the ACID layer (sources/txnlog.py) the same first-class read API
+Delta tables have:
+
+- ``spark.read.format("txnlog").option("path", p).load()`` — batch read
+  of the current snapshot (or ``option("version", n)`` time travel),
+  planned one task per live file straight from the log (no directory
+  listing), rows streamed as Arrow batches.
+- ``spark.readStream.format("txnlog")...`` — stream the table: each
+  micro-batch covers the log versions committed since the last offset,
+  reading ONLY the files those commits added (the Delta streaming-source
+  model). Offsets are log versions, so restarts resume exactly from the
+  checkpointed version. Non-append commits (merge/delete/optimize remove
+  files) abort the stream by default — re-emitting rewritten rows would
+  silently duplicate; ``option("ignore_changes", "true")`` opts into
+  Delta's ignoreChanges contract (added files stream anyway, rewritten
+  rows may re-emit).
+
+Executors unpickle these classes by module reference — ship the package
+to workers (--py-files / PYTHONPATH), same as any Python UDF module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .txnlog import TransactionLogTable
+
+
+def _table(options) -> TransactionLogTable:
+    # spark=None: only the driver-side log layer is used here
+    return TransactionLogTable(None, options["path"])
+
+
+class TxnlogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "txnlog"
+
+    def schema(self):
+        t = _table(self.options)
+        schema = t._schema_at(
+            int(self.options["version"]) if "version" in self.options else None
+        )
+        if schema is None:
+            raise FileNotFoundError(f"no committed data at {self.options['path']}")
+        return schema
+
+    def reader(self, schema) -> "TxnlogBatchReader":
+        return TxnlogBatchReader(self.options)
+
+    def streamReader(self, schema) -> "TxnlogStreamReader":
+        return TxnlogStreamReader(self.options)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_file(path: str):
+    import pyarrow.parquet as pq
+
+    for batch in pq.ParquetFile(path).iter_batches(batch_size=10000):
+        yield batch
+
+
+class TxnlogBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.options = dict(options)
+        t = _table(self.options)
+        version = (
+            int(self.options["version"]) if "version" in self.options else None
+        )
+        self.files = [
+            os.path.join(t.path, n) for n in sorted(t.snapshot(version))
+        ]
+
+    def partitions(self):
+        return [_FilePartition(f) for f in self.files] or [InputPartition(None)]
+
+    def read(self, partition):
+        if getattr(partition, "path", None) is None:
+            return iter(())
+        return _read_file(partition.path)
+
+
+class TxnlogStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.options = dict(options)
+        self.ignore_changes = (
+            self.options.get("ignore_changes", "false").lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        # stream the table from the beginning of its log
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        t = _table(self.options)
+        return {"version": t.latest_version() or 0}
+
+    def partitions(self, start: dict, end: dict):
+        t = _table(self.options)
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return []
+        before = set(t.snapshot(v0)) if v0 > 0 else set()
+        after = t.snapshot(v1)
+        removed = before - set(after)
+        if removed and not self.ignore_changes:
+            raise RuntimeError(
+                f"txnlog stream source: versions ({v0}, {v1}] remove "
+                f"{len(removed)} file(s) (merge/delete/optimize). Streaming "
+                "a non-append table re-emits rewritten rows; restart from "
+                "a fresh checkpoint or set option(ignore_changes, true) to "
+                "accept Delta ignoreChanges semantics."
+            )
+        added = sorted(set(after) - before)
+        return [_FilePartition(os.path.join(t.path, n)) for n in added]
+
+    def read(self, partition):
+        return _read_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; the log is immutable

@@ -1,0 +1,96 @@
+"""format('txnlog'): batch snapshot reads, time travel, and the
+streaming change feed with exactly-once offset resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+    TransactionLogTable,
+)
+from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog_source import (
+    TxnlogDataSource,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    spark.dataSource.register(TxnlogDataSource)
+    t = TransactionLogTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t.append(
+        spark.createDataFrame([(i, f"v{i}", 1) for i in range(10)], ["k", "v", "ts"]),
+        sort_by=["k"],
+    )
+    return t
+
+
+def test_batch_read_and_time_travel(spark, tbl):
+    df = spark.read.format("txnlog").option("path", tbl.path).load()
+    assert df.count() == 10 and set(df.columns) == {"k", "v", "ts"}
+    tbl.append(spark.createDataFrame([(100, "x", 2)], ["k", "v", "ts"]))
+    assert spark.read.format("txnlog").option("path", tbl.path).load().count() == 11
+    v1 = (
+        spark.read.format("txnlog")
+        .option("path", tbl.path)
+        .option("version", "1")
+        .load()
+    )
+    assert v1.count() == 10
+
+
+def _drain(spark, tbl, ckpt, out_dir=None, **opts):
+    """availableNow drain into a parquet sink (memory sink cannot recover
+    from a checkpoint, and checkpoint resume is exactly what these tests
+    exercise). Returns the sink contents."""
+    out_dir = out_dir or ckpt + "_out"
+    reader = spark.readStream.format("txnlog").option("path", tbl.path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+def test_stream_resumes_from_checkpoint(spark, tbl, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = _drain(spark, tbl, ckpt)
+    assert out.count() == 10
+    # new commits stream incrementally on the SAME checkpoint
+    tbl.append(spark.createDataFrame([(20, "new", 2)], ["k", "v", "ts"]))
+    tbl.append(spark.createDataFrame([(21, "new", 2)], ["k", "v", "ts"]))
+    out = _drain(spark, tbl, ckpt)
+    assert out.count() == 12  # only the 2 new rows were read and appended
+    assert {r.k for r in out.filter(F.col("v") == "new").collect()} == {20, 21}
+
+
+def test_stream_rejects_non_append_changes(spark, tbl, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    assert _drain(spark, tbl, ckpt).count() == 10
+    tbl.merge(
+        spark.createDataFrame([(5, "UPD", 9)], ["k", "v", "ts"]),
+        pks=["k"],
+        order_col="ts",
+    )
+    with pytest.raises(Exception, match="ignore_changes|STREAM"):
+        _drain(spark, tbl, ckpt)
+
+
+def test_stream_ignore_changes_opt_in(spark, tbl, tmp_path):
+    ckpt = str(tmp_path / "ckpt3")
+    assert _drain(spark, tbl, ckpt, ignore_changes="true").count() == 10
+    tbl.merge(
+        spark.createDataFrame([(5, "UPD", 9)], ["k", "v", "ts"]),
+        pks=["k"],
+        order_col="ts",
+    )
+    out = _drain(spark, tbl, ckpt, ignore_changes="true")
+    # the rewritten file re-emits (Delta ignoreChanges contract): the
+    # updated row is present; co-located rewrites may duplicate
+    assert out.filter(F.col("v") == "UPD").count() == 1
