@@ -94,8 +94,9 @@ def run_gold(spark: SparkSession, lake: str, acid: bool = True) -> int:
         # consumer that (wrongly but commonly) reads the directory with
         # plain spark.read.parquet sees only the live snapshot instead of
         # every refresh's files side by side. The trade is no gold time
-        # travel — silver keeps its full history for that.
-        gold.vacuum(retain_versions=0)
+        # travel — silver keeps its full history for that. retention 0 is
+        # safe only because this pipeline is gold's sole writer.
+        gold.vacuum(retain_versions=0, retention_seconds=0)
     return gold.read().count()
 
 

@@ -118,6 +118,9 @@ class DuckDBDataSource(DataSource):
             fields.append(f"`{name.replace('`', '``')}` {spark_type}")
         return ", ".join(fields)
 
+    def writer(self, schema, overwrite: bool) -> "DuckDBWriter":
+        return DuckDBWriter(self.options, schema, overwrite)
+
     def reader(self, schema) -> "DuckDBReader":
         # Spark refuses a reader that IMPLEMENTS pushFilters when
         # spark.sql.python.filterPushdown.enabled is false (its default),
@@ -126,9 +129,6 @@ class DuckDBDataSource(DataSource):
         if self.options.get("pushdown", "true").lower() == "false":
             return DuckDBReaderNoPushdown(self.options, schema)
         return DuckDBReader(self.options, schema)
-
-    def writer(self, schema, overwrite: bool) -> "DuckDBWriter":
-        return DuckDBWriter(self.options, overwrite)
 
 
 class _DuckDBReaderBase(DataSourceReader):
@@ -187,9 +187,29 @@ class _DuckDBReaderBase(DataSourceReader):
         if partition.value is not None:
             preds.append(partition.value)
         where = f" WHERE {' AND '.join(preds)}" if preds else ""
-        cols = ", ".join(_quote(f.name) for f in self.schema.fields)
         con = self._connect()
         try:
+            # schema() declares unmapped DuckDB types (UUID, TIME, LIST,
+            # STRUCT, ...) as 'string'; the native Arrow stream would
+            # carry their real type and the scan would error on the
+            # declared/actual mismatch (ADVICE r3 low). Re-DESCRIBE
+            # (metadata-only) and CAST exactly those columns to VARCHAR
+            # so batch schema == declared schema.
+            desc = con.sql(
+                f"DESCRIBE SELECT * FROM {self._relation()}"
+            ).fetchall()
+            unmapped = {
+                name
+                for name, duck_type, *_ in desc
+                if duck_type.split("(")[0].upper() not in _DUCK_TO_SPARK
+                and duck_type.split("(")[0].upper() != "DECIMAL"
+            }
+            cols = ", ".join(
+                f"CAST({_quote(f.name)} AS VARCHAR) AS {_quote(f.name)}"
+                if f.name in unmapped
+                else _quote(f.name)
+                for f in self.schema.fields
+            )
             reader = con.sql(
                 f"SELECT {cols} FROM {self._relation()}{where}"
             ).fetch_arrow_reader(batch_size=10000)
@@ -266,21 +286,39 @@ class _StagedFile(WriterCommitMessage):
 
 
 class DuckDBWriter(DataSourceWriter):
-    def __init__(self, options, overwrite: bool):
+    """Two-phase-commit loader (see block comment above).
+
+    SHARED-FILESYSTEM REQUIREMENT: phase 1 stages parquet under
+    ``staging_dir`` on the *executor* and phase 2 opens those paths on
+    the *driver*, so ``staging_dir`` must be a filesystem both can see —
+    automatic in local mode (the default is the driver's temp dir), but
+    on a real cluster you MUST pass ``.option("staging_dir", <NFS/fuse
+    mount>)``; with executor-local staging the commit-side
+    ``read_parquet`` fails closed (no partial load) but the write cannot
+    succeed. (The embedded DuckDB file itself has the same property: the
+    driver must reach it.)
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
         self.options = dict(options)
+        self.schema = schema
         self.overwrite = overwrite
         self.staging_dir = self.options.get("staging_dir") or _tempfile.gettempdir()
 
     def write(self, iterator):
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         rows = [r.asDict() for r in iterator]
         path = _os.path.join(
             self.staging_dir, f"duckdb_stage_{_uuid.uuid4().hex}.parquet"
         )
         if rows:
-            table = pa.Table.from_pylist(rows)
+            # explicit schema: an all-None column in this partition would
+            # otherwise infer arrow null type and break the commit-side
+            # read_parquet union across staged files (ADVICE r3 medium)
+            table = pa.Table.from_pylist(rows, schema=to_arrow_schema(self.schema))
             pq.write_table(table, path)
             return _StagedFile(path=path, rows=len(rows))
         return _StagedFile(path="", rows=0)

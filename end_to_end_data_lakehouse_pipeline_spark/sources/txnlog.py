@@ -221,23 +221,29 @@ class TransactionLogTable:
         return out
 
     def _commit(self, version: int, actions: list[dict]) -> None:
-        """Atomically publish ``actions`` as ``version``. Exclusive create
-        is the whole concurrency story: exactly one writer can own a
-        version number."""
+        """Atomically publish ``actions`` as ``version``. The payload is
+        fully written and fsynced to a temp file first, then published
+        with ``os.link`` — link(2) is atomic and fails with EEXIST if the
+        version is taken, so a commit file is never observable without
+        its complete contents and exactly one writer owns each version
+        number (no torn reads for concurrent ``_replay``, no missed
+        same-batch ``txn`` watermark for a redelivered batch)."""
         payload = "".join(json.dumps(a) + "\n" for a in actions)
-        try:
-            fd = os.open(
-                self._log_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError as e:
-            raise ConcurrentCommitError(
-                f"version {version} already committed at {self.path}"
-            ) from e
+        tmp = self._log_path(version) + f".tmp{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, payload.encode())
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, self._log_path(version))
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {version} already committed at {self.path}"
+            ) from e
+        finally:
+            os.unlink(tmp)
         if version % self.checkpoint_interval == 0:
             files, txns = self._replay(version)  # one pass for both maps
             tmp = self._log_path(version, checkpoint=True) + f".tmp{os.getpid()}"
@@ -772,11 +778,20 @@ class TransactionLogTable:
             f"compact lost the commit race {max_retries} times at {self.path}"
         )
 
-    def vacuum(self, retain_versions: int = 0) -> int:
+    def vacuum(self, retain_versions: int = 0, retention_seconds: float = 3600.0) -> int:
         """Delete data files referenced by NO snapshot in the retained
         window [latest-retain, latest] — crash orphans and files removed
         by overwrite/merge/delete. Time travel older than the window stops
-        working (exactly Delta VACUUM's trade). Returns files deleted."""
+        working (exactly Delta VACUUM's trade). Returns files deleted.
+
+        ``retention_seconds`` is the Delta ``retentionDurationCheck``
+        analog: only unreferenced files/staging dirs whose mtime is older
+        than the window are deleted. The write protocol stages files into
+        the table root *before* the commit that references them, so a
+        vacuum concurrent with an in-flight append/merge would otherwise
+        delete files the winning commit is about to reference and corrupt
+        the snapshot permanently. Pass ``retention_seconds=0`` only with
+        exclusive access (tests do)."""
         latest = self.latest_version()
         if latest is None:
             return 0
@@ -784,12 +799,19 @@ class TransactionLogTable:
         referenced: set[str] = set()
         for v in versions:
             referenced |= set(self.snapshot(v))
+        cutoff = time.time() - retention_seconds
         removed = 0
         for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight writer's staged file
+            except OSError:
+                continue  # raced with a concurrent rename/commit — skip
             if name.endswith(".parquet") and name not in referenced:
-                os.remove(os.path.join(self.path, name))
+                os.remove(full)
                 removed += 1
             elif name.startswith("_staging_"):
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                shutil.rmtree(full, ignore_errors=True)
                 removed += 1
         return removed

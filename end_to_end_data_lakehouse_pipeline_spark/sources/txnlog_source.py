@@ -55,10 +55,10 @@ class TxnlogDataSource(DataSource):
         return schema
 
     def reader(self, schema) -> "TxnlogBatchReader":
-        return TxnlogBatchReader(self.options)
+        return TxnlogBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> "TxnlogStreamReader":
-        return TxnlogStreamReader(self.options)
+        return TxnlogStreamReader(self.options, schema)
 
 
 class _FilePartition(InputPartition):
@@ -66,16 +66,38 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _read_file(path: str):
+def _read_file(path: str, schema):
+    """Stream a parquet file's Arrow batches PROJECTED onto the declared
+    table schema: snapshots that straddle a schema evolution contain
+    older files missing later-added columns — those surface as typed
+    nulls, mirroring ``TransactionLogTable.read(merge_schema=True)``
+    (ADVICE r3 medium). Columns are emitted in declared order; a type
+    drift (e.g. int32 file vs int64 declared) is cast."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    for batch in pq.ParquetFile(path).iter_batches(batch_size=10000):
-        yield batch
+    target = to_arrow_schema(schema)
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    cols = [f.name for f in target if f.name in present]
+    for batch in pf.iter_batches(batch_size=10000, columns=cols):
+        by_name = {n: c for n, c in zip(batch.schema.names, batch.columns)}
+        arrays = []
+        for field in target:
+            arr = by_name.get(field.name)
+            if arr is None:
+                arr = pa.nulls(batch.num_rows, type=field.type)
+            elif arr.type != field.type:
+                arr = arr.cast(field.type)
+            arrays.append(arr)
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
 class TxnlogBatchReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema):
         self.options = dict(options)
+        self.schema = schema
         t = _table(self.options)
         version = (
             int(self.options["version"]) if "version" in self.options else None
@@ -90,12 +112,13 @@ class TxnlogBatchReader(DataSourceReader):
     def read(self, partition):
         if getattr(partition, "path", None) is None:
             return iter(())
-        return _read_file(partition.path)
+        return _read_file(partition.path, self.schema)
 
 
 class TxnlogStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema):
         self.options = dict(options)
+        self.schema = schema
         self.ignore_changes = (
             self.options.get("ignore_changes", "false").lower() == "true"
         )
@@ -128,7 +151,7 @@ class TxnlogStreamReader(DataSourceStreamReader):
         return [_FilePartition(os.path.join(t.path, n)) for n in added]
 
     def read(self, partition):
-        return _read_file(partition.path)
+        return _read_file(partition.path, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint; the log is immutable

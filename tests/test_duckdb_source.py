@@ -124,6 +124,68 @@ def test_no_pushdown_mode(spark, duck_db):
     assert df.filter(F.col("score") > 90).count() == 90
 
 
+def test_unmapped_types_read_as_string(registered, tmp_path):
+    """ADVICE r3 low: types schema() maps to 'string' (UUID, TIME, LIST)
+    must actually ARRIVE as strings — the reader CASTs them to VARCHAR in
+    the remote SELECT instead of streaming the native Arrow type."""
+    db = str(tmp_path / "odd.duckdb")
+    con = duckdb.connect(db)
+    con.sql(
+        """
+        CREATE TABLE odd AS
+        SELECT i AS id,
+               uuid() AS u,
+               TIME '11:30:00' + INTERVAL (i) SECOND AS t,
+               [i, i + 1] AS xs
+        FROM range(5) s(i)
+        """
+    )
+    con.close()
+    df = (
+        registered.read.format("duckdb")
+        .option("database", db)
+        .option("table", "odd")
+        .load()
+    )
+    assert dict(df.dtypes) == {
+        "id": "bigint",
+        "u": "string",
+        "t": "string",
+        "xs": "string",
+    }
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 5
+    assert rows[0].t == "11:30:00" and rows[0].xs == "[0, 1]"
+    assert len(rows[0].u) == 36  # uuid text form
+
+
+def test_writer_all_null_column_partition(registered, tmp_path):
+    """ADVICE r3 medium: a partition whose column is entirely NULL must
+    stage with the writer's DECLARED schema (not an inferred arrow null
+    type), so the commit-side read_parquet union across staged files
+    succeeds."""
+    db = str(tmp_path / "nulls.duckdb")
+    con = duckdb.connect(db)
+    con.sql("CREATE TABLE sink2 (id BIGINT, v VARCHAR)")
+    con.close()
+    # range-partition by id: the low partition holds ONLY NULL v values
+    df = registered.range(40).selectExpr(
+        "id", "CASE WHEN id < 20 THEN NULL ELSE CAST(id AS STRING) END AS v"
+    )
+    (
+        df.repartitionByRange(2, "id")
+        .write.format("duckdb")
+        .option("database", db)
+        .option("table", "sink2")
+        .mode("append")
+        .save()
+    )
+    con = duckdb.connect(db, read_only=True)
+    assert con.sql("SELECT COUNT(*) FROM sink2").fetchone()[0] == 40
+    assert con.sql("SELECT COUNT(*) FROM sink2 WHERE v IS NULL").fetchone()[0] == 20
+    con.close()
+
+
 def test_writer_two_phase_commit_append_and_overwrite(registered, tmp_path):
     """Warehouse-load path (S8/S9): tasks stage parquet, the driver loads
     every staged file in ONE DuckDB transaction; overwrite deletes

@@ -67,9 +67,42 @@ def test_uncommitted_files_are_invisible(spark, tbl):
     # simulate a writer that crashed after staging data but before commit
     tbl._stage_files(_mk(spark, [(99, "ghost", 9)]))
     assert {r["k"] for r in tbl.read().collect()} == before
-    # vacuum removes the orphan
-    assert tbl.vacuum() >= 1
+    # default retention refuses the fresh orphan: it may belong to an
+    # in-flight writer whose commit has not landed yet (ADVICE r3 medium)
+    assert tbl.vacuum() == 0
+    # with retention waived (exclusive access) the orphan is removed
+    assert tbl.vacuum(retention_seconds=0) >= 1
     assert {r["k"] for r in tbl.read().collect()} == before
+
+
+def test_commit_file_never_observable_partial(spark, tbl, monkeypatch):
+    """ADVICE r3 high: _commit must publish the commit file with its full
+    contents atomically. Interpose on os.link to prove the payload is
+    complete and fsynced *before* the version becomes visible, and that
+    no <version>.json exists at write time."""
+    import end_to_end_data_lakehouse_pipeline_spark.sources.txnlog as txn_mod
+
+    seen = {}
+    real_link = os.link
+
+    def spy_link(src, dst):
+        # at publish time: dst must not exist, src must hold complete JSON
+        assert not os.path.exists(dst)
+        with open(src) as f:
+            lines = [json.loads(line) for line in f.read().splitlines()]
+        seen["n_actions"] = len(lines)
+        real_link(src, dst)
+
+    monkeypatch.setattr(txn_mod.os, "link", spy_link)
+    tbl.append(_mk(spark, [(1, "a", 1)]))
+    assert seen["n_actions"] >= 2  # meta + at least one add
+    # losing a version race must raise ConcurrentCommitError and leave
+    # no tmp litter in the log dir
+    monkeypatch.setattr(txn_mod.os, "link", real_link)
+    with pytest.raises(ConcurrentCommitError):
+        tbl._commit(tbl.latest_version(), [{"meta": {"op": "dupe"}}])
+    log_dir = os.path.join(tbl.path, "_txn_log")
+    assert not [n for n in os.listdir(log_dir) if ".tmp" in n]
 
 
 def test_merge_rewrites_only_touched_files(spark, tbl):
@@ -220,7 +253,7 @@ def test_vacuum_trims_history_but_keeps_retained(spark, tbl):
     tbl.append(_mk(spark, [(1, "a", 1)]))
     tbl.overwrite(_mk(spark, [(2, "b", 2)]))
     tbl.overwrite(_mk(spark, [(3, "c", 3)]))
-    removed = tbl.vacuum(retain_versions=1)
+    removed = tbl.vacuum(retain_versions=1, retention_seconds=0)
     assert removed >= 1
     # latest and latest-1 still readable; version 1's file is gone
     assert {r["k"] for r in tbl.read().collect()} == {3}

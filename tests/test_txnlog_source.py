@@ -70,6 +70,31 @@ def test_stream_resumes_from_checkpoint(spark, tbl, tmp_path):
     assert {r.k for r in out.filter(F.col("v") == "new").collect()} == {20, 21}
 
 
+def test_batch_read_across_schema_evolution(spark, tbl):
+    """ADVICE r3 medium: a snapshot straddling a schema evolution (older
+    files missing later-added columns) must read through the DataSource
+    with typed NULL-fill, mirroring read(merge_schema=True)."""
+    tbl.append(
+        spark.createDataFrame(
+            [(200, "evolved", 3, 9.5)], ["k", "v", "ts", "score"]
+        )
+    )
+    df = spark.read.format("txnlog").option("path", tbl.path).load()
+    assert set(df.columns) == {"k", "v", "ts", "score"}
+    rows = {r.k: r.score for r in df.collect()}
+    assert len(rows) == 11
+    assert rows[200] == 9.5
+    assert all(v is None for k, v in rows.items() if k != 200)
+    # streaming read over the same evolved snapshot also NULL-fills
+    assert (
+        spark.readStream.format("txnlog")
+        .option("path", tbl.path)
+        .load()
+        .schema.fieldNames()
+        == df.schema.fieldNames()
+    )
+
+
 def test_stream_rejects_non_append_changes(spark, tbl, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
     assert _drain(spark, tbl, ckpt).count() == 10
