@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
+from ..functions.iterate import free_checkpoint
 from .registry import register
 from .text import _sql_tokens, tokens_col
 
@@ -369,8 +370,10 @@ def build_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every node has degree >= 1 (edges are symmetrized), so there is no
     dangling mass. Each iteration is one join + one aggregate on the
-    support-bounded arc set; lineage is truncated with localCheckpoint
-    every iteration so 10 rounds do not stack into one mega-plan.
+    support-bounded arc set; each round eagerly localCheckpoints (plan
+    truncation keeps per-round planning O(1)) and free_checkpoint
+    releases the superseded round's storage, so at most two rank tables
+    are ever live (functions/iterate.py has the measured rationale).
 
     The support-pruned arc set is orders of magnitude smaller than the
     scan, so the iteration loop runs on a FEW partitions (task-launch
@@ -405,6 +408,7 @@ def build_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("w").alias("inbound"))
         )
+        superseded = ranks
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
@@ -415,8 +419,9 @@ def build_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + PR_DAMPING * F.coalesce(F.col("inbound"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: plan truncation keeps rounds O(1)
         )
+        free_checkpoint(superseded)  # <=2 rank tables ever live (r3 leak)
     return (
         ranks.select(F.col("node").alias("p_partkey"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "p_partkey")
@@ -428,7 +433,7 @@ register(
     "pagerank_copurchase",
     oracle=None,  # iterative — rows-only driver check; pytest asserts invariants
     doc=f"PageRank (d={PR_DAMPING}, {PR_ITERATIONS} iterations) on the "
-    "support-bounded symmetric co-purchase graph; per-iteration "
-    "localCheckpoint truncates lineage.",
+    "support-bounded symmetric co-purchase graph; per-round localCheckpoint "
+    "+ free_checkpoint keeps at most two rank tables cached.",
     tags=("graph", "iterative"),
 )(build_pagerank_copurchase)
