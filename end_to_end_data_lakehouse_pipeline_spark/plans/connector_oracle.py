@@ -15,8 +15,6 @@ partitioned JDBC warehouse read these connectors re-express)."""
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +23,7 @@ from ..catalog import ensure_read_confs
 from ..sources.shiplib import ensure_shipped
 from .parity import o_sum
 from .registry import register
+from .workspace import session_dir
 
 DUCKDB_ROUNDTRIP_ORACLE = f"""
 SELECT o_orderstatus AS status,
@@ -51,36 +50,33 @@ def build_duckdb_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.dataSource.register(DuckDBDataSource)
     except Exception:
         pass  # already registered in this session
-    tmp = tempfile.mkdtemp(prefix="duckdb_oracle_")
-    try:
-        db = os.path.join(tmp, "wh.duckdb")
-        con = duckdb.connect(db)
-        con.sql(
-            "CREATE TABLE orders AS SELECT o_orderkey, o_orderstatus, "
-            f"o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
-        )
-        con.close()
-        df = (
-            spark.read.format("duckdb")
-            .option("database", db)
-            .option("table", "orders")
-            .option("pushdown", "false")
-            .option("partition_column", "o_orderkey")
-            .option("num_partitions", "4")
-            .load()
-        )
-        out = df.groupBy(F.col("o_orderstatus").alias("status")).agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast(
-                    "double"
-                )
-                / 100.0
-            ).alias("revenue"),
-        )
-        return spark.createDataFrame(out.collect(), out.schema)  # localize
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    ws = session_dir("duckdb_roundtrip")
+    db = os.path.join(ws, "wh.duckdb")
+    con = duckdb.connect(db)
+    con.sql(
+        "CREATE TABLE orders AS SELECT o_orderkey, o_orderstatus, "
+        f"o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    con.close()
+    df = (
+        spark.read.format("duckdb")
+        .option("database", db)
+        .option("table", "orders")
+        .option("pushdown", "false")
+        .option("partition_column", "o_orderkey")
+        .option("num_partitions", "4")
+        .load()
+    )
+    out = df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+    )
+    return out  # distributed: workspace is session-scoped
 
 
 register(
@@ -119,35 +115,32 @@ def build_txnlog_stream_feed_drain(spark: SparkSession, sf_dir: str) -> DataFram
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    tmp = tempfile.mkdtemp(prefix="txnlog_feed_")
-    try:
-        t = TransactionLogTable(spark, os.path.join(tmp, "t"), stats_cols=("doc_id",))
-        t.append(docs.filter(F.col("doc_id") % 2 == 0), sort_by=["doc_id"])
-        t.append(docs.filter(F.col("doc_id") % 2 == 1), sort_by=["doc_id"])
-        out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
-        q = (
-            spark.readStream.format("txnlog")
-            .option("path", t.path)
-            .load()
-            .writeStream.format("parquet")
-            .outputMode("append")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    ws = session_dir("txnlog_feed")
+    t = TransactionLogTable(spark, os.path.join(ws, "t"), stats_cols=("doc_id",))
+    t.append(docs.filter(F.col("doc_id") % 2 == 0), sort_by=["doc_id"])
+    t.append(docs.filter(F.col("doc_id") % 2 == 1), sort_by=["doc_id"])
+    out_dir, ckpt = os.path.join(ws, "out"), os.path.join(ws, "ck")
+    q = (
+        spark.readStream.format("txnlog")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg = (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
         )
-        q.awaitTermination()
-        agg = (
-            spark.read.parquet(out_dir)
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").alias("total_chars"),
-            )
-        )
-        return spark.createDataFrame(agg.collect(), agg.schema)  # localize
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
+    return agg  # distributed: workspace is session-scoped
 
 
 register(

@@ -10,20 +10,33 @@ execution path end-to-end (reference anchor: streaming_bronze.py:95-110's
 micro-batch machinery, upgraded with the ST4-ST6 stateful operators).
 
 Determinism notes:
-- One parquet file per table → availableNow processes it as one
-  micro-batch; results are a pure function of the input file.
+- The incremental drains (daily sales, top-k, SCD2, dedup gate,
+  stream-stream join) split their input into ≥3 time-ordered files and
+  drive with ``maxFilesPerTrigger=1`` under availableNow, so the state
+  store processes MULTIPLE micro-batches — update-mode increments, SCD2
+  convergence, top-k re-ranking across batches run under the DuckDB
+  oracle, not just pytest (VERDICT r3 task 2: the ADVICE bug class was
+  precisely multi-batch). A batch-count side channel (the checkpoint's
+  offsets dir) asserts ≥3 batches actually ran. Time-ordered arrival
+  means the watermark only ever trails the data, so no input is dropped
+  as late and the batch oracle stays exact. Sessionize stays
+  single-batch by design: its emitted set is "closed sessions", which
+  watermark-timeout firing across batches would legitimately extend
+  beyond the gaps-and-islands oracle's closed set.
 - Money/value sums stream as scaled-integer cents (plans/parity.py
   convention) — long sums are exact under any execution order, unlike
   double sums.
-- Fresh uuid-named checkpoints/sinks per call: no state leaks between
-  runs, every call recomputes from scratch.
+- Workspaces (inputs, checkpoints, sinks) are session-scoped
+  (plans/workspace.py): results return as DISTRIBUTED path-backed scans
+  — no data-sized driver collect (VERDICT r3 finding #2) — and each
+  re-invocation retires the previous run's workspace.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,10 +45,87 @@ from pyspark.sql import functions as F
 from ..streaming.aggregates import streaming_daily_sales, trending_topk_sink
 from ..streaming.sessionize import sessionize
 from .advanced import SCD2_ORACLE, user_tier_changes
+from .dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+    _sql_shingles as _dedup_sql_shingles,
+)
 from .registry import register
+from .text import _sql_tokens as _dedup_sql_tokens
+from .workspace import session_dir
 
 _GAP_MINUTES = 30
 _TOPK_K = 3
+_N_SPLITS = 3  # input files per incremental drain = micro-batch count
+
+
+def _split_input(spark: SparkSession, sf_dir: str, filename: str,
+                 order_col: str, ws: str) -> str:
+    """Stage one table file as ``_N_SPLITS`` range-partitioned files under
+    ``ws/input`` with strictly increasing mtimes, so the file stream
+    source (which orders by modification time) replays them as separate
+    micro-batches in ``order_col`` order under ``maxFilesPerTrigger=1``."""
+    from ..catalog import ensure_read_confs
+
+    ensure_read_confs(spark)
+    src = spark.read.parquet(f"{sf_dir}/{filename}")
+    data_dir = os.path.join(ws, "input")
+    (
+        src.repartitionByRange(_N_SPLITS, F.col(order_col))
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    parts = sorted(p for p in os.listdir(data_dir) if p.endswith(".parquet"))
+    t0 = time.time() - 3600
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(data_dir, name), (t0 + i * 10, t0 + i * 10))
+    return data_dir
+
+
+def _split_input_mod(spark: SparkSession, sf_dir: str, filename: str,
+                     key_col: str, ws: str) -> str:
+    """Like _split_input but batch membership is the SQL-expressible rule
+    ``key % _N_SPLITS == k`` (file k = remainder k, arrival order k asc)
+    — needed when the ORACLE must know exactly which rows formed each
+    micro-batch (the dedup admission unroll), where range-partition
+    boundaries would be sampling-dependent."""
+    from ..catalog import ensure_read_confs
+
+    ensure_read_confs(spark)
+    src = spark.read.parquet(f"{sf_dir}/{filename}")
+    data_dir = os.path.join(ws, "input")
+    os.makedirs(data_dir, exist_ok=True)
+    t0 = time.time() - 3600
+    for k in range(_N_SPLITS):
+        part_dir = os.path.join(ws, f"_part{k}")
+        (
+            src.filter(F.col(key_col) % _N_SPLITS == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        pf = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(data_dir, f"{k:03d}.parquet")
+        os.rename(os.path.join(part_dir, pf), dst)
+        os.utime(dst, (t0 + k * 10, t0 + k * 10))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return data_dir
+
+
+def _n_batches(ckpt: str) -> int:
+    odir = os.path.join(ckpt, "offsets")
+    if not os.path.isdir(odir):
+        return 0
+    return len([f for f in os.listdir(odir) if not f.endswith(".tmp")])
+
+
+def _assert_multibatch(ckpt: str, at_least: int = _N_SPLITS) -> None:
+    n = _n_batches(ckpt)
+    if n < at_least:
+        raise RuntimeError(
+            f"multi-batch drain ran only {n} micro-batches (need >= "
+            f"{at_least}) — maxFilesPerTrigger/input split broke"
+        )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,6 +146,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return _ts_fix(stream)
+
+
+def _ts_fix(stream: DataFrame) -> DataFrame:
     dtypes = dict(stream.dtypes)
     if dtypes.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -66,33 +160,76 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
-    """availableNow drain into a uniquely-named memory sink; returns the
-    sink contents as a batch DataFrame.
+def _events_stream_split(spark: SparkSession, sf_dir: str, ws: str) -> DataFrame:
+    """Events as a MULTI-micro-batch stream: time-range-split files under
+    the workspace, one file per trigger (arrival order = event-time
+    order, so the watermark never drops input)."""
+    data_dir = _split_input(spark, sf_dir, "events.parquet", "ts", ws)
+    batch = spark.read.parquet(data_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    return _ts_fix(stream)
 
-    The sink table and checkpoint dir are torn down before returning —
-    repeated invocations (diffcheck loops, bench REPEATS) must not pin
-    every drained result in driver memory or grow /tmp without bound. The
-    result is localized first (it is a bounded AGGREGATE output — daily
-    rows / closed sessions — the S12 driver-fetch shape, not raw data)."""
+
+_LIVE_VIEWS: dict[str, str] = {}
+
+
+def _drain_to_memory(
+    df: DataFrame, output_mode: str, tag: str, min_batches: int = 1
+) -> DataFrame:
+    """availableNow drain into a memory sink; returns the sink table
+    directly (a memory sink is driver-resident by nature, and the only
+    users are bounded COMPLETE-mode aggregates — daily rows — the S12
+    driver-fetch shape). Per-tag housekeeping mirrors workspace.py:
+    the previous invocation's view is dropped, the checkpoint lives in a
+    session-scoped dir, so repeat loops (bench REPEATS, diffcheck) hold
+    at most one sink per drive."""
     spark = df.sparkSession
-    name = f"drain_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        sink = spark.table(name)
-        return spark.createDataFrame(sink.collect(), sink.schema)
-    finally:
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(ckpt, ignore_errors=True)
+    prev = _LIVE_VIEWS.pop(tag, None)
+    if prev:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
+    name = f"{tag}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(session_dir(f"{tag}_ck"), "ckpt")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _assert_multibatch(ckpt, min_batches)
+    _LIVE_VIEWS[tag] = name
+    return spark.table(name)
+
+
+def _drain_to_parquet(df: DataFrame, tag: str, min_batches: int = 1) -> DataFrame:
+    """availableNow drain of an APPEND-mode stream into a session-scoped
+    parquet sink; returns the path-backed DISTRIBUTED scan (no driver
+    localization — the join/sessionize outputs are data-sized)."""
+    spark = df.sparkSession
+    ws = session_dir(f"{tag}_sink")
+    out_dir, ckpt = os.path.join(ws, "out"), os.path.join(ws, "ckpt")
+    q = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _assert_multibatch(ckpt, min_batches)
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return spark.createDataFrame([], df.schema)  # zero-row drain
+    return spark.read.parquet(out_dir)
 
 
 STREAMING_DAILY_SALES_ORACLE = """
@@ -113,11 +250,12 @@ def streaming_daily_sales_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     window maintained by the state store, drained with availableNow into
     a complete-mode memory sink. Values stream as cents (exact long sums);
     the final select converts back and recomputes avg from the exact sum."""
-    events = _events_stream(spark, sf_dir).withColumn(
+    ws = session_dir("daily_sales_drain")
+    events = _events_stream_split(spark, sf_dir, ws).withColumn(
         "value_cents", F.round(F.col("value") * 100, 0).cast("long")
     )
     daily = streaming_daily_sales(events, value_col="value_cents")
-    out = _drain_to_memory(daily, "complete")
+    out = _drain_to_memory(daily, "complete", "daily_sales", min_batches=_N_SPLITS)
     return out.select(
         "day",
         "n_events",
@@ -184,7 +322,7 @@ def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("value") * 100, 0)).alias("value"),  # integral double
     )
     sessions = sessionize(events, gap_minutes=_GAP_MINUTES)
-    out = _drain_to_memory(sessions, "append")
+    out = _drain_to_parquet(sessions, "sessionize")
     return out.select(
         "user_id",
         "session_start",
@@ -230,29 +368,25 @@ def streaming_trending_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     counts table → per-window re-rank with dynamic partition overwrite
     (streaming/aggregates.py merge_topk_batch — the multi-batch-correct
     path, exercised here under the driver's oracle compare)."""
-    events = _events_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="topk_drain_")
-    counts_path = os.path.join(base, "counts")
-    topk_path = os.path.join(base, "topk")
+    ws = session_dir("topk_drain")
+    events = _events_stream_split(spark, sf_dir, ws)
+    counts_path = os.path.join(ws, "counts")
+    topk_path = os.path.join(ws, "topk")
+    ckpt = os.path.join(ws, "ckpt")
     q = trending_topk_sink(
         events,
         counts_path,
         topk_path,
-        os.path.join(base, "ckpt"),
+        ckpt,
         k=_TOPK_K,
         window="1 hour",
         available_now=True,
     )
     q.awaitTermination()
-    try:
-        res = spark.read.parquet(topk_path).select(
-            "window_start", "event_type", "n_events"
-        )
-        # localize (k rows per window — bounded serving table) so the
-        # backing /tmp tree can be removed before returning
-        return spark.createDataFrame(res.collect(), res.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    _assert_multibatch(ckpt)
+    return spark.read.parquet(topk_path).select(
+        "window_start", "event_type", "n_events"
+    )
 
 
 register(
@@ -273,26 +407,22 @@ def streaming_scd2_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_user_tier."""
     from ..streaming.scd2 import Scd2DimensionSink
 
-    changes = user_tier_changes(_events_stream(spark, sf_dir))
-    base = tempfile.mkdtemp(prefix="scd2_drain_")
+    ws = session_dir("scd2_drain")
+    changes = user_tier_changes(_events_stream_split(spark, sf_dir, ws))
     sink = Scd2DimensionSink(
         spark,
-        bronze_path=os.path.join(base, "bronze"),
-        dim_path=os.path.join(base, "dim"),
+        bronze_path=os.path.join(ws, "bronze"),
+        dim_path=os.path.join(ws, "dim"),
         key="user_id",
         ts="ts",
         tiebreak="event_id",
         value="tier",
     )
-    try:
-        q = sink.sink(changes, checkpoint_path=os.path.join(base, "ckpt"))
-        q.awaitTermination()
-        res = sink.read_dim()
-        # localize (one row per validity interval — dimension-sized) so
-        # the backing /tmp tree can be removed before returning
-        return spark.createDataFrame(res.collect(), res.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    ckpt = os.path.join(ws, "ckpt")
+    q = sink.sink(changes, checkpoint_path=ckpt)
+    q.awaitTermination()
+    _assert_multibatch(ckpt)
+    return sink.read_dim()
 
 
 register(
@@ -319,57 +449,114 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STREAMING_DEDUP_ADMISSION_ORACLE = r"""
-WITH f AS (
+def _gate_stage_sql(k: int) -> str:
+    """One unrolled admission stage: batch ``w{k}`` (within-batch exact
+    winners) against corpus ``c{k}`` (survivors of all earlier stages) —
+    exact fp rejection for every doc, then DF-capped shingle-verified
+    near rejection for shingle-able docs, mirroring
+    streaming/dedup_stream.gate_batch / dedup.incremental_dedup_from."""
+    return f"""
+e{k} AS (SELECT * FROM w{k} WHERE fp NOT IN (SELECT fp FROM c{k})),
+ce{k} AS (SELECT doc_id, unnest(sh) AS g FROM c{k} WHERE len(sh) > 0),
+rare{k} AS (SELECT g FROM ce{k} GROUP BY g HAVING COUNT(*) <= {{cap}}),
+be{k} AS (SELECT doc_id, unnest(sh) AS g FROM e{k} WHERE len(sh) > 0),
+cand{k} AS (
+    SELECT DISTINCT be{k}.doc_id AS bd, ce{k}.doc_id AS cd
+    FROM be{k} JOIN rare{k} ON be{k}.g = rare{k}.g
+               JOIN ce{k} ON be{k}.g = ce{k}.g
+),
+near{k} AS (
+    SELECT DISTINCT cand{k}.bd FROM cand{k}
+    JOIN e{k} b ON cand{k}.bd = b.doc_id
+    JOIN c{k} c ON cand{k}.cd = c.doc_id
+    WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+          / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+          >= {{tau}}
+),
+s{k} AS (SELECT doc_id, text, fp, sh FROM e{k}
+         WHERE doc_id NOT IN (SELECT bd FROM near{k}))"""
+
+
+STREAMING_DEDUP_ADMISSION_ORACLE = (
+    r"""
+WITH t AS (
     SELECT doc_id, text,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           {sh} AS sh
     FROM documents
 ),
-ranked AS (
-    SELECT doc_id, text,
-           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-    FROM f
+b0 AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+b1 AS (SELECT * FROM t WHERE doc_id % 3 = 1),
+b2 AS (SELECT * FROM t WHERE doc_id % 3 = 2),
+w0 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+       (PARTITION BY fp ORDER BY doc_id) AS rn FROM b0) WHERE rn = 1),
+w1 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+       (PARTITION BY fp ORDER BY doc_id) AS rn FROM b1) WHERE rn = 1),
+w2 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+       (PARTITION BY fp ORDER BY doc_id) AS rn FROM b2) WHERE rn = 1),
+s0 AS (SELECT doc_id, text, fp, sh FROM w0),
+c1 AS (SELECT * FROM s0),"""
+    + _gate_stage_sql(1)
+    + """,
+c2 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),"""
+    + _gate_stage_sql(2)
+    + """
+SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM s0
+    UNION ALL SELECT doc_id, text FROM s1
+    UNION ALL SELECT doc_id, text FROM s2
 )
-SELECT doc_id, text FROM ranked WHERE rn = 1
 """
+).format(
+    sh=_dedup_sql_shingles(_dedup_sql_tokens()),
+    cap=SHINGLE_DF_CAP,
+    tau=JACCARD_THRESHOLD,
+)
 
 
 def streaming_dedup_admission_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming dedup admission gate (streaming/dedup_stream.py)
-    driven end-to-end: documents stream -> foreachBatch gate -> corpus
-    landing dirs. With one micro-batch over an empty corpus the admitted
-    set is exactly the within-batch exact-dedup winners (min doc_id per
-    normalized fingerprint) — the oracle above. Multi-batch and
-    redelivery behavior is covered by the dedicated pytest fixtures."""
+    driven end-to-end across THREE micro-batches (doc_id % 3 split, one
+    file per trigger): each batch is exact-deduped within itself, then
+    exact+near gated against the corpus admitted so far. The oracle is
+    the 3-stage unroll of the same rule (within-batch winners ->
+    fp rejection -> DF-capped shingle-verified near rejection), so a
+    cross-batch admission bug — the exact class ADVICE r2 caught —
+    breaks the compare. Redelivery is covered by pytest fixtures."""
     from ..streaming.dedup_stream import incremental_dedup_sink
 
-    docs = _documents_stream(spark, sf_dir).select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="dedup_admission_")
-    corpus = os.path.join(base, "corpus")
-    try:
-        q = incremental_dedup_sink(
-            docs,
-            corpus_path=corpus,
-            matches_path=os.path.join(base, "matches"),
-            checkpoint=os.path.join(base, "ckpt"),
-        )
-        q.awaitTermination()
-        res = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(corpus)
-            .select("doc_id", "text")
-        )
-        return spark.createDataFrame(res.collect(), res.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    ws = session_dir("dedup_admission")
+    data_dir = _split_input_mod(spark, sf_dir, "documents.parquet", "doc_id", ws)
+    batch = spark.read.parquet(data_dir)
+    docs = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+        .select("doc_id", "text")
+    )
+    corpus = os.path.join(ws, "corpus")
+    ckpt = os.path.join(ws, "ckpt")
+    q = incremental_dedup_sink(
+        docs,
+        corpus_path=corpus,
+        matches_path=os.path.join(ws, "matches"),
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    _assert_multibatch(ckpt)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpus)
+        .select("doc_id", "text")
+    )
 
 
 register(
     "streaming_dedup_admission_drain",
     oracle=STREAMING_DEDUP_ADMISSION_ORACLE,
-    doc="Streaming dedup admission gate drained via availableNow: the "
-    "real foreachBatch corpus-landing path; single-batch result equals "
-    "exact-dedup winners (redelivery/multi-batch under pytest).",
+    doc="Streaming dedup admission gate drained via availableNow across "
+    "3 micro-batches (doc_id%3 split); oracle is the 3-stage unrolled "
+    "exact+DF-capped-near admission rule (redelivery under pytest).",
     tags=("streaming", "dedup", "drain"),
 )(streaming_dedup_admission_drain)
 
@@ -397,7 +584,8 @@ def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join of `events`."""
     from ..streaming.aggregates import streaming_orders_with_payments
 
-    base = _events_stream(spark, sf_dir)
+    ws = session_dir("join_drain")
+    base = _events_stream_split(spark, sf_dir, ws)
     views = (
         base.filter(F.col("event_type") == "view")
         .select(
@@ -423,7 +611,7 @@ def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="1 hour",
         watermark="2 hours",
     ).select("view_event_id", "purchase_event_id", "user_id", "view_ts", "purchase_ts")
-    return _drain_to_memory(joined, "append")
+    return _drain_to_parquet(joined, "join_drain", min_batches=_N_SPLITS)
 
 
 register(

@@ -13,15 +13,14 @@ log-for-log rather than approximates).
 Determinism: the workload is a pure function of the orders table
 (key-modulus splits), the merge winner is decided by (order_col, source
 rank) exactly like merge_upsert's contract, and the temp table lives in a
-fresh uuid directory torn down after the final state is localized
-(bounded: one row per surviving order key — at sf0.01 ≈ 13.5k rows; the
-oracle side carries the identical row count).
+session-scoped workspace (plans/workspace.py) so the drive returns the
+DISTRIBUTED snapshot scan — no table-sized driver collect (VERDICT r3
+finding #2); the oracle side carries the identical row count.
 """
 
 from __future__ import annotations
 
-import shutil
-import tempfile
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..sources.txnlog import TransactionLogTable
 from .registry import register
+from .workspace import session_dir
 
 TXNLOG_MERGE_ORACLE = """
 SELECT CAST(o_orderkey AS BIGINT) AS k,
@@ -64,16 +64,14 @@ def build_txnlog_merge_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_deleted", F.col("k") % 10 == 0)
     )
-    tmp = tempfile.mkdtemp(prefix="txnlog_oracle_")
-    try:
-        t = TransactionLogTable(spark, f"{tmp}/t", stats_cols=("k",))
-        t.append(base, sort_by=["k"])
-        t.merge(updates, pks=["k"], order_col="updated_at")
-        final = t.read().select("k", "status", "price_cents", "updated_at")
-        # localize before the dir vanishes (bounded final state, S12 shape)
-        return spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    ws = session_dir("txnlog_merge")
+    t = TransactionLogTable(spark, os.path.join(ws, "t"), stats_cols=("k",))
+    t.append(base, sort_by=["k"])
+    t.merge(updates, pks=["k"], order_col="updated_at")
+    # session-scoped workspace: the snapshot scan returns DISTRIBUTED
+    # (no table-sized collect — VERDICT r3 finding #2); the dir lives
+    # until this drive runs again or the process exits
+    return t.read().select("k", "status", "price_cents", "updated_at")
 
 
 register(
@@ -140,45 +138,42 @@ def build_txnlog_cdf_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_deleted", F.col("k") % 10 == 0)
     )
-    tmp = tempfile.mkdtemp(prefix="txnlog_cdf_")
-    try:
-        t = TransactionLogTable(spark, f"{tmp}/t", stats_cols=("k",))
-        t.append(base, sort_by=["k"], n_files=8)
-        v1 = t.latest_version()
-        mv_v1 = t.read(v1).groupBy("d").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("price_cents").alias("rev_cents"),
+    ws = session_dir("txnlog_cdf")
+    t = TransactionLogTable(spark, os.path.join(ws, "t"), stats_cols=("k",))
+    t.append(base, sort_by=["k"], n_files=8)
+    v1 = t.latest_version()
+    mv_v1 = t.read(v1).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("rev_cents"),
+    )
+    t.merge(updates, pks=["k"], order_col="updated_at")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        t.read_changes(v1, pks=["k"])
+        .withColumn("_sign", sign)
+        .groupBy("d")
+        .agg(
+            F.sum("_sign").alias("n_orders"),
+            F.sum(F.col("price_cents") * F.col("_sign")).alias("rev_cents"),
         )
-        t.merge(updates, pks=["k"], order_col="updated_at")
-        sign = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-        ).otherwise(F.lit(-1))
-        delta = (
-            t.read_changes(v1, pks=["k"])
-            .withColumn("_sign", sign)
-            .groupBy("d")
-            .agg(
-                F.sum("_sign").alias("n_orders"),
-                F.sum(F.col("price_cents") * F.col("_sign")).alias("rev_cents"),
-            )
+    )
+    refreshed = (
+        mv_v1.unionByName(delta)
+        .groupBy("d")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_cents").alias("rev_cents"),
         )
-        refreshed = (
-            mv_v1.unionByName(delta)
-            .groupBy("d")
-            .agg(
-                F.sum("n_orders").alias("n_orders"),
-                F.sum("rev_cents").alias("rev_cents"),
-            )
-            .filter(F.col("n_orders") > 0)
-            .select(
-                "d",
-                "n_orders",
-                (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
-            )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "d",
+            "n_orders",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
         )
-        return spark.createDataFrame(refreshed.collect(), refreshed.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
+    return refreshed  # distributed: workspace is session-scoped
 
 
 register(
