@@ -571,6 +571,40 @@ class TransactionLogTable:
 
     # -- file-level merge -------------------------------------------------
 
+    def files_touched_by_keys(
+        self, keys_df: DataFrame, key: str, base_version: int
+    ) -> set[str]:
+        """Stats-pruned candidate set: live files whose per-file
+        [min,max] range on ``key`` contains at least one value of
+        ``keys_df``'s ``key`` column (files without stats are always
+        candidates). Runs as a broadcast range-join of the (small,
+        O(#files)) stats list against the distinct keys — no driver-side
+        key collection, so it holds when keys_df carries millions of
+        keys. Shared by merge() and the SQL MERGE surface (dml.py)."""
+        snap = self.snapshot(base_version)
+        ranged = [
+            (n, e["stats"][key]["min"], e["stats"][key]["max"])
+            for n, e in snap.items()
+            if e.get("stats", {}).get(key) is not None
+        ]
+        unranged = [n for n in snap if snap[n].get("stats", {}).get(key) is None]
+        touched = set(unranged)
+        if ranged:
+            ranges_df = self.spark.createDataFrame(ranged, ["_file", "_min", "_max"])
+            hits = (
+                keys_df.select(F.col(key).alias("_k"))
+                .distinct()
+                .join(
+                    F.broadcast(ranges_df),
+                    (F.col("_k") >= F.col("_min")) & (F.col("_k") <= F.col("_max")),
+                )
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched |= {r["_file"] for r in hits}
+        return touched
+
     def merge(
         self,
         updates: DataFrame,
@@ -610,30 +644,7 @@ class TransactionLogTable:
                     for a in adds:
                         os.remove(os.path.join(self.path, a["add"]["name"]))
                     continue
-            snap = self.snapshot(base_version)
-            ranged = [
-                (n, e["stats"][key]["min"], e["stats"][key]["max"])
-                for n, e in snap.items()
-                if e.get("stats", {}).get(key) is not None
-            ]
-            unranged = [n for n in snap if snap[n].get("stats", {}).get(key) is None]
-            touched = set(unranged)
-            if ranged:
-                ranges_df = self.spark.createDataFrame(
-                    ranged, ["_file", "_min", "_max"]
-                )
-                hits = (
-                    updates.select(F.col(key).alias("_k"))
-                    .distinct()
-                    .join(
-                        F.broadcast(ranges_df),
-                        (F.col("_k") >= F.col("_min")) & (F.col("_k") <= F.col("_max")),
-                    )
-                    .select("_file")
-                    .distinct()
-                    .collect()
-                )
-                touched |= {r["_file"] for r in hits}
+            touched = self.files_touched_by_keys(updates, key, base_version)
             current = (
                 self.spark.read.parquet(*self._abs(touched)) if touched else None
             )
@@ -698,6 +709,59 @@ class TransactionLogTable:
                 continue
         raise ConcurrentCommitError(
             f"delete lost the commit race {max_retries} times at {self.path}"
+        )
+
+    def update_where(
+        self, condition: str, assignments: dict[str, str], max_retries: int = 5
+    ) -> int:
+        """File-level UPDATE (Delta ``UPDATE t SET ... WHERE ...``): the
+        scan finds files actually containing matching rows (via
+        ``_metadata.file_path`` — one distributed scan, no driver data);
+        only those are rewritten, applying each ``col -> SQL expr``
+        assignment to the matching rows and keeping the rest verbatim.
+        Same serialization contract as delete_where: a lost commit race
+        re-executes against the winner's snapshot."""
+        for _ in range(max_retries):
+            base_version = self.latest_version()
+            if base_version is None:
+                raise FileNotFoundError(f"no committed data at {self.path}")
+            df = self.read(base_version)
+            touched_abs = {
+                r["f"]
+                for r in df.filter(condition)
+                .select(F.col("_metadata.file_path").alias("f"))
+                .distinct()
+                .collect()
+            }
+            if not touched_abs:
+                return base_version
+            touched = {os.path.basename(p.replace("file://", "")) for p in touched_abs}
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            current = self.spark.read.parquet(*self._abs(touched))
+            rewritten = current.select(
+                *[
+                    F.when(cond, F.expr(assignments[c]).cast(dt))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c, dt in current.dtypes
+                ]
+            )
+            adds = self._stage_files(rewritten, sort_by=list(self.stats_cols[:1]))
+            removes = [{"remove": {"name": n}} for n in sorted(touched)]
+            try:
+                self._commit(
+                    base_version + 1,
+                    [self._meta("update", rewritten), *removes, *adds],
+                )
+                return base_version + 1
+            except ConcurrentCommitError:
+                for a in adds:
+                    os.remove(os.path.join(self.path, a["add"]["name"]))
+                continue
+        raise ConcurrentCommitError(
+            f"update lost the commit race {max_retries} times at {self.path}"
         )
 
     # -- maintenance ------------------------------------------------------

@@ -1,0 +1,144 @@
+"""SQL DML text surface (sources/dml.py): MERGE INTO / UPDATE / DELETE
+routed to TransactionLogTable ops — parser shapes, generic WHEN-clause
+execution, file-level pruning, and the cardinality rule."""
+
+import glob
+import os
+
+import pytest
+
+from end_to_end_data_lakehouse_pipeline_spark.sources.dml import execute_dml
+from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+    TransactionLogTable,
+)
+
+
+def _mk(spark, rows, cols=("k", "v", "updated_at")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = TransactionLogTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t.append(_mk(spark, [(i, f"v{i}", 1) for i in range(10)]), sort_by=["k"])
+    return t
+
+
+def _state(t):
+    return {r.k: (r.v, r.updated_at) for r in t.read().collect()}
+
+
+def test_sql_update_where(spark, tbl):
+    v = execute_dml(
+        spark,
+        "UPDATE t SET v = upper(v), updated_at = updated_at + 1 WHERE k >= 8",
+        tables={"t": tbl},
+    )
+    assert v == tbl.latest_version()
+    got = _state(tbl)
+    assert got[9] == ("V9", 2) and got[8] == ("V8", 2)
+    assert got[0] == ("v0", 1)  # untouched rows keep values
+
+
+def test_sql_delete_from(spark, tbl):
+    execute_dml(spark, "DELETE FROM t WHERE k % 2 = 0", tables={"t": tbl})
+    assert sorted(_state(tbl)) == [1, 3, 5, 7, 9]
+
+
+def test_sql_merge_update_delete_insert(spark, tbl):
+    src = _mk(
+        spark,
+        [
+            (5, "UPD", 9, False),   # matched -> update
+            (7, "ignored", 9, True),  # matched + guard -> delete
+            (100, "NEW", 9, False),   # not matched -> insert
+            (101, "dead", 9, True),   # not matched + deleted -> skipped
+        ],
+        ("k", "v", "updated_at", "_del"),
+    )
+    execute_dml(
+        spark,
+        """MERGE INTO t USING s ON t.k = s.k
+           WHEN MATCHED AND s._del THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED AND NOT s._del THEN
+               INSERT (k, v, updated_at) VALUES (s.k, s.v, s.updated_at)""",
+        tables={"t": tbl},
+        sources={"s": src},
+    )
+    got = _state(tbl)
+    assert got[5] == ("UPD", 9)
+    assert 7 not in got
+    assert got[100] == ("NEW", 9)
+    assert 101 not in got
+    assert got[0] == ("v0", 1)
+
+
+def test_sql_merge_prunes_untouched_files(spark, tmp_path):
+    t = TransactionLogTable(spark, str(tmp_path / "p"), stats_cols=("k",))
+    t.append(_mk(spark, [(i, "lo", 1) for i in range(0, 50)]), sort_by=["k"])
+    t.append(_mk(spark, [(i, "hi", 1) for i in range(1000, 1050)]), sort_by=["k"])
+    lo_files = set(t.snapshot())
+    digests = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(t.path, "*.parquet"))
+    }
+    execute_dml(
+        spark,
+        """MERGE INTO p USING s ON p.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v""",
+        tables={"p": t},
+        sources={"s": _mk(spark, [(1025, "MERGED", 2)])},
+    )
+    snap = t.snapshot()
+    # low-range files survive byte-identical (same name, same mtime)
+    survivors = set(snap) & lo_files
+    assert survivors, "stats pruning should keep the untouched range"
+    for f in glob.glob(os.path.join(t.path, "*.parquet")):
+        if os.path.basename(f) in survivors:
+            assert digests[f] == os.path.getmtime(f)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1025] == "MERGED" and got[0] == "lo" and len(got) == 100
+
+
+def test_sql_merge_cardinality_violation_raises(spark, tbl):
+    src = _mk(spark, [(5, "a", 9), (5, "b", 9)])
+    with pytest.raises(ValueError, match="multiple source rows"):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *",
+            tables={"t": tbl},
+            sources={"s": src},
+        )
+
+
+def test_sql_merge_resolves_temp_view_source(spark, tbl):
+    _mk(spark, [(3, "VIEWED", 9)]).createOrReplaceTempView("dml_src_view")
+    try:
+        execute_dml(
+            spark,
+            """MERGE INTO t USING dml_src_view AS s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET v = s.v""",
+            tables={"t": tbl},
+        )
+        assert _state(tbl)[3][0] == "VIEWED"
+    finally:
+        spark.catalog.dropTempView("dml_src_view")
+
+
+def test_unparseable_statements_raise(spark, tbl):
+    for bad in (
+        "TRUNCATE TABLE t",
+        "MERGE INTO t USING s ON t.k < s.k WHEN MATCHED THEN DELETE",
+        "UPDATE t WHERE k = 1",
+    ):
+        with pytest.raises(ValueError):
+            execute_dml(spark, bad, tables={"t": tbl}, sources={"s": tbl.read()})
+
+
+def test_update_where_api_type_stability(spark, tbl):
+    """SET exprs cast back to the column's type so the snapshot schema
+    never forks (e.g. int arithmetic widening)."""
+    before = dict(tbl.read().dtypes)
+    tbl.update_where("k = 1", {"updated_at": "updated_at * 2.5"})
+    assert dict(tbl.read().dtypes) == before
+    assert _state(tbl)[1][1] == 2  # 2.5 cast back to long
