@@ -74,6 +74,14 @@ HEADLINE = [
     "rolling_median_7d",      # exact percentile over a RANGE frame
     "cusum_changepoint",      # integer-exact CUSUM with global-window peak
     "k_anonymity_audit",      # privacy audit: QI groupBy + domain window
+    # round-4 additions: the ACID/connector/streaming-drain families in
+    # the headline rotation so driver CORRECTNESS samples draw them
+    "txnlog_merge_reconcile",  # ACID write path: append -> file MERGE -> read
+    "sql_merge_into",          # same workload through the SQL DML parser
+    "txnlog_cdf_mv_refresh",   # CDF-driven incremental MV refresh
+    "duckdb_source_roundtrip", # Python DataSource warehouse round-trip
+    "streaming_daily_sales_drain",  # multi-batch watermarked agg drain
+    "streaming_scd2_drain",    # multi-batch SCD2 foreachBatch convergence
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
@@ -93,6 +101,8 @@ HEAVY = [
     "copurchase_triangle_count",  # pair mining + triangle self-joins
     "term_pmi_top_pairs",      # vocab-capped co-occurrence PMI
     "pagerank_copurchase",     # 10-iteration power method on arc set
+    # round-4 addition
+    "streaming_dedup_admission_drain",  # 3-batch gated admission (near-dup)
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x

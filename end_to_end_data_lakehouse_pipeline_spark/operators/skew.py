@@ -16,6 +16,25 @@ Both are algebraic rewrites — results are exactly equal to the unsalted
 plans (tests assert it) — at the cost of S× replication of the small side
 / an extra partial-aggregate pass. Use when metrics show a hot key; do
 not salt by default.
+
+Measured guidance (round-4 Zipf rehearsal, tools/skew_rehearsal.py —
+hot key = 5% of all rows at 10x, BASELINE.md for the table):
+
+- **1:N dim-join skew is AQE's job**: the skewed orders⋈customer
+  sort-merge join went 3.3 s naive → 0.5 s with AQE skew-split (vs
+  1.8 s salted). Keep ``spark.sql.adaptive.skewJoin`` on (session
+  default) and don't salt these.
+- **N:M fact-fact hot keys need the salt**: AQE splits skewed
+  partitions by INPUT bytes, but a single hot key's join OUTPUT is
+  quadratic and lands on whichever split holds it — views⋈purchases
+  per user: 2.2 s naive, 1.8 s AQE, 1.6 s salted (and the gap widens
+  with the hot share²). This is ``salted_join``'s case.
+- **Decomposable aggregates self-heal**: hash-aggregate partials
+  combine map-side, so the hot key reaches the reducer pre-reduced;
+  plain groupBy beat ``salted_aggregate`` (0.53 s vs 0.87 s) even on
+  the skewed replica. Salt aggregates only when the per-key state is
+  NOT decomposable (collect_list/exact distinct), where map-side
+  combine can't shrink the hot key.
 """
 
 from __future__ import annotations

@@ -53,9 +53,12 @@ def build_duckdb_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     ws = session_dir("duckdb_roundtrip")
     db = os.path.join(ws, "wh.duckdb")
     con = duckdb.connect(db)
+    src = f"{sf_dir}/orders.parquet"
+    if os.path.isdir(src):  # scaled replicas are multi-file tables
+        src = f"{src}/*.parquet"
     con.sql(
         "CREATE TABLE orders AS SELECT o_orderkey, o_orderstatus, "
-        f"o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
+        f"o_totalprice FROM read_parquet('{src}')"
     )
     con.close()
     df = (

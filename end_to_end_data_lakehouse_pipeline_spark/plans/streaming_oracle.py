@@ -138,14 +138,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanosAsLong is already set. Idempotent — no per-query conf mutation
     # once the session is pinned.
     ensure_read_confs(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")  # schema probe
-    # the file stream source requires a DIRECTORY: stream the sf dir with
-    # a glob filter selecting just the events table file
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)  # schema probe
+    if os.path.isdir(path):  # scaled replicas: the table IS a directory
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        # single-file testdata: the file stream source requires a
+        # DIRECTORY — stream the sf dir with a glob filter selecting
+        # just the events table file
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _ts_fix(stream)
 
 
@@ -433,20 +438,6 @@ register(
     "bucket dynamic overwrite); must equal the batch SCD2 transform.",
     tags=("streaming", "scd", "lakehouse", "drain"),
 )(streaming_scd2_drain)
-
-
-def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents table (same shape as
-    _events_stream: schema probe + glob filter on the sf directory)."""
-    from ..catalog import ensure_read_confs
-
-    ensure_read_confs(spark)
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
 
 
 def _gate_stage_sql(k: int) -> str:

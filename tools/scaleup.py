@@ -14,7 +14,19 @@ that would distort shingle DF caps rather than rehearse real scale.
 
 region/nation are genuinely constant-size dims and are copied verbatim.
 
-Usage:  python tools/scaleup.py [factor] [src_dir] [out_dir]
+``--skew zipf`` (VERDICT r3 task 1): every rehearsal before round 4
+replicated keys with constant per-key fanout, so AQE skew-join handling
+and the salted operators had only ever met uniform data — and key skew
+is the #1 way a real 100 TB join dies. In skew mode the FOREIGN-key
+columns (orders.o_custkey, events.user_id) are redistributed with a
+Zipf-1 head: the K=8 hottest keys take share 0.05/rank (hot key #1 holds
+~5% of ALL rows across every replica — the heads are replica-0 keys, so
+replication CONCENTRATES them instead of diluting), the remaining ~86%
+of rows keep their uniform remapped key. Entity PRIMARY keys stay
+unique, so dims still join 1:1 and only the fact-side distribution is
+pathological — exactly the shape that melts a single reducer.
+
+Usage:  python tools/scaleup.py [factor] [src_dir] [out_dir] [--skew zipf]
         defaults: 10 /root/testdata/sf0.1 /tmp/sfscale
 """
 
@@ -51,8 +63,34 @@ KEY_COLS = {
 # parallelize the way a real multi-file lakehouse table would.
 FILES = {"lineitem": 32, "orders": 16, "events": 16, "documents": 8, "embeddings": 8}
 
+# --skew zipf: FK columns redistributed with a Zipf-1 head. K hottest
+# keys take share HEAD_SHARE/rank each; heads are the K smallest keys of
+# the referenced domain in replica 0 (guaranteed to exist in the dim).
+SKEW_COLS = {"orders": ("o_custkey",), "events": ("user_id",)}
+ZIPF_HEADS = 8
+HEAD_SHARE = 0.05  # rank-1 share; rank r gets HEAD_SHARE / r
 
-def scale_table(spark, src_dir: str, out_dir: str, name: str, factor: int) -> int:
+
+def _zipf_skew(df, col: str, head_keys: list[int]):
+    """Deterministically reassign ``col``: row's uniform hash u in [0,1)
+    falls in the rank-r head bucket -> head key r; else keep the value."""
+    u = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000)) / 1_000_000.0
+    cum = 0.0
+    expr = F.col(col)
+    # build reversed so rank 1's (largest) bucket is checked first
+    buckets = []
+    for r, k in enumerate(head_keys, start=1):
+        lo, hi = cum, cum + HEAD_SHARE / r
+        buckets.append((lo, hi, k))
+        cum = hi
+    for lo, hi, k in reversed(buckets):
+        expr = F.when((u >= lo) & (u < hi), F.lit(k).cast("long")).otherwise(expr)
+    return df.withColumn(col, expr)
+
+
+def scale_table(
+    spark, src_dir: str, out_dir: str, name: str, factor: int, skew: str | None = None
+) -> int:
     df = spark.read.parquet(f"{src_dir}/{name}.parquet")
     keys = KEY_COLS[name]
     if keys:
@@ -82,20 +120,49 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, factor: int) -> in
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
         df = df.drop("_replica")
+    if skew == "zipf" and name in SKEW_COLS:
+        for col in SKEW_COLS[name]:
+            # heads = K smallest replica-0 keys of the referenced domain
+            # (same column in the base table), shared by every replica
+            base = spark.read.parquet(f"{src_dir}/{name}.parquet")
+            head_keys = [
+                int(r[0])
+                for r in base.select(col).distinct().orderBy(col).limit(ZIPF_HEADS).collect()
+            ]
+            df = _zipf_skew(df, col, head_keys)
     out = f"{out_dir}/{name}.parquet"
     df.repartition(FILES.get(name, 4)).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).count()
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfscale"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skew = None
+    if "--skew" in sys.argv:
+        skew = sys.argv[sys.argv.index("--skew") + 1]
+        args = [a for a in args if a != skew]
+    factor = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out = args[2] if len(args) > 2 else "/tmp/sfscale"
     spark = session.get_spark("scaleup")
     for name in KEY_COLS:
-        n = scale_table(spark, src, out, name, factor)
+        n = scale_table(spark, src, out, name, factor, skew=skew)
         print(f"{name}: {n} rows -> {out}/{name}.parquet")
-    print(f"done: {out} at ~{factor}x of {src}")
+    if skew:
+        for name, cols in SKEW_COLS.items():
+            for col in cols:
+                top = (
+                    spark.read.parquet(f"{out}/{name}.parquet")
+                    .groupBy(col)
+                    .count()
+                    .orderBy(F.desc("count"))
+                    .limit(3)
+                    .collect()
+                )
+                tot = spark.read.parquet(f"{out}/{name}.parquet").count()
+                shares = ", ".join(f"{r[0]}:{r['count']/tot:.3f}" for r in top)
+                print(f"skew[{name}.{col}] top shares: {shares}")
+    print(f"done: {out} at ~{factor}x of {src} (skew={skew})")
 
 
 if __name__ == "__main__":
