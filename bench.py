@@ -82,6 +82,8 @@ HEADLINE = [
     "duckdb_source_roundtrip", # Python DataSource warehouse round-trip
     "streaming_daily_sales_drain",  # multi-batch watermarked agg drain
     "streaming_scd2_drain",    # multi-batch SCD2 foreachBatch convergence
+    "bloom_prejoin_lineitem",  # pure-Catalyst runtime Bloom semi-join
+    "duplicate_span_coverage", # repeated-span token coverage (Lee et al.)
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

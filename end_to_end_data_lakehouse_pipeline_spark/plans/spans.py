@@ -1,0 +1,149 @@
+"""Token-level repeated-span analysis — the "duplicate text fraction"
+curation signal.
+
+Document-level dedup (plans/dedup.py) misses the dominant duplication
+mode in web corpora: long VERBATIM SPANS (boilerplate, licenses, quoted
+passages) embedded in otherwise-distinct documents. Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (ACL 2022,
+public), show removing repeated ~50-token spans beats document-level
+dedup; the tractable distributed formulation is the positional-n-gram
+reduction used here (their ExactSubstr via suffix arrays is
+single-machine):
+
+- every K-token positional gram of every doc (position kept, NOT
+  distinct — the same gram twice in one doc is two occurrences),
+- a gram is a *repeated span* if it appears in >= 2 distinct docs,
+- a token is *covered* if any repeated gram's window [pos, pos+K-1]
+  contains it; per doc: covered-token count and fraction.
+
+Every step is linear shuffles on (gram) then (doc_id): gram counting is
+a hash aggregate with map-side combine; coverage is an equi-join of
+occurrences against the repeated-gram set followed by a bounded K-way
+position explode and per-doc distinct. No driver state, no caps — at
+100 TB the gram-count aggregate is the same shape as term_frequencies.
+The oracle reproduces the whole pipeline in DuckDB (positional grams ->
+cross-doc counts -> window union) — exact integer counts, one final
+bit-stable division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from .registry import register
+from .text import _sql_tokens, tokens_col
+
+SPAN_K = 5  # tokens per span gram (testdata docs are short; prod ~50)
+
+
+def pos_grams_col(toks: Column, k: int = SPAN_K) -> Column:
+    """POSITIONAL k-gram array: element i (0-based) is the gram starting
+    at token i. Same slice+zip_with formulation as dedup.shingles_col
+    (avoids Catalyst re-evaluating the tokenizer per element) but keeps
+    duplicates and order — position IS the payload here."""
+    n = F.size(toks)
+    m = n - (k - 1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_pos_grams(toks: str, k: int = SPAN_K) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+DUPLICATE_SPAN_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos,
+           unnest({_sql_pos_grams('toks')}) AS gram
+    FROM t WHERE len(toks) >= {SPAN_K}
+),
+rep AS (
+    SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+    SELECT DISTINCT doc_id, cp FROM (
+        SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + {SPAN_K - 1})) AS cp
+        FROM g JOIN rep ON g.gram = rep.gram
+    )
+),
+covn AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(covn.n_covered, 0) AS n_covered,
+       CASE WHEN len(t.toks) > 0
+            THEN ROUND(CAST(COALESCE(covn.n_covered, 0) AS DOUBLE) / len(t.toks), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM t LEFT JOIN covn ON t.doc_id = covn.doc_id
+"""
+
+
+def build_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    base = docs.select("doc_id", tokens_col().alias("toks"))
+    g = base.select(
+        "doc_id", F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram")
+    )
+    rep = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(rep, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0"), F.col("pos0") + F.lit(SPAN_K - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+register(
+    "duplicate_span_coverage",
+    oracle=DUPLICATE_SPAN_ORACLE,
+    doc=f"Per-doc repeated-span coverage: {SPAN_K}-token positional grams "
+    "appearing in >=2 docs, covered-token union per doc (the Lee et al. "
+    "duplicate-text-fraction signal as linear gram shuffles).",
+    tags=("dedup", "llm", "text", "spans"),
+)(build_duplicate_span_coverage)

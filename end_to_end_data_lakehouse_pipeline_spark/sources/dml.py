@@ -4,7 +4,7 @@ The reference's user-visible MERGE is API-level (`DeltaTable.merge`,
 batch_silver.py:146-159) *and* SQL-level (`spark.sql("MERGE INTO ...")`
 works against any Delta catalog table). The txnlog layer reproduced the
 API but a user typing SQL DML had no entry point. This module closes
-that: :func:`execute_dml` parses the three DML statement shapes and
+that: :func:`execute_dml` parses the DML statement shapes and
 routes them to ``TransactionLogTable`` operations — a thin parser, no
 Catalyst work, exactly the scope a lakehouse user needs:
 
@@ -18,6 +18,10 @@ Catalyst work, exactly the scope a lakehouse user needs:
   first-match-wins, untouched files keep their bytes, one atomic commit
   with optimistic-concurrency retry. Duplicate source matches for one
   target row raise (the Delta/SQL-standard cardinality rule).
+- ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES (...), (...)``
+  → the SELECT runs through ``spark.sql`` (temp views resolve), the
+  result is aligned POSITIONALLY to the target schema (names renamed,
+  types cast — SQL INSERT semantics) and appended as one atomic commit.
 - ``UPDATE t SET c = expr[, ...] [WHERE <pred>]`` →
   ``TransactionLogTable.update_where`` (file-level: only files holding
   matching rows are rewritten).
@@ -56,6 +60,10 @@ _MATCHED_RE = re.compile(
 _NOT_MATCHED_RE = re.compile(
     r"^\s*NOT\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+INSERT\s+"
     r"(?:(?P<star>\*)|\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>\w+)\s+(?P<rest>(?:SELECT|VALUES|\().+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
@@ -367,18 +375,48 @@ def _insert_rows(
     return out
 
 
+def _exec_insert(spark: SparkSession, sql: str, tables) -> int:
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise ValueError(f"unparseable INSERT statement: {sql!r}")
+    t = tables[m.group("target")]
+    rest = m.group("rest").strip()
+    if rest.upper().startswith("VALUES"):
+        df = spark.sql(f"SELECT * FROM ({rest})")
+    else:
+        df = spark.sql(rest)
+    schema = t._schema_at(None)
+    if schema is not None:
+        if len(df.columns) != len(schema.fields):
+            raise ValueError(
+                f"INSERT column count {len(df.columns)} != target "
+                f"schema width {len(schema.fields)}"
+            )
+        # positional alignment, SQL INSERT semantics: rename + cast
+        df = df.select(
+            *[
+                F.col(c).cast(fld.dataType).alias(fld.name)
+                for c, fld in zip(df.columns, schema.fields)
+            ]
+        )
+    return t.append(df, sort_by=list(t.stats_cols[:1]))
+
+
 def execute_dml(
     spark: SparkSession,
     sql: str,
     tables: dict[str, TransactionLogTable],
     sources: dict[str, DataFrame] | None = None,
 ) -> int:
-    """Execute one DML statement (MERGE INTO / UPDATE / DELETE) against
-    transaction-log tables; returns the committed version."""
+    """Execute one DML statement (MERGE INTO / INSERT INTO / UPDATE /
+    DELETE) against transaction-log tables; returns the committed
+    version."""
     sources = sources or {}
     head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
     if head == "MERGE":
         return _exec_merge(spark, sql, tables, sources)
+    if head == "INSERT":
+        return _exec_insert(spark, sql, tables)
     if head == "UPDATE":
         m = _UPDATE_RE.match(sql)
         if not m:

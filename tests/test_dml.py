@@ -142,3 +142,29 @@ def test_update_where_api_type_stability(spark, tbl):
     tbl.update_where("k = 1", {"updated_at": "updated_at * 2.5"})
     assert dict(tbl.read().dtypes) == before
     assert _state(tbl)[1][1] == 2  # 2.5 cast back to long
+
+
+def test_sql_insert_into_values_and_select(spark, tbl):
+    execute_dml(
+        spark,
+        "INSERT INTO t VALUES (50, 'fifty', 9), (51, 'fiftyone', 9)",
+        tables={"t": tbl},
+    )
+    got = _state(tbl)
+    assert got[50] == ("fifty", 9) and got[51] == ("fiftyone", 9)
+    # SELECT form through a temp view, positionally aligned + cast
+    _mk(spark, [(60, "sixty", 1.5)], ("a", "b", "c")).createOrReplaceTempView(
+        "ins_src"
+    )
+    try:
+        execute_dml(
+            spark, "INSERT INTO t SELECT a, b, c FROM ins_src", tables={"t": tbl}
+        )
+    finally:
+        spark.catalog.dropTempView("ins_src")
+    assert _state(tbl)[60] == ("sixty", 1)  # 1.5 cast to target long
+    # width mismatch fails closed before any commit
+    v = tbl.latest_version()
+    with pytest.raises(ValueError, match="column count"):
+        execute_dml(spark, "INSERT INTO t SELECT 1, 'x'", tables={"t": tbl})
+    assert tbl.latest_version() == v

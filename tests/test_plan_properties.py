@@ -51,6 +51,10 @@ ALLOWED_BROADCAST_ARGS = {
     "query",
     "cand",
     "seeds",
+    # runtime_filters.bloom_probe: the Bloom map is <= N_WORDS entries
+    # (~8 KB) by construction, REGARDLESS of how many dim keys went in —
+    # bounded-broadcast is the operator's entire reason to exist
+    "bf",
     "cent",
     "cent_df",
     "lut",
