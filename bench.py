@@ -82,6 +82,7 @@ HEADLINE = [
     "duckdb_source_roundtrip", # Python DataSource warehouse round-trip
     "streaming_daily_sales_drain",  # multi-batch watermarked agg drain
     "streaming_scd2_drain",    # multi-batch SCD2 foreachBatch convergence
+    "lake_catalog_sql",        # named-catalog CREATE/MERGE/SELECT story
     "bloom_prejoin_lineitem",  # pure-Catalyst runtime Bloom semi-join
     "duplicate_span_coverage", # repeated-span token coverage (Lee et al.)
 ]

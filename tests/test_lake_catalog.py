@@ -1,0 +1,65 @@
+"""LakeCatalog: named txnlog tables + the catalog.sql entry point."""
+
+import pytest
+
+from end_to_end_data_lakehouse_pipeline_spark.sources.lake_catalog import (
+    LakeCatalog,
+)
+
+
+def _mk(spark, rows, cols=("k", "v", "updated_at")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = LakeCatalog(spark, str(tmp_path / "lake"))
+    c.create("t", _mk(spark, [(i, f"v{i}", 1) for i in range(10)]), stats_cols=("k",))
+    return c
+
+
+def test_create_table_list_drop(spark, cat):
+    assert cat.tables() == ["t"]
+    cat.create("u", _mk(spark, [(1, "a", 1)]))
+    assert cat.tables() == ["t", "u"]
+    with pytest.raises(ValueError):
+        cat.create("t")  # already exists
+    cat.drop("u")
+    assert cat.tables() == ["t"]
+    with pytest.raises(FileNotFoundError):
+        cat.table("u")
+
+
+def test_sql_select_and_dml_route(spark, cat):
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 10
+    v = cat.sql("DELETE FROM t WHERE k >= 8")
+    assert isinstance(v, int) and v == cat.table("t").latest_version()
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 8
+    cat.sql("INSERT INTO t VALUES (100, 'x', 2)")
+    got = {r.k for r in cat.sql("SELECT k FROM t").collect()}
+    assert 100 in got and 9 not in got
+
+
+def test_sql_version_as_of_time_travel(spark, cat):
+    cat.sql("UPDATE t SET v = 'NEW' WHERE k = 0")
+    now = cat.sql("SELECT v FROM t WHERE k = 0").collect()[0].v
+    old = cat.sql("SELECT v FROM t VERSION AS OF 1 WHERE k = 0").collect()[0].v
+    assert (now, old) == ("NEW", "v0")
+
+
+def test_fresh_instance_infers_stats_cols_from_log(spark, cat, tmp_path):
+    # a NEW catalog (new process analog) must keep writing k-stats so
+    # file-level merges stay pruned — the log is the only metadata store
+    fresh = LakeCatalog(spark, str(tmp_path / "lake"))
+    t = fresh.table("t")
+    assert t.stats_cols == ("k",)
+    t.append(_mk(spark, [(500, "late", 1)]), sort_by=["k"])
+    snap = t.snapshot()
+    newest = max(snap.items(), key=lambda kv: kv[1].get("bytes", 0))
+    assert any("k" in e.get("stats", {}) for e in snap.values())
+
+
+def test_invalid_names_rejected(spark, cat):
+    for bad in ("../escape", "a b", "x;y"):
+        with pytest.raises(ValueError):
+            cat.create(bad)
