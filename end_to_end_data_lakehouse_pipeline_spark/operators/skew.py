@@ -24,11 +24,15 @@ hot key = 5% of all rows at 10x, BASELINE.md for the table):
   sort-merge join went 3.3 s naive → 0.5 s with AQE skew-split (vs
   1.8 s salted). Keep ``spark.sql.adaptive.skewJoin`` on (session
   default) and don't salt these.
-- **N:M fact-fact hot keys need the salt**: AQE splits skewed
-  partitions by INPUT bytes, but a single hot key's join OUTPUT is
-  quadratic and lands on whichever split holds it — views⋈purchases
-  per user: 2.2 s naive, 1.8 s AQE, 1.6 s salted (and the gap widens
-  with the hot share²). This is ``salted_join``'s case.
+- **N:M fact-fact hot keys need the salt — until the output itself
+  explodes**: AQE splits skewed partitions by INPUT bytes, but a hot
+  key's join OUTPUT is quadratic and lands on whichever split holds it
+  — views⋈purchases per user at 10x: 2.2 s naive, 1.8 s AQE, 1.6 s
+  salted. At 100x the hot key emits ~2.7e10 pairs and NEITHER strategy
+  finishes — when the downstream is an aggregate of the cross product,
+  rewrite it algebraically (per-key count product: two linear aggs,
+  zero pair materialization; equality-certified in skew_rehearsal.py).
+  ``salted_join`` is for output-roughly-input-sized skewed joins.
 - **Decomposable aggregates self-heal**: hash-aggregate partials
   combine map-side, so the hot key reaches the reducer pre-reduced;
   plain groupBy beat ``salted_aggregate`` (0.53 s vs 0.87 s) even on

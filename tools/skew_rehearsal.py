@@ -114,7 +114,19 @@ def fact_fact_variants(spark, d: str):
             .agg(F.count(F.lit(1)).alias("n_pairs"))
         )
 
-    return {"naive": naive, "aqe": naive, "salted": salted}
+    def algebraic():
+        # the 100-TB-correct rewrite: a quadratic-OUTPUT hot key defeats
+        # every join strategy (AQE splits input, salt spreads input, but
+        # the pairs still get EMITTED); when the downstream only needs a
+        # per-key aggregate of the cross product, compute it from the
+        # per-side counts — two linear aggs, zero pair materialization.
+        v = views.groupBy("user_id").agg(F.count(F.lit(1)).alias("nv"))
+        b = buys.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+        return v.join(b, "user_id").select(
+            "user_id", (F.col("nv") * F.col("nb")).alias("n_pairs")
+        )
+
+    return {"naive": naive, "aqe": naive, "salted": salted, "algebraic": algebraic}
 
 
 def hot_agg_variants(spark, d: str):
@@ -146,8 +158,17 @@ SHAPES = {
 
 
 def main() -> None:
+    """Env knobs for big-factor runs: SKEW_VARIANTS (comma list, e.g.
+    'aqe,salted,algebraic' — naive fact_fact at 100x is output-quadratic
+    and will not finish), SKEW_CHECK=0 to skip the exceptAll equality
+    pass (itself join-output-sized), SKEW_SHAPES (comma list)."""
     skew_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfskew10"
     uniform_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale10"
+    only_variants = set(
+        v for v in os.environ.get("SKEW_VARIANTS", "").split(",") if v
+    )
+    only_shapes = set(v for v in os.environ.get("SKEW_SHAPES", "").split(",") if v)
+    do_check = os.environ.get("SKEW_CHECK", "1") != "0"
     spark = session.get_spark(
         "skew_rehearsal",
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
@@ -158,9 +179,13 @@ def main() -> None:
             continue
         results[label] = {}
         for shape, make in SHAPES.items():
+            if only_shapes and shape not in only_shapes:
+                continue
             variants = make(spark, d)
             out = {}
             for vname, fn in variants.items():
+                if only_variants and vname not in only_variants:
+                    continue
                 if vname == "aqe":
                     old = _set(spark, AQE_SKEW_CONF)
                     try:
@@ -180,11 +205,19 @@ def main() -> None:
             print(json.dumps({"dataset": label, "shape": shape, **out}))
     # correctness spot-check: salted results equal naive on the skewed set
     checks = {}
-    for shape, make in SHAPES.items():
-        variants = make(spark, skew_dir)
-        a = variants["naive"]().orderBy(*variants["naive"]().columns[:1])
-        b = variants["salted"]().orderBy(*variants["salted"]().columns[:1])
-        checks[shape] = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    if do_check:
+        for shape, make in SHAPES.items():
+            if only_shapes and shape not in only_shapes:
+                continue
+            variants = make(spark, skew_dir)
+            a = variants["naive"]().orderBy(*variants["naive"]().columns[:1])
+            b = variants["salted"]().orderBy(*variants["salted"]().columns[:1])
+            checks[shape] = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+            if "algebraic" in variants:
+                c = variants["algebraic"]().orderBy("user_id")
+                checks[shape + "_algebraic"] = (
+                    a.exceptAll(c).isEmpty() and c.exceptAll(a).isEmpty()
+                )
     payload = {"salted_equals_naive": checks, "results": results}
     out_path = os.environ.get("SKEW_REHEARSAL_OUT", "/tmp/skew_rehearsal.json")
     with open(out_path, "w") as f:
