@@ -85,6 +85,7 @@ HEADLINE = [
     "lake_catalog_sql",        # named-catalog CREATE/MERGE/SELECT story
     "bloom_prejoin_lineitem",  # pure-Catalyst runtime Bloom semi-join
     "duplicate_span_coverage", # repeated-span token coverage (Lee et al.)
+    "chunk_exact_dedup",       # aligned-window chunk dedup (one hash shuffle)
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -147,3 +147,88 @@ register(
     "duplicate-text-fraction signal as linear gram shuffles).",
     tags=("dedup", "llm", "text", "spans"),
 )(build_duplicate_span_coverage)
+
+
+# ---------------------------------------------------------------------------
+# chunk_exact_dedup — ALIGNED-window chunk dedup: split every doc into
+# fixed CHUNK_W-token windows (the unit a training pipeline actually
+# feeds the model), fingerprint each chunk, keep the first writer
+# (min (doc_id, chunk_idx) lexicographically). Complements
+# duplicate_span_coverage: spans find arbitrary-offset repetition, chunk
+# dedup is the cheap aligned variant a packing pipeline applies right
+# before tokenization — one md5 per chunk, one hash shuffle, no joins.
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 8  # tokens per chunk (testdata docs are short; prod 512-2048)
+
+CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+),
+c AS (
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(ceil(len(toks) / {CHUNK_W}.0) AS BIGINT) - 1))
+               AS chunk_idx,
+           toks
+    FROM t WHERE len(toks) > 0
+),
+f AS (
+    SELECT doc_id, chunk_idx,
+           md5(array_to_string(
+               list_slice(toks, chunk_idx * {CHUNK_W} + 1,
+                          chunk_idx * {CHUNK_W} + {CHUNK_W}), ' ')) AS fp,
+           len(list_slice(toks, chunk_idx * {CHUNK_W} + 1,
+                          chunk_idx * {CHUNK_W} + {CHUNK_W})) AS n_tokens
+    FROM c
+),
+w AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+    FROM f
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, fp,
+       CAST(n_tokens AS BIGINT) AS n_tokens, n_copies
+FROM w WHERE rn = 1
+"""
+
+
+def build_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    toks = tokens_col()
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_W))).cast("long")
+    c = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    ).filter(F.size("toks") > 0)
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * CHUNK_W + 1).cast("int"), CHUNK_W
+    )
+    f = c.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.concat_ws(" ", chunk)).alias("fp"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx", "fp", "n_tokens", "n_copies")
+    )
+
+
+register(
+    "chunk_exact_dedup",
+    oracle=CHUNK_DEDUP_ORACLE,
+    doc=f"Aligned {CHUNK_W}-token chunk dedup: md5 fingerprint per chunk, "
+    "first-writer winner + copy count per fingerprint — one hash "
+    "shuffle, the pre-tokenization packing-pipeline pass.",
+    tags=("dedup", "llm", "text", "chunks"),
+)(build_chunk_exact_dedup)

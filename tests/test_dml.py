@@ -168,3 +168,36 @@ def test_sql_insert_into_values_and_select(spark, tbl):
     with pytest.raises(ValueError, match="column count"):
         execute_dml(spark, "INSERT INTO t SELECT 1, 'x'", tables={"t": tbl})
     assert tbl.latest_version() == v
+
+
+def test_concurrent_sql_merges_serialize(spark, tmp_path):
+    """Two racing SQL MERGEs on disjoint key ranges: optimistic
+    concurrency retries the loser against the winner's snapshot, so BOTH
+    effects land (serializable outcome), no lost update."""
+    import threading
+
+    t = TransactionLogTable(spark, str(tmp_path / "r"), stats_cols=("k",))
+    t.append(_mk(spark, [(i, "v", 1) for i in range(20)]), sort_by=["k"])
+    errs = []
+
+    def run(lo, hi, tag):
+        try:
+            src = _mk(spark, [(k, tag, 2) for k in range(lo, hi)])
+            execute_dml(
+                spark,
+                "MERGE INTO r USING s ON r.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = s.v",
+                tables={"r": t},
+                sources={"s": src},
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    th1 = threading.Thread(target=run, args=(0, 5, "A"))
+    th2 = threading.Thread(target=run, args=(15, 20, "B"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    got = {r.k: r.v for r in t.read().collect()}
+    assert all(got[k] == "A" for k in range(0, 5))
+    assert all(got[k] == "B" for k in range(15, 20))
+    assert all(got[k] == "v" for k in range(5, 15))
