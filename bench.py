@@ -86,6 +86,7 @@ HEADLINE = [
     "bloom_prejoin_lineitem",  # pure-Catalyst runtime Bloom semi-join
     "duplicate_span_coverage", # repeated-span token coverage (Lee et al.)
     "chunk_exact_dedup",       # aligned-window chunk dedup (one hash shuffle)
+    "embedding_quantize_int8", # per-dim int8 quantization + recon error
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
@@ -105,8 +106,9 @@ HEAVY = [
     "copurchase_triangle_count",  # pair mining + triangle self-joins
     "term_pmi_top_pairs",      # vocab-capped co-occurrence PMI
     "pagerank_copurchase",     # 10-iteration power method on arc set
-    # round-4 addition
+    # round-4 additions
     "streaming_dedup_admission_drain",  # 3-batch gated admission (near-dup)
+    "bpe_train_merges",        # iterative tokenizer training (10 rounds)
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x

@@ -1,0 +1,146 @@
+"""Distributed BPE merge training — the tokenizer-construction step of
+an LLM data pipeline (Sennrich et al. 2016, public).
+
+``token_count_bpe`` (plans/text.py) APPLIES a BPE-ish tokenizer; this
+module TRAINS the merge table itself, the part that actually needs the
+corpus: start from characters, repeatedly merge the most frequent
+adjacent symbol pair. The distributed formulation:
+
+- the corpus collapses to the DISTINCT-WORD frequency table once (the
+  classic reduction — merge decisions depend only on word shapes and
+  counts, so all further work is vocabulary-sized, not corpus-sized);
+- each round: one weighted pair-count aggregate over the word table
+  (map-side combined, shuffle bounded by distinct adjacent pairs), a
+  1-row driver fetch of the winner (count DESC, pair ASC — total order,
+  deterministic), and a map-side left-to-right greedy rewrite of every
+  word's symbol array (an in-array ``F.aggregate`` fold — no shuffle);
+- per-round ``localCheckpoint`` + ``free_checkpoint`` keeps planning
+  O(1) and at most two word tables live (functions/iterate.py — the
+  same discipline as PageRank/components).
+
+Greedy left-to-right non-overlapping application matches the reference
+BPE semantics (tests verify against a pure-Python implementation).
+Iterative + driver-mediated -> registered rows-only (no SQL oracle);
+the pytest reference model is the correctness story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from ..functions.iterate import free_checkpoint
+from .registry import register
+from .text import tokens_col
+
+N_MERGES = 10
+END_OF_WORD = "_"  # appended marker so suffix merges differ from interior
+
+
+def _merge_pair_col(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right replacement of adjacent (left, right) with
+    the concatenated symbol — a sequential fold inside the array."""
+    merged = left + right
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(acc["pend"].isNull(), F.struct(acc["out"].alias("out"), x.alias("pend")))
+            .when(
+                (acc["pend"] == F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, acc0, step, fin)
+
+
+def train_bpe_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
+    """``words``: (word string, freq long) -> ordered merge table rows
+    [{rank, left, right, merged, pair_count}]. Stops early when no
+    adjacent pair repeats."""
+    syms = words.select(
+        F.split(F.concat(F.col("word"), F.lit(END_OF_WORD)), "").alias("syms"),
+        F.col("freq"),
+    ).localCheckpoint()
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            syms.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias("i", "a"),
+                F.col("syms"),
+                F.col("freq"),
+            )
+            .select(
+                F.col("a"),
+                F.element_at("syms", F.col("i") + 2).alias("b"),
+                F.col("freq"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(2).collect()
+        if not top or top[0]["n"] < 2:
+            break
+        w = top[0]
+        merges.append(
+            {
+                "rank": rank,
+                "left": w["a"],
+                "right": w["b"],
+                "merged": w["a"] + w["b"],
+                "pair_count": int(w["n"]),
+            }
+        )
+        superseded = syms
+        syms = syms.select(
+            _merge_pair_col(F.col("syms"), w["a"], w["b"]).alias("syms"),
+            F.col("freq"),
+        ).localCheckpoint()
+        free_checkpoint(superseded)
+    free_checkpoint(syms)
+    return merges
+
+
+def build_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    words = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    rows = train_bpe_merges(words)
+    schema = "rank long, left string, right string, merged string, pair_count long"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+register(
+    "bpe_train_merges",
+    oracle=None,  # iterative greedy, driver-mediated — rows-only; pytest
+    # verifies against a pure-Python reference BPE on fixed corpora
+    doc=f"Train {N_MERGES} BPE merges on the corpus: distinct-word freq "
+    "reduction, per-round weighted pair-count agg + deterministic winner "
+    "+ in-array greedy rewrite (localCheckpoint/free_checkpoint rounds).",
+    tags=("text", "llm", "iterative", "tokenizer"),
+)(build_bpe_train_merges)

@@ -1422,3 +1422,107 @@ register(
     "members); rows-only (iterative clustering).",
     tags=("similarity", "llm", "dedup", "iterative"),
 )(build_dedup_semantic_clusters)
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8 — symmetric per-dimension int8 quantization with
+# a per-vector reconstruction-error report: the storage/serving compression
+# step an ANN system applies before building its index (8x smaller than
+# float32, dot products in integer SIMD). Per dim: scale = max|v| (zero
+# dims guard to 1); code = clamp(round(v * 127 / scale)). All arithmetic
+# is forced to DOUBLE on both engines (FLOAT-typed math rounds differently
+# per engine), products/divisions are the bit-stable single-op shapes, and
+# the per-vector reductions run INSIDE the array (sequential, order-fixed)
+# so no shuffle order can perturb the sums. Linear: one dim-indexed agg
+# (bounded by dimensionality) + one broadcast of the scale vector.
+# ---------------------------------------------------------------------------
+
+QUANTIZE_INT8_ORACLE = """
+WITH s AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+),
+d AS (
+    SELECT unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM s
+),
+mx AS (
+    SELECT i,
+           CASE WHEN MAX(ABS(v)) = 0 THEN 1.0 ELSE MAX(ABS(v)) END AS m
+    FROM d GROUP BY i
+),
+scales AS (SELECT list(m ORDER BY i) AS ms FROM mx),
+q AS (
+    SELECT vec_id, emb, ms,
+           list_transform(generate_series(1, len(emb)), i ->
+               GREATEST(-127, LEAST(127,
+                   CAST(ROUND(emb[i] * 127 / ms[i], 0) AS BIGINT)))) AS codes
+    FROM s, scales
+)
+SELECT vec_id,
+       CAST(len(emb) AS BIGINT) AS n_dims,
+       CAST(list_sum(list_transform(codes, c -> ABS(c))) AS BIGINT) AS q_l1,
+       CAST(list_max(list_transform(codes, c -> ABS(c))) AS BIGINT) AS q_max,
+       ROUND(list_sum(list_transform(generate_series(1, len(emb)), i ->
+                 (emb[i] - codes[i] * ms[i] / 127)
+                 * (emb[i] - codes[i] * ms[i] / 127)))
+             / len(emb), 6) AS recon_mse
+FROM q
+"""
+
+
+def build_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    s = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    d = s.select(F.posexplode("emb").alias("i0", "v"))
+    mx = d.groupBy("i0").agg(
+        F.when(F.max(F.abs(F.col("v"))) == 0, F.lit(1.0))
+        .otherwise(F.max(F.abs(F.col("v"))))
+        .alias("m")
+    )
+    scales = mx.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i0", "m"))), lambda st: st["m"]
+        ).alias("ms")
+    )
+    q = s.crossJoin(F.broadcast(scales))
+    codes = F.zip_with(
+        "emb",
+        "ms",
+        lambda v, m: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.round(v * 127 / m, 0).cast("long"),
+            ),
+        ),
+    )
+    q = q.withColumn("codes", codes)
+    recon = F.zip_with(
+        "emb",
+        F.zip_with("codes", "ms", lambda c, m: c * m / 127).alias("r"),
+        lambda v, r: (v - r) * (v - r),
+    )
+    return q.select(
+        "vec_id",
+        F.size("emb").cast("long").alias("n_dims"),
+        F.aggregate(
+            F.transform("codes", F.abs), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_l1"),
+        F.array_max(F.transform("codes", F.abs)).alias("q_max"),
+        F.round(
+            F.aggregate(recon, F.lit(0.0), lambda a, x: a + x) / F.size("emb"), 6
+        ).alias("recon_mse"),
+    )
+
+
+register(
+    "embedding_quantize_int8",
+    oracle=QUANTIZE_INT8_ORACLE,
+    doc="Symmetric per-dim int8 quantization of the embedding corpus with "
+    "per-vector code stats + reconstruction MSE (double-forced, in-array "
+    "order-fixed reductions; dim-bounded scale broadcast).",
+    tags=("similarity", "llm", "quantization"),
+)(build_embedding_quantize_int8)

@@ -42,6 +42,16 @@ _DML_HEADS = {"MERGE", "INSERT", "UPDATE", "DELETE"}
 _VERSION_AS_OF = re.compile(
     r"\b(?P<name>\w+)\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)", re.IGNORECASE
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)"
+    r"(?:\s+STATS\s+ON\s*\((?P<stats>[^)]*)\))?"
+    r"\s+AS\s+(?P<select>SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class LakeCatalog:
@@ -121,6 +131,30 @@ class LakeCatalog:
         version (int); reads return the DataFrame from ``spark.sql``
         over current-snapshot views (+ ``VERSION AS OF`` pins)."""
         head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
+        if head == "CREATE":
+            m = _CTAS_RE.match(text)
+            if not m:
+                raise ValueError(
+                    f"only CREATE TABLE <name> [STATS ON (cols)] AS SELECT "
+                    f"is supported; got {text!r}"
+                )
+            for n in self.tables():
+                self.table(n).read().createOrReplaceTempView(n)
+            df = self.spark.sql(m.group("select"))
+            stats = tuple(
+                c.strip() for c in (m.group("stats") or "").split(",") if c.strip()
+            )
+            self.create(m.group("name"), df, stats_cols=stats)
+            return self.table(m.group("name")).latest_version() or 0
+        if head == "DROP":
+            m = _DROP_RE.match(text)
+            if not m:
+                raise ValueError(f"unparseable DROP TABLE: {text!r}")
+            if self.exists(m.group("name")):
+                self.drop(m.group("name"))
+            elif "IF EXISTS" not in text.upper():
+                raise FileNotFoundError(f"no table {m.group('name')!r}")
+            return 0
         if head in _DML_HEADS:
             return execute_dml(
                 self.spark, text, tables={n: self.table(n) for n in self.tables()}

@@ -63,3 +63,22 @@ def test_invalid_names_rejected(spark, cat):
     for bad in ("../escape", "a b", "x;y"):
         with pytest.raises(ValueError):
             cat.create(bad)
+
+
+def test_sql_create_table_as_and_drop(spark, cat):
+    v = cat.sql(
+        "CREATE TABLE big STATS ON (k) AS SELECT k, v FROM t WHERE k >= 5"
+    )
+    assert v == 1 and "big" in cat.tables()
+    assert cat.sql("SELECT COUNT(*) AS n FROM big").collect()[0].n == 5
+    # inferred stats power file-level ops on the new table
+    assert cat.table("big").stats_cols == ("k",)
+    cat.sql("DELETE FROM big WHERE k = 5")
+    assert cat.sql("SELECT COUNT(*) AS n FROM big").collect()[0].n == 4
+    with pytest.raises(ValueError):
+        cat.sql("CREATE TABLE big AS SELECT 1")  # duplicate via create()
+    cat.sql("DROP TABLE big")
+    assert "big" not in cat.tables()
+    cat.sql("DROP TABLE IF EXISTS big")  # no-op
+    with pytest.raises(FileNotFoundError):
+        cat.sql("DROP TABLE big")
