@@ -87,6 +87,7 @@ HEADLINE = [
     "duplicate_span_coverage", # repeated-span token coverage (Lee et al.)
     "chunk_exact_dedup",       # aligned-window chunk dedup (one hash shuffle)
     "embedding_quantize_int8", # per-dim int8 quantization + recon error
+    "span_top_repeats",        # boilerplate report: top repeated spans
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

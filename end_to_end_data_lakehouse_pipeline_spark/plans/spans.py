@@ -232,3 +232,62 @@ register(
     "shuffle, the pre-tokenization packing-pipeline pass.",
     tags=("dedup", "llm", "text", "chunks"),
 )(build_chunk_exact_dedup)
+
+
+# ---------------------------------------------------------------------------
+# span_top_repeats — the boilerplate REPORT: the most repeated K-token
+# spans across the corpus, with distinct-doc counts. This is what a
+# curation engineer actually reads before choosing removal thresholds
+# (license headers, navigation chrome, quoted templates float to the
+# top). Deterministic top-k: occurrences DESC, docs DESC, gram ASC.
+# ---------------------------------------------------------------------------
+
+TOP_REPEATS_K = 20
+
+SPAN_TOP_REPEATS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, unnest({_sql_pos_grams('toks')}) AS gram
+    FROM t WHERE len(toks) >= {SPAN_K}
+),
+c AS (
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT gram, n_occurrences, n_docs
+FROM c
+ORDER BY n_occurrences DESC, n_docs DESC, gram ASC
+LIMIT {TOP_REPEATS_K}
+"""
+
+
+def build_span_top_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    g = docs.select(
+        "doc_id", F.explode(pos_grams_col(tokens_col())).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("gram"))
+        .limit(TOP_REPEATS_K)
+    )
+
+
+register(
+    "span_top_repeats",
+    oracle=SPAN_TOP_REPEATS_ORACLE,
+    doc=f"Top-{TOP_REPEATS_K} most repeated {SPAN_K}-token spans with "
+    "distinct-doc counts (the boilerplate report; deterministic "
+    "total-order top-k).",
+    tags=("dedup", "llm", "text", "spans"),
+)(build_span_top_repeats)

@@ -842,6 +842,58 @@ class TransactionLogTable:
             f"compact lost the commit race {max_retries} times at {self.path}"
         )
 
+    def layout_report(self, col: str | None = None) -> dict:
+        """Layout/clustering audit over the current snapshot — what an
+        OPTIMIZE decision needs, computed from log metadata only (no data
+        read, O(F log F) driver work — the same envelope as log replay):
+
+        - file-count and byte-size distribution (small files poison scan
+          planning: one task per file);
+        - for ``col`` (default: the leading stats column): the fraction
+          of files whose [min,max] range overlaps at least one other
+          file's range, via a sorted interval sweep. 0.0 = perfectly
+          clustered (range-pruning touches the minimum possible file
+          set); near 1.0 = ranges interleave and stats pruning degrades
+          to full scans — run compact()/Z-order.
+        """
+        snap = self.snapshot()
+        sizes = sorted(e.get("bytes", 0) for e in snap.values())
+        n = len(sizes)
+        report: dict = {
+            "n_files": n,
+            "total_bytes": sum(sizes),
+            "p50_bytes": sizes[n // 2] if n else 0,
+            "max_bytes": sizes[-1] if n else 0,
+        }
+        col = col or (self.stats_cols[0] if self.stats_cols else None)
+        if col is not None:
+            ranges = sorted(
+                (e["stats"][col]["min"], e["stats"][col]["max"])
+                for e in snap.values()
+                if e.get("stats", {}).get(col) is not None
+            )
+            overlapping = 0
+            prev_max = None
+            prev_overlapped = False
+            for lo, hi in ranges:
+                if prev_max is not None and lo <= prev_max:
+                    overlapping += 1 + (not prev_overlapped)
+                    prev_overlapped = True
+                else:
+                    prev_overlapped = False
+                prev_max = hi if prev_max is None else max(prev_max, hi)
+            report.update(
+                {
+                    "stats_col": col,
+                    "n_ranged_files": len(ranges),
+                    "n_overlapping_files": overlapping,
+                    "overlap_fraction": (
+                        round(overlapping / len(ranges), 4) if ranges else 0.0
+                    ),
+                }
+            )
+        return report
+
     def vacuum(self, retain_versions: int = 0, retention_seconds: float = 3600.0) -> int:
         """Delete data files referenced by NO snapshot in the retained
         window [latest-retain, latest] — crash orphans and files removed

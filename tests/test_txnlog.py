@@ -550,3 +550,19 @@ def test_read_changes_across_schema_evolution(spark, tbl):
     assert (1, "insert") in by and by[(1, "insert")]["new_col"] == "x"
     assert (2, "insert") in by and by[(2, "insert")]["new_col"] == "y"
     assert len(changes) == 3
+
+
+def test_layout_report_overlap_metric(spark, tmp_path):
+    t = TransactionLogTable(spark, str(tmp_path / "lay"), stats_cols=("k",))
+    # disjoint sorted appends: perfectly clustered
+    t.append(_mk(spark, [(i, "a", 1) for i in range(0, 50)]), sort_by=["k"], n_files=2)
+    t.append(_mk(spark, [(i, "a", 1) for i in range(100, 150)]), sort_by=["k"], n_files=2)
+    rep = t.layout_report()
+    assert rep["n_files"] == 4 and rep["stats_col"] == "k"
+    assert rep["overlap_fraction"] == 0.0
+    # an append interleaving the whole key range degrades clustering
+    t.append(_mk(spark, [(i, "b", 2) for i in range(0, 150, 3)]), n_files=1)
+    rep2 = t.layout_report()
+    assert rep2["n_overlapping_files"] == 5  # the wide file + all 4 others
+    assert rep2["overlap_fraction"] == 1.0
+    assert rep2["total_bytes"] > 0 and rep2["p50_bytes"] <= rep2["max_bytes"]
