@@ -88,6 +88,7 @@ HEADLINE = [
     "chunk_exact_dedup",       # aligned-window chunk dedup (one hash shuffle)
     "embedding_quantize_int8", # per-dim int8 quantization + recon error
     "span_top_repeats",        # boilerplate report: top repeated spans
+    "user_pair_stats_algebraic",  # cross-product aggs w/o pair materialization
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

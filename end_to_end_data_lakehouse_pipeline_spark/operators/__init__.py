@@ -1,3 +1,3 @@
 """Reusable scale operators: skew mitigation (salting), two-phase aggs."""
 
-from .skew import salted_aggregate, salted_join  # noqa: F401
+from .skew import crossproduct_aggregate, salted_aggregate, salted_join  # noqa: F401

@@ -104,3 +104,35 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return salted_left.join(replicated, [on, "_salt"], how).drop("_salt")
+
+
+def crossproduct_aggregate(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Per-key aggregates over the (left x right) MATCH SET without ever
+    materializing the pairs — the algebraic rewrite the round-4 100x
+    rehearsal proved necessary: a hot key's cross product is quadratic
+    OUTPUT, which neither AQE skew-split nor salting reduces (they
+    spread input). Any separable pair function f(l)*g(r) factors:
+
+        sum over pairs f(l)*g(r)  =  (sum_l f) * (sum_r g)   per key
+
+    so pair-count is n_l*n_r (f=g=1), pair value-product sums are
+    product-of-sums, etc. ``aggs`` maps output column -> (left SQL expr,
+    right SQL expr); use '1' for counts. Cost: two linear map-side-
+    combined aggregates + one key join — hot keys arrive pre-reduced to
+    ONE row per side. Inner-match semantics (keys present on both
+    sides), matching ``left.join(right, on)``.
+    """
+    lagg = left.groupBy(on).agg(
+        *[F.sum(F.expr(lf)).alias(f"_l_{o}") for o, (lf, _rf) in aggs.items()]
+    )
+    ragg = right.groupBy(on).agg(
+        *[F.sum(F.expr(rf)).alias(f"_r_{o}") for o, (_lf, rf) in aggs.items()]
+    )
+    return lagg.join(ragg, on).select(
+        on, *[(F.col(f"_l_{o}") * F.col(f"_r_{o}")).alias(o) for o in aggs]
+    )

@@ -497,6 +497,54 @@ def build_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(left, right, "o_custkey", n_salts=8, how="left")
 
 
+CROSSPRODUCT_PAIRS_ORACLE = """
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(ROUND(v.value * 100, 0) AS BIGINT)
+                * CAST(ROUND(p.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_product_sum
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+GROUP BY v.user_id
+"""
+
+
+def build_user_pair_stats_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.crossproduct_aggregate in the oracle-checked
+    surface: per-user view x purchase pair count and pair value-product
+    sum, computed WITHOUT materializing pairs (product-of-sums identity;
+    exact integer cents). The oracle is the LITERAL pair join — equality
+    is the algebra's proof, and at 100 TB this formulation is the only
+    one that survives a hot user (BASELINE.md round-4 100x rehearsal:
+    the literal join emits ~2.7e10 pairs on one key and never finishes)."""
+    from ..operators import crossproduct_aggregate
+
+    ev = spread(table(spark, sf_dir, "events"), spark).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    return crossproduct_aggregate(
+        views,
+        buys,
+        "user_id",
+        {"n_pairs": ("1", "1"), "value_product_sum": ("cents", "cents")},
+    )
+
+
+register(
+    "user_pair_stats_algebraic",
+    oracle=CROSSPRODUCT_PAIRS_ORACLE,
+    doc="Per-key cross-product aggregates via the product-of-sums "
+    "identity (no pair materialization - the only formulation that "
+    "survives a quadratic-output hot key); oracle is the literal join.",
+    tags=("join", "skew", "algebraic"),
+)(build_user_pair_stats_algebraic)
+
+
 register(
     "salted_customer_join",
     oracle=SALTED_JOIN_ORACLE,

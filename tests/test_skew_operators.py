@@ -55,3 +55,34 @@ def test_salted_join_equals_plain(spark, skewed, how):
 def test_salted_aggregate_rejects_nondecomposable(spark, skewed):
     with pytest.raises(ValueError):
         salted_aggregate(skewed, ["k"], {"a": ("v", "avg")})
+
+
+def test_crossproduct_aggregate_equals_literal_join(spark):
+    from end_to_end_data_lakehouse_pipeline_spark.operators import (
+        crossproduct_aggregate,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 5), (3, 7)], ["k", "x"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (4, 40)], ["k", "y"]
+    )
+    got = {
+        r.k: (r.n_pairs, r.xy_sum)
+        for r in crossproduct_aggregate(
+            left, right, "k", {"n_pairs": ("1", "1"), "xy_sum": ("x", "y")}
+        ).collect()
+    }
+    lit = (
+        left.join(right, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x") * F.col("y")).alias("s"),
+        )
+    )
+    want = {r.k: (r.n, r.s) for r in lit.collect()}
+    assert got == want
+    assert got[1] == (4, (2 + 3) * (10 + 20))  # product-of-sums identity
+    assert 3 not in got and 4 not in got  # inner-match semantics
