@@ -1,0 +1,191 @@
+"""Mergeable-sketch operators: Count-Min term counts and HLL cardinality.
+
+Two classic streaming/sketch summaries re-expressed as Spark aggregates
+(reference parity: the engine's approximate-query surface; extension family
+alongside heavy_hitter_terms' Misra-Gries in plans/mining.py):
+
+- **Count-Min** (Cormode & Muthukrishnan 2005): D independent hash rows x
+  W buckets of additive counters. Built here FROM the term-frequency
+  vector (sum of freqs per (row, bucket)) which is algebraically identical
+  to streaming increments but rides one map-side-combined hash aggregate —
+  the sketch is D*W cells regardless of corpus size, so at 100 TB it is a
+  broadcastable 2 KB..2 MB summary and the build is one shuffle of the
+  (already small) distinct-term vector. Estimates are min over rows; CMS
+  never underestimates, so ``overestimate >= 0`` is an invariant the
+  oracle checks row by row.
+- **HLL** via Spark's ``approx_count_distinct`` (HLL++, Heule 2013). The
+  raw estimate is engine-specific, so the registered output exposes the
+  EXACT cardinality plus a ``within_tol`` self-measurement boolean (|approx
+  - exact| <= 10% of exact at rsd=0.02 — a >5-sigma bound, deterministic
+  TRUE on both engines); the DuckDB twin asserts the same contract.
+
+Hash parity with the oracle follows plans/dedup.py:308: md5 hex -> first 8
+hex chars -> BIGINT (``F.conv`` on the Spark side, digit fold in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from .registry import register
+from .text import _sql_tokens, tokens_col
+
+CMS_ROWS = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 20
+
+
+def _hex8_sql(h: str, off: int = 1) -> str:
+    """DuckDB: parse 8 hex chars of md5 text at 1-based offset into BIGINT."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(0, 7), i -> "
+        f"CAST(strpos('0123456789abcdef', substr({h}, {off} + i, 1)) - 1 AS BIGINT) "
+        f"* (CAST(1 AS BIGINT) << (4 * (7 - i))))) AS BIGINT)"
+    )
+
+
+def _bucket_col(row: int, term_col: str = "term") -> Column:
+    """Spark: CMS bucket of `term` for hash row `row` (md5 parity)."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), F.col(term_col)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+
+
+# ---------------------------------------------------------------------------
+# countmin_term_counts — CMS build + top-K estimate-vs-exact error report.
+# ---------------------------------------------------------------------------
+
+COUNTMIN_ORACLE = f"""
+WITH tok AS (
+    SELECT lower(unnest({_sql_tokens()})) AS term FROM documents
+),
+wc AS (
+    SELECT term, COUNT(*) AS freq FROM tok GROUP BY term
+),
+probes AS (
+    SELECT term, freq, r,
+           {_hex8_sql("md5(CAST(r AS VARCHAR) || ':' || term)")} % {CMS_WIDTH} AS bucket
+    FROM wc, (SELECT unnest(generate_series(0, {CMS_ROWS - 1})) AS r)
+),
+sketch AS (
+    SELECT r, bucket, CAST(SUM(freq) AS BIGINT) AS counter
+    FROM probes GROUP BY r, bucket
+),
+top AS (
+    SELECT term, freq FROM wc ORDER BY freq DESC, term LIMIT {CMS_TOP_K}
+),
+est AS (
+    SELECT t.term, t.freq, MIN(s.counter) AS cms
+    FROM top t
+    JOIN probes p ON p.term = t.term
+    JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY t.term, t.freq
+)
+SELECT term,
+       freq AS exact_freq,
+       cms AS cms_estimate,
+       cms - freq AS overestimate
+FROM est
+ORDER BY exact_freq DESC, term
+"""
+
+
+def build_countmin_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(F.explode(tokens_col()).alias("t")).select(
+        F.lower("t").alias("term")
+    )
+    wc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+
+    # Sketch: D (row, bucket) cells per distinct term, summed. posexplode of a
+    # D-wide bucket array keeps it ONE pass over the term vector.
+    probes = wc.select(
+        "term",
+        "freq",
+        F.posexplode(
+            F.array(*[_bucket_col(r).cast("long") for r in range(CMS_ROWS)])
+        ).alias("r", "bucket"),
+    )
+    sketch = probes.groupBy("r", "bucket").agg(F.sum("freq").alias("counter"))
+
+    top = wc.orderBy(F.desc("freq"), "term").limit(CMS_TOP_K)
+
+    est = (
+        top.join(probes.select("term", "r", "bucket"), "term")
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term", "freq")
+        .agg(F.min("counter").alias("cms"))
+    )
+    return est.select(
+        "term",
+        F.col("freq").alias("exact_freq"),
+        F.col("cms").alias("cms_estimate"),
+        (F.col("cms") - F.col("freq")).alias("overestimate"),
+    ).orderBy(F.desc("exact_freq"), "term")
+
+
+register(
+    "countmin_term_counts",
+    oracle=COUNTMIN_ORACLE,
+    doc="Count-Min sketch (4x512, md5-parity hashing) built from the "
+    "term-frequency vector in one map-side-combined aggregate; top-20 "
+    "estimate-vs-exact error report. Sketch is O(D*W) cells — broadcast "
+    "size at any corpus scale; overestimate >= 0 invariant.",
+    tags=("sketch", "text", "llm", "evaluation"),
+)(build_countmin_term_counts)
+
+
+# ---------------------------------------------------------------------------
+# hll_vocab_report — per-source exact vocabulary + HLL self-measurement.
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.02
+HLL_TOL = 0.10
+
+HLL_ORACLE = f"""
+WITH tok AS (
+    SELECT source, lower(unnest({_sql_tokens()})) AS term FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_vocab,
+       TRUE AS within_tol
+FROM tok
+GROUP BY source
+ORDER BY source
+"""
+
+
+def build_hll_vocab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select("source", F.explode(tokens_col()).alias("t")).select(
+        "source", F.lower("t").alias("term")
+    )
+    agg = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("exact_vocab"),
+        F.approx_count_distinct("term", rsd=HLL_RSD).alias("approx_vocab"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "exact_vocab",
+        (
+            F.abs(F.col("approx_vocab") - F.col("exact_vocab"))
+            <= F.col("exact_vocab") * F.lit(HLL_TOL)
+        ).alias("within_tol"),
+    ).orderBy("source")
+
+
+register(
+    "hll_vocab_report",
+    oracle=HLL_ORACLE,
+    doc="Per-source vocabulary cardinality: exact distinct + HLL++ "
+    "(approx_count_distinct rsd=0.02) self-measurement — the registered "
+    "output carries the exact count and a 10%-tolerance boolean (>5-sigma "
+    "bound, deterministically TRUE), so the engine-specific raw estimate "
+    "never enters the cross-engine hash. At 100 TB the HLL side is the "
+    "one that stays one pass / fixed memory; the exact side is the audit.",
+    tags=("sketch", "text", "llm", "approx"),
+)(build_hll_vocab_report)
