@@ -1,0 +1,75 @@
+"""Distributed ranking, equi-depth histogram, and Pareto skyline tests."""
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_lakehouse_pipeline_spark.catalog import table
+from end_to_end_data_lakehouse_pipeline_spark.functions.ranking import (
+    global_row_number,
+    ntile_from_rank,
+)
+from end_to_end_data_lakehouse_pipeline_spark.plans.distribution import (
+    N_BUCKETS,
+    build_equidepth_histogram_orders,
+    build_pareto_frontier_parts,
+)
+
+
+def test_global_row_number_is_exact_permutation(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, total = global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], num_partitions=7
+    )
+    assert total == orders.count()
+    rns = [r.rn for r in ranked.select("rn").collect()]
+    assert sorted(rns) == list(range(1, total + 1))
+    # rank order == sort order
+    rows = ranked.orderBy("rn").collect()
+    keys = [(r.o_totalprice, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_global_row_number_stable_across_actions(spark, sf_dir):
+    # Regression: partition-id offsets drifted between jobs under AQE;
+    # value-defined buckets must give identical ranks on re-execution.
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, _ = global_row_number(orders, ["o_totalprice", "o_orderkey"])
+    a = {r.o_orderkey: r.rn for r in ranked.collect()}
+    b = {r.o_orderkey: r.rn for r in ranked.collect()}
+    assert a == b
+
+
+def test_ntile_formula_matches_sql_semantics(spark):
+    # 10 rows into 3 buckets -> sizes 4, 3, 3 (first total%n get q+1).
+    df = spark.range(1, 11).select((F.col("id")).alias("rn"))
+    out = df.select("rn", ntile_from_rank(F.col("rn"), 10, 3).alias("b")).collect()
+    got = {r.rn: r.b for r in out}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3, 10: 3}
+
+
+def test_equidepth_bucket_sizes_differ_by_at_most_one(spark, sf_dir):
+    rows = build_equidepth_histogram_orders(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, N_BUCKETS + 1))
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # buckets tile the value range in order
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_total <= hi.min_total
+
+
+def test_pareto_frontier_dominance(spark, sf_dir, duck):
+    rows = build_pareto_frontier_parts(spark, sf_dir).collect()
+    assert rows
+    # NOT EXISTS probe: no part strictly dominates any frontier point.
+    for r in rows:
+        dominated = duck.execute(
+            """
+            SELECT COUNT(*) FROM part
+            WHERE p_retailprice <= ? AND p_size >= ?
+              AND (p_retailprice < ? OR p_size > ?)
+            """,
+            [r.price, r.size, r.price, r.size],
+        ).fetchone()[0]
+        assert dominated == 0, (r, dominated)
+    # frontier is strictly increasing in size as price increases
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.price < hi.price and lo.size < hi.size
