@@ -414,3 +414,137 @@ register(
     "accumulation; overflow-safe past bigint).",
     tags=("timeseries", "window", "anomaly"),
 )(build_cusum_changepoint)
+
+
+# ---------------------------------------------------------------------------
+# interpolate_purchase_daily — linear interpolation of per-user daily gaps.
+# The missing-value imputation operator every feature/training pipeline
+# needs: per-entity day spine + two running windows (last/next non-null)
+# — everything partitions by the entity key, so at 100 TB this is one
+# shuffle on user_id and per-user state, never a global pass. The spine
+# explode is bounded by each user's own [min_day, max_day] span.
+# ---------------------------------------------------------------------------
+
+INTERPOLATE_ORACLE = """
+WITH obs AS (
+    SELECT user_id,
+           CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS vc
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+    FROM obs GROUP BY user_id
+),
+j AS (
+    SELECT s.user_id, s.day, o.vc,
+           CASE WHEN o.vc IS NOT NULL THEN s.day END AS od
+    FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+),
+f AS (
+    SELECT user_id, day, vc,
+           last_value(vc IGNORE NULLS) OVER w1 AS pv,
+           last_value(od IGNORE NULLS) OVER w1 AS pd,
+           first_value(vc IGNORE NULLS) OVER w2 AS nv,
+           first_value(od IGNORE NULLS) OVER w2 AS nd
+    FROM j
+    WINDOW w1 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+-- interpolation entirely in integer cents: numer/d2 rounded half-up via
+-- (2*numer + d2) // (2*d2) — bit-identical across engines, no double
+-- rounding at .xx5 boundaries
+g AS (
+    SELECT user_id, day, vc,
+           pv * date_diff('day', pd, nd) + (nv - pv) * date_diff('day', pd, day) AS numer,
+           date_diff('day', pd, nd) AS d2
+    FROM f
+)
+SELECT user_id, day,
+       CAST(CASE WHEN vc IS NOT NULL THEN vc
+                 ELSE (2 * numer + d2) // (2 * d2)
+            END AS DOUBLE) / 100.0 AS value_filled,
+       vc IS NULL AS is_interpolated
+FROM g
+ORDER BY user_id, day
+"""
+
+
+def build_interpolate_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import scaled_long
+
+    events = spread(table(spark, sf_dir, "events"), spark)
+    obs = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(scaled_long("value")).alias("vc"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "vc",
+        F.when(F.col("vc").isNotNull(), F.col("day")).alias("od"),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    f = j.select(
+        "user_id",
+        "day",
+        "vc",
+        F.last("vc", ignorenulls=True).over(w1).alias("pv"),
+        F.last("od", ignorenulls=True).over(w1).alias("pd"),
+        F.first("vc", ignorenulls=True).over(w2).alias("nv"),
+        F.first("od", ignorenulls=True).over(w2).alias("nd"),
+    )
+    # all-integer interpolation: cents = round_half_up(numer / d2) done as
+    # (2*numer + d2) div (2*d2) — bit-identical to the oracle, no double
+    # rounding at .xx5 boundaries
+    d1 = F.datediff("day", "pd").cast("long")
+    d2 = F.datediff("nd", "pd").cast("long")
+    numer = F.col("pv") * d2 + (F.col("nv") - F.col("pv")) * d1
+    num2 = F.lit(2) * numer + d2
+    den2 = F.lit(2) * d2
+    cents = ((num2 - num2 % den2) / den2).cast("long")
+    return f.select(
+        "user_id",
+        "day",
+        (
+            F.when(F.col("vc").isNotNull(), F.col("vc"))
+            .otherwise(cents)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("value_filled"),
+        F.col("vc").isNull().alias("is_interpolated"),
+    ).orderBy("user_id", "day")
+
+
+register(
+    "interpolate_purchase_daily",
+    oracle=INTERPOLATE_ORACLE,
+    doc="Missing-value imputation: per-user daily purchase series, gap "
+    "days filled by linear interpolation between neighboring observations "
+    "(last/next-non-null running windows, all partitioned by user_id — "
+    "one shuffle at any scale). Endpoints are observed by construction "
+    "(spine spans each user's own min..max).",
+    tags=("timeseries", "window", "impute"),
+)(build_interpolate_purchase_daily)
