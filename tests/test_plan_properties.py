@@ -80,6 +80,12 @@ ALLOWED_BROADCAST_ARGS = {
     # replay holds driver-side. The join's BIG side is `updates`.
     "ranges_df",
     "bins",  # PSI bin grid: spark.range(_PSI_BINS) — 10 literal rows
+    "scales",  # int8 quantization per-dimension scales — EMB_DIM rows
+    "sketch",  # Count-Min counters — at most CMS_ROWS*CMS_WIDTH cells
+    # Pareto frontier: strictly increasing in BOTH dims, so its size is
+    # bounded by min(|price grid|, |size domain|) — domain-, not
+    # data-proportional
+    "fr",
 }
 
 FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}
