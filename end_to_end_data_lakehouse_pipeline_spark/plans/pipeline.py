@@ -1400,3 +1400,195 @@ register(
     "TakeOrderedAndProject top-K (no full sort).",
     tags=("pipeline", "llm", "sampling"),
 )(build_weighted_priority_sample)
+
+
+# ---------------------------------------------------------------------------
+# media_resize_report / media_frame_sample_report — the remaining two
+# multimodal plumbing shapes (block-average "resize", every-Nth "frame
+# sampling") as DRIVER-CHECKED queries, same trick as
+# multimodal_byte_stats: payloads are utf-8 encodes of the ASCII corpus,
+# so DuckDB reproduces the byte math from ord() + list slicing while the
+# Spark side runs the real binary pipeline (Arrow-batched mapInPandas,
+# numpy reshape — no Python row loop). Mirrors multimodal/columns.py
+# resize_images / frame_sample, which stay the genuine binary-decode
+# entry points (import-gated stubs for actual codecs).
+# ---------------------------------------------------------------------------
+
+RESIZE_BLOCK = 16
+FRAME_BYTES = 32
+FRAME_EVERY = 4
+
+MEDIA_RESIZE_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)) AS codes
+    FROM documents
+    WHERE length(text) >= {RESIZE_BLOCK}
+),
+r AS (
+    SELECT doc_id,
+           len(codes) // {RESIZE_BLOCK} AS n_blocks,
+           list_transform(
+               generate_series(1, len(codes) // {RESIZE_BLOCK}),
+               i -> list_sum(codes[((i - 1) * {RESIZE_BLOCK} + 1):(i * {RESIZE_BLOCK})])
+           ) AS blocks
+    FROM b
+)
+SELECT doc_id,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(blocks[1] AS BIGINT) AS first_block_sum,
+       CAST(list_max(blocks) AS BIGINT) AS max_block_sum,
+       CAST(list_sum(blocks) AS DOUBLE) / n_blocks AS mean_block_sum
+FROM r
+"""
+
+
+def build_media_resize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = spread(table(spark, sf_dir, "documents"), spark).filter(
+        F.length("text") >= RESIZE_BLOCK
+    )
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_blocks", T.LongType(), True),
+            T.StructField("first_block_sum", T.LongType(), True),
+            T.StructField("max_block_sum", T.LongType(), True),
+            T.StructField("mean_block_sum", T.DoubleType(), True),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_blocks, first_s, max_s, mean_s = [], [], [], []
+            for payload in pdf["payload"]:
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nb = len(a) // RESIZE_BLOCK
+                blocks = (
+                    a[: nb * RESIZE_BLOCK]
+                    .reshape(nb, RESIZE_BLOCK)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                n_blocks.append(nb)
+                first_s.append(int(blocks[0]))
+                max_s.append(int(blocks.max()))
+                mean_s.append(float(blocks.sum(dtype=np.int64)) / nb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_blocks": pd.Series(n_blocks, dtype="int64"),
+                    "first_block_sum": pd.Series(first_s, dtype="int64"),
+                    "max_block_sum": pd.Series(max_s, dtype="int64"),
+                    "mean_block_sum": pd.Series(mean_s, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=schema)
+
+
+register(
+    "media_resize_report",
+    oracle=MEDIA_RESIZE_ORACLE,
+    doc="Block-average 'resize' over binary payloads (Arrow-batched "
+    "mapInPandas, numpy reshape) with an exact cross-engine oracle via "
+    "ASCII byte==codepoint list slicing — the image-downsample plumbing "
+    "shape, driver-checked.",
+    tags=("llm", "multimodal", "pandas"),
+)(build_media_resize_report)
+
+
+MEDIA_FRAME_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '(?s).'), c -> ord(c)) AS codes
+    FROM documents
+    WHERE length(text) >= {FRAME_BYTES}
+),
+r AS (
+    SELECT doc_id,
+           len(codes) // {FRAME_BYTES} AS n_frames,
+           list_transform(
+               generate_series(1, len(codes) // {FRAME_BYTES}),
+               i -> list_sum(codes[((i - 1) * {FRAME_BYTES} + 1):(i * {FRAME_BYTES})])
+           ) AS frames
+    FROM b
+),
+s AS (
+    SELECT doc_id, n_frames,
+           list_filter(
+               list_transform(generate_series(1, n_frames),
+                              i -> CASE WHEN (i - 1) % {FRAME_EVERY} = 0
+                                        THEN frames[i] END),
+               x -> x IS NOT NULL
+           ) AS sampled
+    FROM r
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(len(sampled) AS BIGINT) AS n_sampled,
+       CAST(list_sum(sampled) AS BIGINT) AS sampled_checksum
+FROM s
+"""
+
+
+def build_media_frame_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = spread(table(spark, sf_dir, "documents"), spark).filter(
+        F.length("text") >= FRAME_BYTES
+    )
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("n_sampled", T.LongType(), True),
+            T.StructField("sampled_checksum", T.LongType(), True),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames, n_sampled, checksum = [], [], []
+            for payload in pdf["payload"]:
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nf = len(a) // FRAME_BYTES
+                frames = (
+                    a[: nf * FRAME_BYTES]
+                    .reshape(nf, FRAME_BYTES)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                sampled = frames[::FRAME_EVERY]
+                n_frames.append(nf)
+                n_sampled.append(len(sampled))
+                checksum.append(int(sampled.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pd.Series(n_frames, dtype="int64"),
+                    "n_sampled": pd.Series(n_sampled, dtype="int64"),
+                    "sampled_checksum": pd.Series(checksum, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(sample, schema=schema)
+
+
+register(
+    "media_frame_sample_report",
+    oracle=MEDIA_FRAME_ORACLE,
+    doc="Every-Nth frame sampling over binary payloads (fixed-size frame "
+    "chunks, numpy stride slicing in Arrow batches) with an exact ord()-"
+    "list oracle — the video frame-sample plumbing shape, driver-checked.",
+    tags=("llm", "multimodal", "pandas"),
+)(build_media_frame_sample_report)
