@@ -230,12 +230,16 @@ register(
     "the final state (exact-cents algebra; O(changed files) refresh).",
     tags=("lakehouse", "txnlog", "cdf", "mv"),
 )(build_txnlog_cdf_mv_refresh)
+LAKE_CATALOG_TIER_CENTS = 5000
+
 LAKE_CATALOG_SQL_ORACLE = f"""
 WITH final AS ({TXNLOG_MERGE_ORACLE})
 SELECT status,
+       CASE WHEN price_cents >= {LAKE_CATALOG_TIER_CENTS} THEN 'high'
+            ELSE 'std' END AS tier,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(price_cents) AS DOUBLE) / 100.0 AS revenue
-FROM final GROUP BY status
+FROM final GROUP BY 1, 2
 """
 
 
@@ -265,12 +269,21 @@ def build_lake_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView("cdc_feed")
+    # schema evolution through the same SQL surface: metadata-only ALTER,
+    # then a file-level UPDATE that writes the evolved column; untouched
+    # files NULL-fill via the declared-schema projection
+    cat.sql("ALTER TABLE sales ADD COLUMN tier STRING")
+    cat.sql(
+        f"UPDATE sales SET tier = 'high' "
+        f"WHERE price_cents >= {LAKE_CATALOG_TIER_CENTS}"
+    )
     return cat.sql(
         """
         SELECT status,
+               COALESCE(tier, 'std') AS tier,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(price_cents) AS DOUBLE) / 100.0 AS revenue
-        FROM sales GROUP BY status
+        FROM sales GROUP BY status, COALESCE(tier, 'std')
         """
     )
 

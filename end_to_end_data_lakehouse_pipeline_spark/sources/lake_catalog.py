@@ -52,6 +52,11 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+COLUMNS?\s*"
+    r"\(?\s*(?P<cols>[^()]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class LakeCatalog:
@@ -139,13 +144,23 @@ class LakeCatalog:
                     f"is supported; got {text!r}"
                 )
             for n in self.tables():
-                self.table(n).read().createOrReplaceTempView(n)
+                self.table(n).read(merge_schema=True).createOrReplaceTempView(n)
             df = self.spark.sql(m.group("select"))
             stats = tuple(
                 c.strip() for c in (m.group("stats") or "").split(",") if c.strip()
             )
             self.create(m.group("name"), df, stats_cols=stats)
             return self.table(m.group("name")).latest_version() or 0
+        if head == "ALTER":
+            m = _ALTER_RE.match(text)
+            if not m:
+                raise ValueError(
+                    f"only ALTER TABLE <name> ADD COLUMN(S) <ddl> is "
+                    f"supported; got {text!r}"
+                )
+            if not self.exists(m.group("name")):
+                raise FileNotFoundError(f"no table {m.group('name')!r}")
+            return self.table(m.group("name")).alter_add_columns(m.group("cols"))
         if head == "DROP":
             m = _DROP_RE.match(text)
             if not m:
@@ -161,12 +176,12 @@ class LakeCatalog:
             )
         # read path: register snapshots, rewrite VERSION AS OF pins
         for n in self.tables():
-            self.table(n).read().createOrReplaceTempView(n)
+            self.table(n).read(merge_schema=True).createOrReplaceTempView(n)
 
         def _pin(m: re.Match) -> str:
             name, version = m.group("name"), int(m.group("version"))
             alias = f"{name}__v{version}"
-            self.table(name).read(version=version).createOrReplaceTempView(alias)
+            self.table(name).read(version=version, merge_schema=True).createOrReplaceTempView(alias)
             return alias
 
         return self.spark.sql(_VERSION_AS_OF.sub(_pin, text))

@@ -57,7 +57,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from .lakehouse import merge_upsert
 
@@ -413,12 +413,76 @@ class TransactionLogTable:
                 return StructType.fromJson(json.loads(m["schema"]))
         return None
 
+    def alter_add_columns(self, cols_ddl: str) -> int:
+        """Metadata-only schema evolution (Delta ``ALTER TABLE ... ADD
+        COLUMNS``): commit the evolved schema to the log without touching
+        any data file. ``cols_ddl`` is Spark DDL, e.g. ``"tier STRING,
+        score DOUBLE"``; new columns are nullable and surface as NULL on
+        every pre-evolution file via the declared-schema projection in
+        :meth:`read` / the ``txnlog`` DataSource. O(1) commit; snapshot
+        files unchanged, so time travel to pre-ALTER versions still reads
+        the old schema."""
+        current = self._schema_at(None)
+        if current is None:
+            raise FileNotFoundError(f"no committed schema at {self.path}")
+        added = StructType.fromDDL(cols_ddl)
+        existing = {f.name.lower() for f in current.fields}
+        for f in added.fields:
+            if f.name.lower() in existing:
+                raise ValueError(f"column {f.name!r} already exists")
+        evolved = StructType(
+            current.fields
+            + [StructField(f.name, f.dataType, True) for f in added.fields]
+        )
+        meta = {
+            "meta": {
+                "op": "alter_add_columns",
+                "ts": time.time(),
+                "schema": evolved.json(),
+            }
+        }
+        while True:
+            version = (self.latest_version() or 0) + 1
+            try:
+                self._commit(version, [meta])
+                return version
+            except ConcurrentCommitError:
+                continue
+
+    def _project_declared(self, df: DataFrame, version: int | None) -> DataFrame:
+        """Project a file scan onto the DECLARED log schema at ``version``:
+        columns the files lack (added by :meth:`alter_add_columns`, not
+        yet written) surface as typed NULL, column order follows the log.
+        Exactly Delta's read-path contract."""
+        declared = self._schema_at(version)
+        if declared is None:
+            return df
+        present = {c.lower() for c in df.columns}
+        for f in declared.fields:
+            if f.name.lower() not in present:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*[f.name for f in declared.fields])
+
+    def _read_files_declared(self, names, version: int | None) -> DataFrame:
+        """Scan specific snapshot files projected onto the declared
+        schema — the write-path (update/delete rewrite) reader, so SET
+        assignments on evolved columns apply instead of silently
+        no-opping on files that predate the ALTER."""
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*self._abs(names))
+        )
+        return self._project_declared(df, version)
+
     def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions column sets across files written at
         different schema versions (streaming_bronze.py:101's
         ``mergeSchema`` bronze semantics — appends may add columns; older
-        files surface them as NULL). Off by default: the footer merge
-        costs one extra metadata pass over the snapshot's files."""
+        files surface them as NULL), then projects onto the DECLARED log
+        schema — so a column added by :meth:`alter_add_columns` that no
+        file carries yet still appears (as typed NULL), exactly Delta's
+        read-path contract. Off by default: the footer merge costs one
+        extra metadata pass over the snapshot's files."""
         files = self._abs(self.snapshot(version))
         if not files:
             schema = self._schema_at(version)
@@ -428,7 +492,10 @@ class TransactionLogTable:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        if merge_schema:
+            df = self._project_declared(df, version)
+        return df
 
     def pruned_files(self, col: str, lo=None, hi=None, version: int | None = None) -> list[str]:
         """Data skipping: live files whose [min,max] for ``col`` can
@@ -680,7 +747,7 @@ class TransactionLogTable:
             base_version = self.latest_version()
             if base_version is None:
                 raise FileNotFoundError(f"no committed data at {self.path}")
-            df = self.read(base_version)
+            df = self.read(base_version, merge_schema=True)
             touched_abs = {
                 r["f"]
                 for r in df.filter(condition)
@@ -693,7 +760,7 @@ class TransactionLogTable:
             touched = {os.path.basename(p.replace("file://", "")) for p in touched_abs}
             # keep rows where the condition is NOT TRUE — a bare NOT(cond)
             # would drop NULL-evaluating rows from both sides (silent loss)
-            keep = self.spark.read.parquet(*self._abs(touched)).filter(
+            keep = self._read_files_declared(touched, base_version).filter(
                 ~F.coalesce(F.expr(condition), F.lit(False))
             )
             adds = self._stage_files(keep, sort_by=list(self.stats_cols[:1]))
@@ -725,7 +792,7 @@ class TransactionLogTable:
             base_version = self.latest_version()
             if base_version is None:
                 raise FileNotFoundError(f"no committed data at {self.path}")
-            df = self.read(base_version)
+            df = self.read(base_version, merge_schema=True)
             touched_abs = {
                 r["f"]
                 for r in df.filter(condition)
@@ -737,7 +804,7 @@ class TransactionLogTable:
                 return base_version
             touched = {os.path.basename(p.replace("file://", "")) for p in touched_abs}
             cond = F.coalesce(F.expr(condition), F.lit(False))
-            current = self.spark.read.parquet(*self._abs(touched))
+            current = self._read_files_declared(touched, base_version)
             rewritten = current.select(
                 *[
                     F.when(cond, F.expr(assignments[c]).cast(dt))

@@ -82,3 +82,37 @@ def test_sql_create_table_as_and_drop(spark, cat):
     cat.sql("DROP TABLE IF EXISTS big")  # no-op
     with pytest.raises(FileNotFoundError):
         cat.sql("DROP TABLE big")
+
+
+def test_alter_table_add_column_sql(spark, cat):
+    # metadata-only evolution: new column visible as typed NULL immediately
+    v = cat.sql("ALTER TABLE t ADD COLUMN tier STRING")
+    assert isinstance(v, int) and v == cat.table("t").latest_version()
+    rows = cat.sql("SELECT k, tier FROM t").collect()
+    assert len(rows) == 10 and all(r.tier is None for r in rows)
+    # post-evolution append carries the column; old files NULL-fill
+    cat.sql("INSERT INTO t VALUES (200, 'x', 3, 'gold')")
+    got = {r.k: r.tier for r in cat.sql("SELECT k, tier FROM t").collect()}
+    assert got[200] == "gold" and got[0] is None
+    # time travel to pre-ALTER version serves the old schema
+    pre = cat.sql("SELECT * FROM t VERSION AS OF 1")
+    assert "tier" not in pre.columns
+
+
+def test_alter_table_rejects_duplicates_and_bad_sql(spark, cat):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cat.sql("ALTER TABLE t ADD COLUMN k BIGINT")  # exists
+    with _pytest.raises(FileNotFoundError):
+        cat.sql("ALTER TABLE nope ADD COLUMN x INT")
+    with _pytest.raises(ValueError):
+        cat.sql("ALTER TABLE t DROP COLUMN v")  # unsupported shape
+
+
+def test_alter_multi_columns_parenthesized(spark, cat):
+    cat.sql("ALTER TABLE t ADD COLUMNS (score DOUBLE, n INT)")
+    row = cat.sql("SELECT score, n FROM t WHERE k = 0").collect()[0]
+    assert row.score is None and row.n is None
+    schema = dict(cat.sql("SELECT * FROM t").dtypes)
+    assert schema["score"] == "double" and schema["n"] == "int"

@@ -566,3 +566,33 @@ def test_layout_report_overlap_metric(spark, tmp_path):
     assert rep2["n_overlapping_files"] == 5  # the wide file + all 4 others
     assert rep2["overlap_fraction"] == 1.0
     assert rep2["total_bytes"] > 0 and rep2["p50_bytes"] <= rep2["max_bytes"]
+
+
+def test_alter_add_columns_metadata_only_evolution(spark, tmp_path):
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        TransactionLogTable,
+    )
+
+    t = TransactionLogTable(spark, str(tmp_path / "evo"), stats_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    files_before = set(t.snapshot())
+    v = t.alter_add_columns("tier STRING, score DOUBLE")
+    # metadata-only: no data file touched
+    assert set(t.snapshot()) == files_before
+    assert t.latest_version() == v
+    # declared projection: evolved columns appear as typed NULL
+    df = t.read(merge_schema=True)
+    assert df.columns == ["k", "v", "tier", "score"]
+    assert all(r.tier is None and r.score is None for r in df.collect())
+    # UPDATE on the evolved column applies (would silently no-op if the
+    # rewrite read raw file schemas)
+    t.update_where("k = 1", {"tier": "'gold'"})
+    got = {r.k: r.tier for r in t.read(merge_schema=True).collect()}
+    assert got == {1: "gold", 2: None}
+    # time travel to the pre-ALTER version keeps the old schema
+    assert t.read(version=1, merge_schema=True).columns == ["k", "v"]
+    # duplicate column rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.alter_add_columns("v STRING")
