@@ -13,12 +13,15 @@ naming layer:
 - ``catalog.table(name)`` ≙ ``DeltaTable.forName``;
 - ``catalog.sql(text)`` is the single user entry point: DML statements
   (MERGE INTO / INSERT INTO / UPDATE / DELETE) route through
-  sources/dml.py to ACID txnlog operations; everything else (SELECT,
-  WITH, EXPLAIN...) registers every catalog table's CURRENT SNAPSHOT as
-  a temp view and runs ``spark.sql`` — so Catalyst serves reads while
-  the log serves writes. ``FROM <name> VERSION AS OF <n>`` time travel
-  is supported in reads via a pre-pass that registers the pinned
-  snapshot under an alias view.
+  sources/dml.py to ACID txnlog operations; DDL/maintenance statements
+  (CREATE TABLE AS, DROP TABLE, ALTER TABLE ADD COLUMNS, OPTIMIZE,
+  VACUUM, DESCRIBE HISTORY) map to the table API's metadata-only or
+  file-level ops; everything else (SELECT, WITH, EXPLAIN...) registers
+  every catalog table's CURRENT SNAPSHOT as a temp view (projected onto
+  the declared log schema, so evolved columns NULL-fill) and runs
+  ``spark.sql`` — Catalyst serves reads while the log serves writes.
+  ``FROM <name> VERSION AS OF <n>`` time travel is supported in reads
+  via a pre-pass that registers the pinned snapshot under an alias view.
 
 Scale note: view registration is metadata-only (the snapshot scan is
 lazy); reads plan one task per live file straight from the log, writes
@@ -56,6 +59,20 @@ _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+COLUMNS?\s*"
     r"\(?\s*(?P<cols>[^()]+?)\s*\)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>\w+)"
+    r"(?:\s+MAX\s+FILE\s+BYTES\s+(?P<bytes>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>\w+)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -161,6 +178,43 @@ class LakeCatalog:
             if not self.exists(m.group("name")):
                 raise FileNotFoundError(f"no table {m.group('name')!r}")
             return self.table(m.group("name")).alter_add_columns(m.group("cols"))
+        if head == "OPTIMIZE":
+            m = _OPTIMIZE_RE.match(text)
+            if not m:
+                raise ValueError(f"unparseable OPTIMIZE: {text!r}")
+            if not self.exists(m.group("name")):
+                raise FileNotFoundError(f"no table {m.group('name')!r}")
+            t = self.table(m.group("name"))
+            kwargs = {}
+            if m.group("bytes"):
+                kwargs["max_file_bytes"] = int(m.group("bytes"))
+            return t.compact(**kwargs) or (t.latest_version() or 0)
+        if head == "VACUUM":
+            m = _VACUUM_RE.match(text)
+            if not m:
+                raise ValueError(f"unparseable VACUUM: {text!r}")
+            if not self.exists(m.group("name")):
+                raise FileNotFoundError(f"no table {m.group('name')!r}")
+            hours = float(m.group("hours")) if m.group("hours") else 1.0
+            return self.table(m.group("name")).vacuum(
+                retention_seconds=hours * 3600.0
+            )
+        if head == "DESCRIBE":
+            m = _HISTORY_RE.match(text)
+            if not m:
+                raise ValueError(
+                    f"only DESCRIBE HISTORY <name> is supported; got {text!r}"
+                )
+            if not self.exists(m.group("name")):
+                raise FileNotFoundError(f"no table {m.group('name')!r}")
+            hist = self.table(m.group("name")).history()
+            return self.spark.createDataFrame(
+                [
+                    (h["version"], h.get("op", ""), float(h.get("ts", 0.0)))
+                    for h in hist
+                ],
+                ["version", "operation", "ts"],
+            )
         if head == "DROP":
             m = _DROP_RE.match(text)
             if not m:

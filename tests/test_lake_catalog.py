@@ -116,3 +116,34 @@ def test_alter_multi_columns_parenthesized(spark, cat):
     assert row.score is None and row.n is None
     schema = dict(cat.sql("SELECT * FROM t").dtypes)
     assert schema["score"] == "double" and schema["n"] == "int"
+
+
+def test_sql_optimize_vacuum_describe_history(spark, cat, tmp_path):
+    # accumulate small files via single-row inserts
+    for i in range(3):
+        cat.sql(f"INSERT INTO t VALUES ({300 + i}, 'opt', {i})")
+    before = cat.sql("SELECT k, v FROM t").collect()
+    n_files_before = len(cat.table("t").snapshot())
+    v = cat.sql("OPTIMIZE t")
+    assert isinstance(v, int) and v == cat.table("t").latest_version()
+    assert len(cat.table("t").snapshot()) < n_files_before
+    after = cat.sql("SELECT k, v FROM t").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # vacuum with 0-hour retention removes the unreferenced pre-compaction files
+    removed = cat.sql("VACUUM t RETAIN 0 HOURS")
+    assert isinstance(removed, int) and removed >= 1
+    # post-vacuum current snapshot still reads clean
+    assert len(cat.sql("SELECT k FROM t").collect()) == len(after)
+    hist = cat.sql("DESCRIBE HISTORY t")
+    ops = [r.operation for r in hist.collect()]
+    assert "optimize" in ops and ops[0] == "append"
+    assert hist.columns == ["version", "operation", "ts"]
+
+
+def test_sql_maintenance_errors(spark, cat):
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.sql("OPTIMIZE missing")
+    with _pytest.raises(ValueError):
+        cat.sql("DESCRIBE DETAIL t")
