@@ -3321,3 +3321,91 @@ register(
     "vs the weighted mean).",
     tags=("relational", "window", "stats"),
 )(build_brand_weighted_median_price)
+
+
+# ---------------------------------------------------------------------------
+# winsorized_totalprice_stats — robust aggregation: winsorized + trimmed
+# means per order status. Group p05/p95 bounds come from the exact
+# percentile on scaled integers (the percentile_stats parity trick),
+# FLOOR/CEIL-ed to integer cents so clipping, summing, and trimming all
+# stay in exact integer arithmetic — no double-summation order effects.
+# The bounds table is one row per status (broadcast), the clip+sum is one
+# partial+final hash aggregate: two passes over the fact at any scale.
+# ---------------------------------------------------------------------------
+
+WINSOR_ORACLE = """
+WITH c AS (
+    SELECT o_orderstatus AS s,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+b AS (
+    SELECT s,
+           CAST(FLOOR(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+           CAST(CEIL(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+    FROM c GROUP BY s
+)
+SELECT c.s AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(b.lo AS DOUBLE) / 100.0 AS lo_cut,
+       CAST(b.hi AS DOUBLE) / 100.0 AS hi_cut,
+       CAST(SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)) AS DOUBLE) / 100.0
+           / COUNT(*) AS winsorized_mean,
+       CAST(SUM(CASE WHEN c.cents BETWEEN b.lo AND b.hi THEN c.cents END)
+            AS DOUBLE) / 100.0
+           / COUNT(CASE WHEN c.cents BETWEEN b.lo AND b.hi THEN 1 END)
+           AS trimmed_mean,
+       CAST(COUNT(CASE WHEN c.cents BETWEEN b.lo AND b.hi THEN 1 END)
+            AS BIGINT) AS trimmed_n
+FROM c JOIN b ON c.s = b.s
+GROUP BY c.s, b.lo, b.hi
+ORDER BY o_orderstatus
+"""
+
+
+def build_winsorized_totalprice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    c = orders.select(
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    bounds = c.groupBy("s").agg(
+        F.floor(F.expr("percentile(cents, 0.05)")).cast("long").alias("lo"),
+        F.ceil(F.expr("percentile(cents, 0.95)")).cast("long").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    in_band = F.col("cents").between(F.col("lo"), F.col("hi"))
+    return (
+        c.join(F.broadcast(bounds), "s")
+        .groupBy("s", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(clipped).alias("wsum"),
+            F.sum(F.when(in_band, F.col("cents"))).alias("tsum"),
+            F.count(F.when(in_band, F.lit(1))).alias("trimmed_n"),
+        )
+        .select(
+            F.col("s").alias("o_orderstatus"),
+            "n",
+            (F.col("lo").cast("double") / 100.0).alias("lo_cut"),
+            (F.col("hi").cast("double") / 100.0).alias("hi_cut"),
+            (F.col("wsum").cast("double") / 100.0 / F.col("n")).alias(
+                "winsorized_mean"
+            ),
+            (
+                F.col("tsum").cast("double") / 100.0 / F.col("trimmed_n")
+            ).alias("trimmed_mean"),
+            "trimmed_n",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+register(
+    "winsorized_totalprice_stats",
+    oracle=WINSOR_ORACLE,
+    doc="Robust means per status: winsorize/trim at exact p05/p95 cents "
+    "bounds (FLOOR/CEIL to integers so clip+sum stay exact); bounds "
+    "broadcast (one row per status), two hash-aggregate passes total.",
+    tags=("relational", "agg", "stats", "robust", "percentile"),
+)(build_winsorized_totalprice_stats)

@@ -86,6 +86,7 @@ ALLOWED_BROADCAST_ARGS = {
     # bounded by min(|price grid|, |size domain|) — domain-, not
     # data-proportional
     "fr",
+    "bounds",  # winsorize cut points — one row per group key value
 }
 
 FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}
