@@ -89,6 +89,12 @@ HEADLINE = [
     "embedding_quantize_int8", # per-dim int8 quantization + recon error
     "span_top_repeats",        # boilerplate report: top repeated spans
     "user_pair_stats_algebraic",  # cross-product aggs w/o pair materialization
+    # round-4 wave-3 additions
+    "equidepth_histogram_orders",  # distributed global rank + exact NTILE
+    "interpolate_purchase_daily",  # per-user linear gap imputation
+    "winsorized_totalprice_stats",  # robust means, exact integer clipping
+    "countmin_term_counts",    # Count-Min sketch error report
+    "media_resize_report",     # multimodal block-resize via mapInPandas
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
