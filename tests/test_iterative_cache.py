@@ -59,3 +59,18 @@ def test_components_result_unchanged_by_unpersist(spark):
     assert rows  # every doc labeled, component <= doc_id (min-label)
     assert all(c <= d for d, c in rows.items())
     _drop_all_caches(spark)
+
+
+def test_funnel_shared_cache_is_single_slot(spark):
+    from end_to_end_data_lakehouse_pipeline_spark.plans.pipeline import (
+        build_curation_funnel_report,
+    )
+
+    _drop_all_caches(spark)
+    base = _persisted(spark)
+    for _ in range(3):
+        build_curation_funnel_report(spark, SF_DIR).collect()
+    # the slot releases the previous funnel's cache on each call: at most
+    # ONE funnel working-set table persisted no matter how many runs
+    assert _persisted(spark) - base <= 1
+    _drop_all_caches(spark)
