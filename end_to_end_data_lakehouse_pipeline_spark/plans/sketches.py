@@ -189,3 +189,124 @@ register(
     "one that stays one pass / fixed memory; the exact side is the audit.",
     tags=("sketch", "text", "llm", "approx"),
 )(build_hll_vocab_report)
+
+
+# ---------------------------------------------------------------------------
+# join_size_estimate_cms — join-cardinality estimation from per-side
+# Count-Min sketches (Cormode & Muthukrishnan 2005 §4.2: the sketch
+# inner product upper-bounds the true join size; take the min over hash
+# rows). The optimizer-statistics use case: |orders ><  events on
+# customer| is sum_k n_orders(k) * n_events(k); the sketches compress
+# each side's key-frequency vector to D*W counters, so two 100 TB
+# inputs reduce to two broadcastable grids and the estimate is a D*W
+# elementwise product — no join executed. The report carries the exact
+# size (one equi-join aggregate) for self-measurement; overestimate >= 0
+# is the paper's guarantee and the oracle checks it row-exactly.
+# ---------------------------------------------------------------------------
+
+JCMS_ROWS = 4
+JCMS_WIDTH = 1024
+
+
+def _jcms_probe_sql(side_sql: str, key: str) -> str:
+    """DuckDB: key-frequency vector of `side_sql` -> (r, bucket, freq)."""
+    return f"""
+    SELECT r,
+           {_hex8_sql(f"md5(CAST(r AS VARCHAR) || ':' || CAST({key} AS VARCHAR))")}
+               % {JCMS_WIDTH} AS bucket,
+           CAST(SUM(freq) AS BIGINT) AS counter
+    FROM (SELECT {key}, COUNT(*) AS freq FROM ({side_sql}) GROUP BY {key}),
+         (SELECT unnest(generate_series(0, {JCMS_ROWS - 1})) AS r)
+    GROUP BY 1, 2
+    """
+
+
+JOIN_SIZE_ORACLE = f"""
+WITH sa AS ({_jcms_probe_sql('SELECT o_custkey AS k FROM orders', 'k')}),
+sb AS ({_jcms_probe_sql('SELECT user_id AS k FROM events', 'k')}),
+inner_products AS (
+    SELECT sa.r, CAST(SUM(sa.counter * sb.counter) AS BIGINT) AS ip
+    FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+    GROUP BY sa.r
+),
+est AS (SELECT MIN(ip) AS cms_estimate FROM inner_products),
+exact AS (
+    SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS exact_size
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) a
+    JOIN (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1) b
+      ON a.k = b.k
+)
+SELECT exact.exact_size,
+       est.cms_estimate,
+       est.cms_estimate - exact.exact_size AS overestimate,
+       ROUND(CAST(est.cms_estimate - exact.exact_size AS DOUBLE)
+             / exact.exact_size, 6) AS rel_error
+FROM exact, est
+"""
+
+
+def _jcms_sketch(df: DataFrame, key: str) -> DataFrame:
+    """Spark: (r, bucket, counter) CMS of df[key]'s frequency vector."""
+    wc = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("freq"))
+    h = lambda r: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"), F.col("k").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % JCMS_WIDTH
+    )
+    probes = wc.select(
+        "freq",
+        F.posexplode(F.array(*[h(r).cast("long") for r in range(JCMS_ROWS)])).alias(
+            "r", "bucket"
+        ),
+    )
+    return probes.groupBy("r", "bucket").agg(F.sum("freq").alias("counter"))
+
+
+def build_join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(table(spark, sf_dir, "orders"), spark)
+    events = spread(table(spark, sf_dir, "events"), spark)
+    sa = _jcms_sketch(orders.select(F.col("o_custkey").alias("k")), "k")
+    sb = _jcms_sketch(events.select(F.col("user_id").alias("k")), "k")
+    ip = (
+        sa.join(F.broadcast(sb.withColumnRenamed("counter", "cb")), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("counter") * F.col("cb")).alias("ip"))
+    )
+    est = ip.agg(F.min("ip").alias("cms_estimate"))
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    exact = (
+        a.join(b, "k")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("exact_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_size")).alias("overestimate"),
+        F.round(
+            (F.col("cms_estimate") - F.col("exact_size")).cast("double")
+            / F.col("exact_size"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+register(
+    "join_size_estimate_cms",
+    oracle=JOIN_SIZE_ORACLE,
+    doc="Join-cardinality estimation from per-side Count-Min sketches "
+    "(min-over-rows inner product, never underestimates): two key-"
+    "frequency vectors compress to D*W counter grids, estimate computed "
+    "without executing the join; exact size reported alongside for "
+    "self-measurement.",
+    tags=("sketch", "join", "evaluation", "scale"),
+)(build_join_size_estimate_cms)

@@ -548,3 +548,57 @@ register(
     "(spine spans each user's own min..max).",
     tags=("timeseries", "window", "impute"),
 )(build_interpolate_purchase_daily)
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_users_7d — sliding-window COUNT DISTINCT, the window
+# aggregate Spark has no native operator for (count(DISTINCT) OVER a
+# RANGE frame is unsupported). The scalable rewrite: each (user, day)
+# activity CONTRIBUTES to the 7 days [day, day+6], so explode the
+# bounded contribution range, dedup (user, window-day), and hash-count
+# per day — one shuffle keyed by day, no range self-join, no per-day
+# rescan. The explode factor equals the window length (bounded), which
+# beats the range join's data-sized probe side at any scale. Oracle is
+# the literal range join + COUNT(DISTINCT).
+# ---------------------------------------------------------------------------
+
+ROLLING_DISTINCT_ORACLE = """
+WITH act AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM act)
+SELECT days.d AS day,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users_7d
+FROM days JOIN act a ON a.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+ORDER BY day
+"""
+
+
+def build_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spread(table(spark, sf_dir, "events"), spark)
+    act = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = act.select("d").distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("day"),
+    ).distinct()
+    return (
+        days.join(contrib, days.d == contrib.day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+register(
+    "rolling_distinct_users_7d",
+    oracle=ROLLING_DISTINCT_ORACLE,
+    doc="Sliding 7-day COUNT DISTINCT via bounded contribution explode "
+    "(each activity feeds its 7 window days) + hash aggregate — no "
+    "range self-join, no unsupported distinct-over-window; oracle is "
+    "the literal range join.",
+    tags=("timeseries", "window", "agg", "behavior"),
+)(build_rolling_distinct_users_7d)

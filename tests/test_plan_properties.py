@@ -87,6 +87,8 @@ ALLOWED_BROADCAST_ARGS = {
     # data-proportional
     "fr",
     "bounds",  # winsorize cut points — one row per group key value
+    "sb",  # CMS sketch side B — at most JCMS_ROWS*JCMS_WIDTH cells
+    "est",  # CMS join-size estimate — single row
 }
 
 FORBIDDEN = {"customer", "part", "supplier", "orders", "lineitem", "cust", "supp"}

@@ -68,3 +68,16 @@ def test_hll_within_tolerance_everywhere(spark, sf_dir):
 
 # Oracle parity for both queries rides tests/test_oracle_parity.py's
 # parametrized sweep over the registry — no duplicate here.
+
+
+def test_join_size_cms_never_underestimates(spark, sf_dir):
+    from end_to_end_data_lakehouse_pipeline_spark.plans.sketches import (
+        build_join_size_estimate_cms,
+    )
+
+    row = build_join_size_estimate_cms(spark, sf_dir).collect()[0]
+    assert row.exact_size > 0
+    assert row.overestimate >= 0
+    assert row.cms_estimate == row.exact_size + row.overestimate
+    # 4x1024 grid on these key cardinalities: estimate should be tight
+    assert row.rel_error < 0.25
