@@ -95,6 +95,8 @@ HEADLINE = [
     "winsorized_totalprice_stats",  # robust means, exact integer clipping
     "countmin_term_counts",    # Count-Min sketch error report
     "media_resize_report",     # multimodal block-resize via mapInPandas
+    "rolling_distinct_users_7d",  # sliding COUNT DISTINCT via explode
+    "join_size_estimate_cms",  # CMS inner-product join-size estimate
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
