@@ -19,10 +19,15 @@ distributed rewrite used here:
 3. A bucket-partitioned ``row_number`` window (each bucket ~1/parts of
    the data) plus the broadcast offset map yields the exact global rank.
 
-Caveats: the leading key must be non-null and numeric (split points come
-from ``approxQuantile``); rows sharing one key value land in one bucket,
-so a single value owning most of the data degrades toward one partition —
-the same degenerate case any range partitioning has.
+Caveats: the sort columns must be non-null and numeric (split points
+come from ``approxQuantile`` / grouped ``percentile_approx``). Rows
+sharing one leading-key value land in one bucket; buckets that exceed
+3x the target size are split ONE further level on the second sort
+column (one grouped-percentile job covers all hot buckets), which
+handles the low-cardinality-leading-key shape — ntile by a status-like
+column over a unique tiebreak. A key PREFIX that is constant across
+most of the data deeper than two columns would need recursive
+refinement (same construction, not implemented).
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BKT = "__rank_bucket"
+_SUB = "__rank_subbucket"
 
 
 def global_row_number(
@@ -67,20 +73,85 @@ def global_row_number(
         r[_BKT]: r["cnt"]
         for r in with_bkt.groupBy(_BKT).agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    offset_expr: Column = F.lit(0)
-    if offsets:
-        pairs = [x for b, off in offsets.items() for x in (F.lit(b), F.lit(off))]
-        offset_expr = F.create_map(*pairs)[F.col(_BKT)]
+    total = sum(counts.values())
 
-    w = Window.partitionBy(_BKT).orderBy(*[F.col(c) for c in order_cols])
-    out = with_bkt.withColumn(
-        out_col, (F.row_number().over(w) + offset_expr).cast("long")
-    ).drop(_BKT)
+    # Low-cardinality leading key (ntile by a status-like column): every
+    # row of a hot value lands in ONE bucket, and the bucket-local window
+    # degrades toward the single-partition cliff. One refinement level:
+    # per-bucket split points on the SECOND sort column (one grouped
+    # percentile_approx job covers every hot bucket at once), sub-bucket
+    # assigned from the broadcast per-bucket bound arrays. Rank order is
+    # preserved because equal leading keys share a bucket and the
+    # sub-bucket is monotone in the second column within it.
+    hot_target = 3 * max(1, total // max(parts, 1))
+    hot = sorted(b for b, c in counts.items() if c > hot_target)
+    sub_expr: Column = F.lit(0)
+    if hot and len(order_cols) > 1:
+        key2 = order_cols[1]
+        sub_probs = [i / parts for i in range(1, parts)]
+        sub_bounds = {
+            r[_BKT]: sorted(
+                {float(x) for x in (r["qs"] or []) if x is not None}
+            )
+            for r in with_bkt.filter(F.col(_BKT).isin(hot))
+            .groupBy(_BKT)
+            .agg(
+                F.percentile_approx(
+                    F.col(key2).cast("double"), sub_probs, 1000
+                ).alias("qs")
+            )
+            .collect()
+        }
+        branches = None
+        for b, sbs in sub_bounds.items():
+            if not sbs:
+                continue
+            sub_b = F.size(
+                F.filter(
+                    F.array(*[F.lit(x) for x in sbs]),
+                    lambda v: v < F.col(key2).cast("double"),
+                )
+            )
+            cond = F.col(_BKT) == F.lit(b)
+            branches = (
+                F.when(cond, sub_b)
+                if branches is None
+                else branches.when(cond, sub_b)
+            )
+        if branches is not None:
+            sub_expr = branches.otherwise(F.lit(0))
+    with_sub = with_bkt.withColumn(_SUB, sub_expr)
+
+    counts2 = {
+        (r[_BKT], r[_SUB]): r["cnt"]
+        for r in with_sub.groupBy(_BKT, _SUB)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    acc = 0
+    offsets2: dict[tuple[int, int], int] = {}
+    for bk in sorted(counts2):
+        offsets2[bk] = acc
+        acc += counts2[bk]
+    offset_expr: Column = F.lit(0)
+    if offsets2:
+        # composite key for the literal map: bucket * 2^32 + sub
+        combo = F.col(_BKT).cast("long") * F.lit(1 << 32) + F.col(_SUB)
+        pairs = [
+            x
+            for (b, s), off in offsets2.items()
+            for x in (F.lit(b * (1 << 32) + s), F.lit(off))
+        ]
+        offset_expr = F.create_map(*pairs)[combo]
+
+    w = Window.partitionBy(_BKT, _SUB).orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        with_sub.withColumn(
+            out_col, (F.row_number().over(w) + offset_expr).cast("long")
+        )
+        .drop(_BKT)
+        .drop(_SUB)
+    )
     return out, acc
 
 

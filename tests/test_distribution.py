@@ -73,3 +73,18 @@ def test_pareto_frontier_dominance(spark, sf_dir, duck):
     # frontier is strictly increasing in size as price increases
     for lo, hi in zip(rows, rows[1:]):
         assert lo.price < hi.price and lo.size < hi.size
+
+
+def test_global_row_number_low_cardinality_leading_key(spark):
+    # ntile-by-status shape: constant leading key must NOT collapse to a
+    # single-partition window — the sub-bucket refinement splits it.
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.lit(1.0).alias("k"), F.col("id").cast("double").alias("t")
+    )
+    ranked, total = global_row_number(df, ["k", "t"], num_partitions=8)
+    rows = ranked.orderBy("rn").collect()
+    assert total == 5000
+    assert [r.rn for r in rows] == list(range(1, 5001))
+    assert [r.t for r in rows] == sorted(r.t for r in rows)
