@@ -613,3 +613,86 @@ register(
     "(streaming/aggregates.py:143).",
     tags=("streaming", "join", "drain"),
 )(streaming_join_drain)
+
+
+# ---------------------------------------------------------------------------
+# streaming_session_window_drain — the BUILT-IN F.session_window operator
+# (dynamic-gap event-time sessions in the state store), as distinct from
+# streaming_sessionize_drain's applyInPandasWithState custom operator.
+# APPEND mode emits a session once the watermark passes its end, so with
+# a finite availableNow drain the emitted set is exactly the
+# gaps-and-islands sessions whose end (last event + gap) is at or before
+# final_watermark = max(ts) - watermark_delay — that boundary is the
+# oracle's WHERE clause. Input files are time-range-split (one per
+# trigger), so arrival order = event-time order and the watermark never
+# drops input; values stream as integral cents-doubles so in-state sums
+# are exact in any order.
+# ---------------------------------------------------------------------------
+
+_SW_WATERMARK = "1 hour"
+
+SESSION_WINDOW_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+m AS (SELECT MAX(ts) AS maxts FROM e),
+s AS (
+    SELECT user_id, ts, cents,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL {_GAP_MINUTES} MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, cents)
+),
+g AS (
+    SELECT user_id, ts, cents,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, cents
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM s
+),
+agg AS (
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {_GAP_MINUTES} MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+    FROM g GROUP BY user_id, grp
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg, m
+WHERE session_end <= maxts - INTERVAL 1 HOUR
+"""
+
+
+def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.aggregates import streaming_sessions
+
+    ws = session_dir("session_window_drain")
+    events = _events_stream_split(spark, sf_dir, ws).select(
+        "user_id",
+        "ts",
+        (F.round(F.col("value") * 100, 0)).alias("value"),  # integral double
+    )
+    sessions = streaming_sessions(
+        events, gap=f"{_GAP_MINUTES} minutes", watermark=_SW_WATERMARK
+    )
+    out = _drain_to_parquet(sessions, "session_window", min_batches=_N_SPLITS)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        (F.col("total_value") / 100.0).alias("total_value"),
+    )
+
+
+register(
+    "streaming_session_window_drain",
+    oracle=SESSION_WINDOW_ORACLE,
+    doc="Built-in session_window (dynamic-gap event-time sessions, state-"
+    "store merged) drained availableNow over >=3 time-split files; "
+    "append-mode emission boundary (session end <= final watermark) is "
+    "the oracle's WHERE clause over the gaps-and-islands SQL.",
+    tags=("streaming", "session", "drain", "window"),
+)(streaming_session_window_drain)
