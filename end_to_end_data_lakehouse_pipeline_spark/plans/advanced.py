@@ -1112,3 +1112,140 @@ register(
     "year+1 — the CRM lifecycle matrix.",
     tags=("behavior", "window", "join"),
 )(build_segment_migration_matrix)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_communities — synchronous LPA (Raghavan 2007) on the
+# support-thresholded co-purchase graph, made DETERMINISTIC (the classic
+# algorithm is order-dependent): all nodes update simultaneously from
+# the previous round's labels, winner = most frequent neighbor label
+# with ties broken by smallest label. Three synchronous rounds are
+# UNROLLED both sides, so this iterative graph operator gets a full
+# DuckDB oracle (unlike pagerank's rows-only check — recursive CTEs
+# can't aggregate per round, but an unrolled fixed-depth loop can).
+# Each round is one arcs-join + count + per-node top-1 window on the
+# support-bounded arc set — the loop cost model of dedup_components.
+# ---------------------------------------------------------------------------
+
+LPA_SUPPORT = 2
+LPA_ROUNDS = 3
+
+_LPA_ARC_CACHE: list[DataFrame] = []
+
+
+def _cache_lpa_arcs(df: DataFrame) -> DataFrame:
+    """Single-slot persist for the support-pruned arc set (referenced by
+    all three unrolled rounds plus the label seed — cached once, the
+    previous invocation's slot released on the next call; same bounded
+    discipline as pipeline._cache_funnel_shared)."""
+    while _LPA_ARC_CACHE:
+        prev = _LPA_ARC_CACHE.pop()
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _LPA_ARC_CACHE.append(df)
+    return df
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+n{cur} AS (
+    SELECT a.src AS node, l.lab FROM arcs a JOIN {prev} l ON a.dst = l.node
+),
+c{cur} AS (
+    SELECT node, lab, COUNT(*) AS c FROM n{cur} GROUP BY node, lab
+),
+{cur} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM c{cur}
+    ) WHERE rn = 1
+)"""
+
+
+LPA_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+und AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {LPA_SUPPORT}
+),
+arcs AS (
+    SELECT pa AS src, pb AS dst FROM und
+    UNION ALL
+    SELECT pb AS src, pa AS dst FROM und
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM arcs),
+{','.join(_lpa_round_sql(f'l{i}', f'l{i + 1}') for i in range(LPA_ROUNDS))}
+SELECT lab AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_node
+FROM l{LPA_ROUNDS}
+GROUP BY lab
+ORDER BY community
+"""
+
+
+def build_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= LPA_SUPPORT)
+        .select("pa", "pb")
+    )
+    arcs = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    arcs = _cache_lpa_arcs(arcs)
+    labels = arcs.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+    for _ in range(LPA_ROUNDS):
+        neigh = arcs.join(
+            labels.select(F.col("node").alias("dst"), "lab"), "dst"
+        ).select(F.col("src").alias("node"), "lab")
+        counts = neigh.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("community")
+    )
+
+
+register(
+    "label_propagation_communities",
+    oracle=LPA_ORACLE,
+    doc="Deterministic synchronous label propagation (3 unrolled rounds, "
+    "most-frequent-neighbor label, min-label ties) on the support-"
+    "bounded co-purchase graph — a fully ORACLED iterative graph "
+    "operator; per round one arc join + count + per-node top-1 window.",
+    tags=("graph", "iterative", "mining"),
+)(build_label_propagation_communities)

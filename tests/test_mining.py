@@ -63,3 +63,17 @@ def test_pagerank_invariants(spark, sf_dir):
     # the top-k masses alone must be < 1 and >> uniform share
     assert df["rank"].sum() < 1.0
     assert df["rank"].iloc[0] > 1.0 / n_nodes
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    from end_to_end_data_lakehouse_pipeline_spark.plans.advanced import (
+        build_label_propagation_communities,
+    )
+
+    rows = build_label_propagation_communities(spark, sf_dir).collect()
+    assert rows
+    # every community label is itself a node id (labels start as ids and
+    # only propagate); member counts positive; deterministic rerun
+    assert all(r.n_members >= 1 for r in rows)
+    again = build_label_propagation_communities(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
