@@ -60,6 +60,16 @@ _ALTER_RE = re.compile(
     r"\(?\s*(?P<cols>[^()]+?)\s*\)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>\w+)"
     r"(?:\s+MAX\s+FILE\s+BYTES\s+(?P<bytes>\d+))?\s*;?\s*$",
@@ -169,11 +179,24 @@ class LakeCatalog:
             self.create(m.group("name"), df, stats_cols=stats)
             return self.table(m.group("name")).latest_version() or 0
         if head == "ALTER":
+            for rx, op in (
+                (_ADD_CONSTRAINT_RE, "add"),
+                (_DROP_CONSTRAINT_RE, "drop"),
+            ):
+                m = rx.match(text)
+                if m:
+                    if not self.exists(m.group("name")):
+                        raise FileNotFoundError(f"no table {m.group('name')!r}")
+                    t = self.table(m.group("name"))
+                    if op == "add":
+                        return t.add_constraint(m.group("cname"), m.group("expr"))
+                    return t.drop_constraint(m.group("cname"))
             m = _ALTER_RE.match(text)
             if not m:
                 raise ValueError(
-                    f"only ALTER TABLE <name> ADD COLUMN(S) <ddl> is "
-                    f"supported; got {text!r}"
+                    f"only ALTER TABLE <name> ADD COLUMN(S) <ddl> / ADD "
+                    f"CONSTRAINT <n> CHECK (<expr>) / DROP CONSTRAINT <n> "
+                    f"are supported; got {text!r}"
                 )
             if not self.exists(m.group("name")):
                 raise FileNotFoundError(f"no table {m.group('name')!r}")

@@ -71,6 +71,10 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed the version this transaction targeted."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write staged rows that fail a table CHECK constraint."""
+
+
 def _file_stats(path: str, cols: Sequence[str]) -> dict:
     """min/max/null-count per tracked column from the parquet FOOTER
     (row-group metadata only — no data pages are read)."""
@@ -277,6 +281,7 @@ class TransactionLogTable:
         analog): per-file [min,max] then prune on EITHER key via
         ``read_pruned``, not just the leading sort key. Mutually
         exclusive with ``sort_by``."""
+        self._validate(df)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
         if zorder_by:
             from ..functions.zorder import zorder_cluster
@@ -412,6 +417,80 @@ class TransactionLogTable:
             if "schema" in m:
                 return StructType.fromJson(json.loads(m["schema"]))
         return None
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Live CHECK constraints at ``version`` (name -> SQL expr),
+        replayed from the log's add/drop constraint metadata — the log is
+        the only metadata store, same stance as the schema."""
+        out: dict[str, str] = {}
+        for m in self.history():
+            if version is not None and m["version"] > version:
+                break
+            if m.get("op") == "add_constraint":
+                out[m["constraint"]["name"]] = m["constraint"]["expr"]
+            elif m.get("op") == "drop_constraint":
+                out.pop(m["constraint"]["name"], None)
+        return out
+
+    def _validate(self, df: DataFrame) -> None:
+        """SQL CHECK semantics: a row violates only when the expression
+        is FALSE (NULL passes). One short-circuit probe per constraint —
+        zero cost on unconstrained tables."""
+        for name, expr in self.constraints().items():
+            # filter(~expr) keeps exactly the FALSE rows (NULL drops out)
+            bad = df.filter(~F.expr(expr)).limit(1).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"constraint {name!r} CHECK ({expr}) violated by write "
+                    f"to {self.path}"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Delta ``ALTER TABLE ADD CONSTRAINT`` analog: validate the
+        EXISTING snapshot against the expression, then commit the
+        constraint as metadata. Every subsequent write path stages
+        through :meth:`_stage_files`, which enforces it."""
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        if self.latest_version() is not None and self.snapshot():
+            bad = self.read().filter(~F.expr(expr)).limit(1).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"existing rows violate CHECK ({expr}); constraint "
+                    f"{name!r} not added"
+                )
+        meta = {
+            "meta": {
+                "op": "add_constraint",
+                "ts": time.time(),
+                "constraint": {"name": name, "expr": expr},
+            }
+        }
+        while True:
+            version = (self.latest_version() or 0) + 1
+            try:
+                self._commit(version, [meta])
+                return version
+            except ConcurrentCommitError:
+                continue
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"no constraint {name!r}")
+        meta = {
+            "meta": {
+                "op": "drop_constraint",
+                "ts": time.time(),
+                "constraint": {"name": name},
+            }
+        }
+        while True:
+            version = (self.latest_version() or 0) + 1
+            try:
+                self._commit(version, [meta])
+                return version
+            except ConcurrentCommitError:
+                continue
 
     def alter_add_columns(self, cols_ddl: str) -> int:
         """Metadata-only schema evolution (Delta ``ALTER TABLE ... ADD

@@ -147,3 +147,40 @@ def test_sql_maintenance_errors(spark, cat):
         cat.sql("OPTIMIZE missing")
     with _pytest.raises(ValueError):
         cat.sql("DESCRIBE DETAIL t")
+
+
+def test_check_constraints_end_to_end(spark, cat):
+    import pytest as _pytest
+
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        ConstraintViolation,
+    )
+
+    v = cat.sql("ALTER TABLE t ADD CONSTRAINT k_nonneg CHECK (k >= 0)")
+    assert v == cat.table("t").latest_version()
+    assert cat.table("t").constraints() == {"k_nonneg": "k >= 0"}
+    # good write passes, violating write is rejected BEFORE any commit
+    cat.sql("INSERT INTO t VALUES (500, 'ok', 9)")
+    ver_before = cat.table("t").latest_version()
+    with _pytest.raises(ConstraintViolation):
+        cat.sql("INSERT INTO t VALUES (-1, 'bad', 9)")
+    assert cat.table("t").latest_version() == ver_before
+    assert -1 not in {r.k for r in cat.sql("SELECT k FROM t").collect()}
+    # UPDATE that would break the constraint is rejected too
+    with _pytest.raises(ConstraintViolation):
+        cat.sql("UPDATE t SET k = -5 WHERE k = 500")
+    # constraint is discoverable by a FRESH catalog instance (log = metadata)
+    from end_to_end_data_lakehouse_pipeline_spark.sources.lake_catalog import (
+        LakeCatalog,
+    )
+
+    fresh = LakeCatalog(spark, cat.root)
+    assert fresh.table("t").constraints() == {"k_nonneg": "k >= 0"}
+    # adding a constraint existing rows violate is refused
+    with _pytest.raises(ConstraintViolation):
+        cat.sql("ALTER TABLE t ADD CONSTRAINT k_small CHECK (k < 10)")
+    # drop, then the bad write goes through
+    cat.sql("ALTER TABLE t DROP CONSTRAINT k_nonneg")
+    assert cat.table("t").constraints() == {}
+    cat.sql("INSERT INTO t VALUES (-1, 'now ok', 9)")
+    assert -1 in {r.k for r in cat.sql("SELECT k FROM t").collect()}
