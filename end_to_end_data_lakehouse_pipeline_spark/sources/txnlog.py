@@ -328,7 +328,10 @@ class TransactionLogTable:
         zorder_by: Sequence[str] = (),
     ) -> int:
         """Blind append: stages files once, then retries only the O(1)
-        commit on version conflicts (appends never conflict logically).
+        commit on version conflicts (appends never conflict logically —
+        EXCEPT against a concurrent ADD CONSTRAINT, so a lost race
+        re-validates against the winner's constraint set before
+        retrying; Delta's metadata conflict check, same outcome).
         ``n_files`` pins the output file count — size it for ~128 MB-1 GB
         per file; left None, AQE picks (and may coalesce small tables to
         one file, which blunts per-file stats pruning)."""
@@ -340,6 +343,12 @@ class TransactionLogTable:
                 self._commit(version, actions)
                 return version
             except ConcurrentCommitError:
+                try:
+                    self._validate(df)
+                except ConstraintViolation:
+                    for a in adds:
+                        os.remove(os.path.join(self.path, a["add"]["name"]))
+                    raise
                 continue
 
     def append_txn(
@@ -400,6 +409,12 @@ class TransactionLogTable:
                 self._commit(version, actions)
                 return version
             except ConcurrentCommitError:
+                try:
+                    self._validate(df)  # a concurrent ADD CONSTRAINT wins
+                except ConstraintViolation:
+                    for a in adds:
+                        os.remove(os.path.join(self.path, a["add"]["name"]))
+                    raise
                 continue
 
     # -- read path --------------------------------------------------------

@@ -596,3 +596,34 @@ def test_alter_add_columns_metadata_only_evolution(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.alter_add_columns("v STRING")
+
+
+def test_append_lost_race_revalidates_new_constraint(spark, tmp_path):
+    """A constraint committed between an append's staging and its commit
+    must reject the append on the retry path (metadata conflict check)."""
+    from end_to_end_data_lakehouse_pipeline_spark.sources import txnlog as T
+
+    t = T.TransactionLogTable(spark, str(tmp_path / "race"), stats_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+
+    orig_commit = t._commit
+    state = {"raced": False}
+
+    def racing_commit(version, actions):
+        if not state["raced"] and any("add" in a for a in actions):
+            state["raced"] = True
+            # winner lands a constraint the staged rows violate
+            t2 = T.TransactionLogTable(spark, t.path, stats_cols=("k",))
+            t2.add_constraint("k_pos", "k >= 0")
+            raise T.ConcurrentCommitError("simulated lost race")
+        return orig_commit(version, actions)
+
+    t._commit = racing_commit
+    import pytest as _pytest
+
+    with _pytest.raises(T.ConstraintViolation):
+        t.append(spark.createDataFrame([(-7, "bad")], ["k", "v"]))
+    t._commit = orig_commit
+    # nothing committed, no orphan staged files referenced, table readable
+    assert {r.k for r in t.read().collect()} == {1}
+    assert t.constraints() == {"k_pos": "k >= 0"}
