@@ -84,6 +84,10 @@ _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class LakeCatalog:
@@ -223,10 +227,16 @@ class LakeCatalog:
                 retention_seconds=hours * 3600.0
             )
         if head == "DESCRIBE":
+            d = _DETAIL_RE.match(text)
+            if d:
+                if not self.exists(d.group("name")):
+                    raise FileNotFoundError(f"no table {d.group('name')!r}")
+                return self.table(d.group("name")).detail()
             m = _HISTORY_RE.match(text)
             if not m:
                 raise ValueError(
-                    f"only DESCRIBE HISTORY <name> is supported; got {text!r}"
+                    f"only DESCRIBE HISTORY/DETAIL <name> is supported; "
+                    f"got {text!r}"
                 )
             if not self.exists(m.group("name")):
                 raise FileNotFoundError(f"no table {m.group('name')!r}")

@@ -146,7 +146,11 @@ def test_sql_maintenance_errors(spark, cat):
     with _pytest.raises(FileNotFoundError):
         cat.sql("OPTIMIZE missing")
     with _pytest.raises(ValueError):
-        cat.sql("DESCRIBE DETAIL t")
+        cat.sql("DESCRIBE EXTENDED t")
+    # DESCRIBE DETAIL serves the live file inventory from log metadata
+    det = cat.sql("DESCRIBE DETAIL t")
+    assert det.columns == ["file", "bytes", "stats"]
+    assert det.count() == len(cat.table("t").snapshot())
 
 
 def test_check_constraints_end_to_end(spark, cat):
