@@ -88,3 +88,34 @@ def test_global_row_number_low_cardinality_leading_key(spark):
     assert total == 5000
     assert [r.rn for r in rows] == list(range(1, 5001))
     assert [r.t for r in rows] == sorted(r.t for r in rows)
+
+
+def test_ntile_formula_property(spark, duck):
+    """Closed-form NTILE from rank == the engines' own NTILE for random
+    (total, n) — including total < n, total % n != 0, n = 1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        total=st.integers(min_value=1, max_value=400),
+        n=st.integers(min_value=1, max_value=17),
+    )
+    def check(total, n):
+        got = {
+            r.rn: r.b
+            for r in spark.range(1, total + 1)
+            .select(F.col("id").alias("rn"))
+            .select("rn", ntile_from_rank(F.col("rn"), total, n).alias("b"))
+            .collect()
+        }
+        want = {
+            rn: b
+            for rn, b in duck.execute(
+                f"SELECT rn, CAST(NTILE({n}) OVER (ORDER BY rn) AS INT) "
+                f"FROM (SELECT unnest(generate_series(1, {total})) AS rn)"
+            ).fetchall()
+        }
+        assert got == want, (total, n)
+
+    check()
