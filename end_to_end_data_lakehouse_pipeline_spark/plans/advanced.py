@@ -1249,3 +1249,100 @@ register(
     "operator; per round one arc join + count + per-node top-1 window.",
     tags=("graph", "iterative", "mining"),
 )(build_label_propagation_communities)
+
+
+# ---------------------------------------------------------------------------
+# cogroup_user_ledger — the cogrouped-map Pandas API surface
+# (GroupedData.cogroup().applyInPandas, §2.9 family): both sides shuffle
+# once on the key, each (key, left-frame, right-frame) pair lands in one
+# Arrow-batched Python call — the shape for per-entity reconciliation
+# logic too imperative for joins (ledger matching, interleaved-sequence
+# alignment). Here the per-user body is exact integer arithmetic so the
+# whole operator carries a full-outer-join SQL oracle; at 100 TB the
+# cost model is exactly one co-partitioned shuffle per side.
+# ---------------------------------------------------------------------------
+
+COGROUP_LEDGER_ORACLE = """
+WITH o AS (
+    SELECT o_custkey AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS order_cents
+    FROM orders GROUP BY 1
+),
+e AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS event_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_purchases, 0) AS n_purchases,
+       COALESCE(o.order_cents, 0) AS order_cents,
+       COALESCE(e.event_cents, 0) AS event_cents,
+       COALESCE(o.order_cents, 0) - COALESCE(e.event_cents, 0) AS diff_cents
+FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+ORDER BY user_id
+"""
+
+
+def build_cogroup_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    orders = spread(table(spark, sf_dir, "orders"), spark).select(
+        F.col("o_custkey").alias("user_id"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    purchases = (
+        spread(table(spark, sf_dir, "events"), spark)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_orders", T.LongType(), True),
+            T.StructField("n_purchases", T.LongType(), True),
+            T.StructField("order_cents", T.LongType(), True),
+            T.StructField("event_cents", T.LongType(), True),
+            T.StructField("diff_cents", T.LongType(), True),
+        ]
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        oc = int(left["cents"].sum()) if len(left) else 0
+        ec = int(right["cents"].sum()) if len(right) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_orders": [len(left)],
+                "n_purchases": [len(right)],
+                "order_cents": [oc],
+                "event_cents": [ec],
+                "diff_cents": [oc - ec],
+            }
+        )
+
+    return (
+        orders.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(reconcile, schema=schema)
+        .orderBy("user_id")
+    )
+
+
+register(
+    "cogroup_user_ledger",
+    oracle=COGROUP_LEDGER_ORACLE,
+    doc="Cogrouped-map Pandas surface: per-user order-vs-purchase ledger "
+    "reconciliation via cogroup().applyInPandas — one co-partitioned "
+    "shuffle per side, Arrow-batched per-key frames, exact integer body; "
+    "oracle is the full-outer join of the two per-user aggregates.",
+    tags=("pandas", "join", "relational", "behavior"),
+)(build_cogroup_user_ledger)
