@@ -696,3 +696,70 @@ register(
     "the oracle's WHERE clause over the gaps-and-islands SQL.",
     tags=("streaming", "session", "drain", "window"),
 )(streaming_session_window_drain)
+
+
+# ---------------------------------------------------------------------------
+# streaming_running_totals_drain — per-key lifetime running aggregates
+# from applyInPandasWithState ValueState, emitting CUMULATIVE totals on
+# every micro-batch that touches the key. The oracle reproduces the full
+# EMISSION HISTORY (not just the final state): batch membership is the
+# SQL rule event_id % N == k (arrival order k asc), so row j for a user
+# must equal the windowed cumulative sums over that user's first j
+# batches — the cross-batch increment axis, checked row-for-row.
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_ORACLE = f"""
+WITH e AS (
+    SELECT user_id,
+           event_id % {_N_SPLITS} AS b,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+per AS (
+    SELECT user_id, b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS c
+    FROM e GROUP BY user_id, b
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS update_seq,
+       CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS events_so_far,
+       CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents_so_far
+FROM per
+WINDOW w AS (PARTITION BY user_id ORDER BY b)
+ORDER BY user_id, update_seq
+"""
+
+
+def streaming_running_totals_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.aggregates import running_user_totals
+
+    ws = session_dir("running_totals_drain")
+    data_dir = _split_input_mod(spark, sf_dir, "events.parquet", "event_id", ws)
+    batch = spark.read.parquet(data_dir)
+    events = _ts_fix(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    ).select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    out = _drain_to_parquet(
+        running_user_totals(events), "running_totals", min_batches=_N_SPLITS
+    )
+    return out.orderBy("user_id", "update_seq")
+
+
+register(
+    "streaming_running_totals_drain",
+    oracle=RUNNING_TOTALS_ORACLE,
+    doc="Per-key lifetime running totals from applyInPandasWithState "
+    "ValueState, drained over >=3 modulo-split micro-batches; the oracle "
+    "checks the complete EMISSION HISTORY (cumulative totals after each "
+    "batch touching the key) as windowed sums over the SQL-expressible "
+    "batch-membership rule.",
+    tags=("streaming", "stateful", "drain", "agg"),
+)(streaming_running_totals_drain)

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.lakehouse import LakehouseTable
@@ -329,3 +330,80 @@ def trending_topk_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("update_seq", T.LongType(), True),
+        T.StructField("events_so_far", T.LongType(), True),
+        T.StructField("cents_so_far", T.LongType(), True),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("events", T.LongType(), True),
+        T.StructField("cents", T.LongType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """events(user_id, cents) -> one row per (user, micro-batch touching
+    the user): lifetime running totals from per-key ValueState.
+
+    The 'live running aggregate' stateful shape — per-key cumulative
+    emission on every update, no watermark/expiry (state is O(1) per
+    live key forever; bound it with a timeout when keys churn). The
+    ``update_seq`` counter in state makes the emission history itself
+    assertable: row k for a user carries the totals after the k-th
+    micro-batch that contained that user — the cross-batch increment
+    semantics a DuckDB oracle can reproduce as windowed cumulative sums
+    over the batch-membership rule.
+
+    (Spark 4's transformWithStateInPandas is the successor API for this
+    shape; its driver worker needs protobuf, absent in this sandbox, so
+    the operator rides applyInPandasWithState — same state-store
+    mechanics.)
+    """
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ev = 0
+        cents = 0
+        for pdf in pdfs:
+            ev += len(pdf)
+            cents += int(pdf["cents"].sum())
+        if state.exists:
+            pe, pc, ps = state.get
+        else:
+            pe, pc, ps = 0, 0, 0
+        tot_e, tot_c, seq = pe + ev, pc + cents, ps + 1
+        state.update((tot_e, tot_c, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "update_seq": [seq],
+                "events_so_far": [tot_e],
+                "cents_so_far": [tot_c],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
