@@ -97,6 +97,10 @@ HEADLINE = [
     "media_resize_report",     # multimodal block-resize via mapInPandas
     "rolling_distinct_users_7d",  # sliding COUNT DISTINCT via explode
     "join_size_estimate_cms",  # CMS inner-product join-size estimate
+    "streaming_running_totals_drain",  # ValueState emission-history drain
+    "cogroup_user_ledger",     # cogrouped-map pandas reconciliation
+    "label_propagation_communities",  # oracled 3-round LPA
+    "streaming_session_window_drain",  # native session_window drain
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
