@@ -239,8 +239,9 @@ exact AS (
 SELECT exact.exact_size,
        est.cms_estimate,
        est.cms_estimate - exact.exact_size AS overestimate,
-       ROUND(CAST(est.cms_estimate - exact.exact_size AS DOUBLE)
-             / exact.exact_size, 6) AS rel_error
+       -- integer parts-per-million: no cross-engine double rounding
+       CAST((est.cms_estimate - exact.exact_size) * 1000000
+            // exact.exact_size AS BIGINT) AS rel_error_ppm
 FROM exact, est
 """
 
@@ -288,15 +289,16 @@ def build_join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "k")
         .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("exact_size"))
     )
+    over_ppm = (F.col("cms_estimate") - F.col("exact_size")) * F.lit(1_000_000)
+    # exact integer floor-division (both operands non-negative)
+    ppm = ((over_ppm - over_ppm % F.col("exact_size")) / F.col("exact_size")).cast(
+        "long"
+    )
     return exact.crossJoin(F.broadcast(est)).select(
         "exact_size",
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_size")).alias("overestimate"),
-        F.round(
-            (F.col("cms_estimate") - F.col("exact_size")).cast("double")
-            / F.col("exact_size"),
-            6,
-        ).alias("rel_error"),
+        ppm.alias("rel_error_ppm"),
     )
 
 

@@ -80,4 +80,4 @@ def test_join_size_cms_never_underestimates(spark, sf_dir):
     assert row.overestimate >= 0
     assert row.cms_estimate == row.exact_size + row.overestimate
     # 4x1024 grid on these key cardinalities: estimate should be tight
-    assert row.rel_error < 0.25
+    assert row.rel_error_ppm < 250_000
