@@ -1288,6 +1288,9 @@ ORDER BY user_id
 """
 
 
+LEDGER_BUCKETS = 256
+
+
 def build_cogroup_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
@@ -1295,6 +1298,7 @@ def build_cogroup_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spread(table(spark, sf_dir, "orders"), spark).select(
         F.col("o_custkey").alias("user_id"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.pmod("o_custkey", F.lit(LEDGER_BUCKETS)).alias("bucket"),
     )
     purchases = (
         spread(table(spark, sf_dir, "events"), spark)
@@ -1302,6 +1306,7 @@ def build_cogroup_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.pmod("user_id", F.lit(LEDGER_BUCKETS)).alias("bucket"),
         )
     )
     schema = T.StructType(
@@ -1315,23 +1320,37 @@ def build_cogroup_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        oc = int(left["cents"].sum()) if len(left) else 0
-        ec = int(right["cents"].sum()) if len(right) else 0
+    # Cogroup on a BOUNDED bucket key, vectorize per-user work inside the
+    # pandas body: applyInPandas costs one Python round-trip PER KEY, so
+    # keying by raw user_id means key-count calls (measured 28 s at sf0.1
+    # for 15K users); 256 buckets keep the per-call frames large and the
+    # call count fixed at any scale — the cogroup deployment rule.
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        lo = (
+            left.groupby("user_id")["cents"].agg(["count", "sum"])
+            if len(left)
+            else pd.DataFrame(columns=["count", "sum"])
+        )
+        ro = (
+            right.groupby("user_id")["cents"].agg(["count", "sum"])
+            if len(right)
+            else pd.DataFrame(columns=["count", "sum"])
+        )
+        m = lo.join(ro, how="outer", lsuffix="_o", rsuffix="_e").fillna(0)
         return pd.DataFrame(
             {
-                "user_id": [int(key[0])],
-                "n_orders": [len(left)],
-                "n_purchases": [len(right)],
-                "order_cents": [oc],
-                "event_cents": [ec],
-                "diff_cents": [oc - ec],
+                "user_id": m.index.astype("int64"),
+                "n_orders": m["count_o"].astype("int64"),
+                "n_purchases": m["count_e"].astype("int64"),
+                "order_cents": m["sum_o"].astype("int64"),
+                "event_cents": m["sum_e"].astype("int64"),
+                "diff_cents": (m["sum_o"] - m["sum_e"]).astype("int64"),
             }
         )
 
     return (
-        orders.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        orders.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(reconcile, schema=schema)
         .orderBy("user_id")
     )
@@ -1341,8 +1360,9 @@ register(
     "cogroup_user_ledger",
     oracle=COGROUP_LEDGER_ORACLE,
     doc="Cogrouped-map Pandas surface: per-user order-vs-purchase ledger "
-    "reconciliation via cogroup().applyInPandas — one co-partitioned "
-    "shuffle per side, Arrow-batched per-key frames, exact integer body; "
+    "reconciliation via cogroup().applyInPandas keyed by a BOUNDED "
+    "bucket (one Python call per bucket, per-user work vectorized "
+    "inside — raw-key cogrouping costs key-count calls); exact body; "
     "oracle is the full-outer join of the two per-user aggregates.",
     tags=("pandas", "join", "relational", "behavior"),
 )(build_cogroup_user_ledger)
