@@ -1326,15 +1326,16 @@ def build_cogroup_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for 15K users); 256 buckets keep the per-call frames large and the
     # call count fixed at any scale — the cogroup deployment rule.
     def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["count", "sum"]).astype("int64")
         lo = (
             left.groupby("user_id")["cents"].agg(["count", "sum"])
             if len(left)
-            else pd.DataFrame(columns=["count", "sum"])
+            else empty
         )
         ro = (
             right.groupby("user_id")["cents"].agg(["count", "sum"])
             if len(right)
-            else pd.DataFrame(columns=["count", "sum"])
+            else empty
         )
         m = lo.join(ro, how="outer", lsuffix="_o", rsuffix="_e").fillna(0)
         return pd.DataFrame(
