@@ -1621,3 +1621,54 @@ register(
     "list oracle — the video frame-sample plumbing shape, driver-checked.",
     tags=("llm", "multimodal", "pandas"),
 )(build_media_frame_sample_report)
+
+
+# ---------------------------------------------------------------------------
+# balanced_class_sample — exactly-k-per-class deterministic sampling (the
+# "give me 50 inspection examples per language / balanced subsample per
+# label" primitive). Rank within each class by an md5 hash of the id —
+# uniform, seedless, reproducible on any engine — and keep the first K.
+# One hash-partitioned window, WindowGroupLimit prunes to K per class
+# before the final shuffle; no global sort, no RAND().
+# ---------------------------------------------------------------------------
+
+BALANCED_K = 50
+
+BALANCED_SAMPLE_ORACLE = f"""
+SELECT lang, doc_id, source, n_chars
+FROM (
+    SELECT lang, doc_id, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= {BALANCED_K}
+ORDER BY lang, doc_id
+"""
+
+
+def build_balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BALANCED_K)
+        .drop("rn")
+        .orderBy("lang", "doc_id")
+    )
+
+
+register(
+    "balanced_class_sample",
+    oracle=BALANCED_SAMPLE_ORACLE,
+    doc=f"Exactly-{BALANCED_K}-per-class deterministic sample: md5-of-id "
+    "rank within each class (uniform, seedless, engine-identical), "
+    "WindowGroupLimit prunes to K per class pre-shuffle — the balanced "
+    "subsample / per-class inspection primitive.",
+    tags=("llm", "sampling", "window", "pipeline"),
+)(build_balanced_class_sample)
