@@ -296,3 +296,79 @@ register(
     "aggregate through catalog.sql snapshot views.",
     tags=("lakehouse", "txnlog", "sql", "catalog"),
 )(build_lake_catalog_sql)
+
+
+# ---------------------------------------------------------------------------
+# txnlog_pushdown_scan — Delta-style data skipping through the PUBLIC
+# DataSource pushdown API, driver-checked: orders land in a txnlog table
+# as custkey-sorted files with footer stats; the scan goes through
+# format("txnlog") with Catalyst-pushed filters, so the WHERE clause
+# prunes the file set from LOG METADATA before a single data byte is
+# read (pytest pins the partition counts; this drive pins the answers).
+# ---------------------------------------------------------------------------
+
+PUSHDOWN_LO, PUSHDOWN_HI = 1000, 2000
+
+TXNLOG_PUSHDOWN_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS revenue
+FROM orders
+WHERE o_custkey BETWEEN {PUSHDOWN_LO} AND {PUSHDOWN_HI}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def build_txnlog_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table as read_table
+    from ..sources.txnlog import TransactionLogTable
+    from ..sources.txnlog_source import TxnlogDataSource
+
+    ws = session_dir("txnlog_pushdown")
+    path = os.path.join(ws, "orders_t")
+    t = TransactionLogTable(spark, path, stats_cols=("o_custkey",))
+    if t.latest_version() is None:
+        t.append(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ),
+            sort_by=["o_custkey"],
+            n_files=16,
+        )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxnlogDataSource)
+    scan = (
+        spark.read.format("txnlog")
+        .option("path", path)
+        .option("pushdown", "true")
+        .load()
+    )
+    from .parity import scaled_long
+
+    return (
+        scan.filter(
+            (F.col("o_custkey") >= PUSHDOWN_LO)
+            & (F.col("o_custkey") <= PUSHDOWN_HI)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(scaled_long("o_totalprice")).cast("double") / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+register(
+    "txnlog_pushdown_scan",
+    oracle=TXNLOG_PUSHDOWN_ORACLE,
+    doc="Data skipping through the public DataSource pushdown API: "
+    "Catalyst-pushed range filter prunes the txnlog snapshot's file set "
+    "from log stats before any data read (1 of 16 files at the test "
+    "range); Spark re-applies the predicate, so semantics are exact.",
+    tags=("lakehouse", "txnlog", "source", "filter", "scale"),
+)(build_txnlog_pushdown_scan)

@@ -29,7 +29,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 from .txnlog import TransactionLogTable
@@ -55,7 +61,16 @@ class TxnlogDataSource(DataSource):
         return schema
 
     def reader(self, schema) -> "TxnlogBatchReader":
-        return TxnlogBatchReader(self.options, schema)
+        # Stats-based file skipping is OPT-IN via option("pushdown",
+        # "true"): Spark refuses a reader that defines pushFilters when
+        # `spark.sql.python.filterPushdown.enabled` is off, and this
+        # method runs in the data-source planner worker where the live
+        # session conf is unreachable — so the caller who enables the
+        # conf passes the option too (set both, get Delta-style skipping;
+        # default stays safe in any vanilla session).
+        push = self.options.get("pushdown", "false").lower() == "true"
+        cls = TxnlogPruningReader if push else TxnlogBatchReader
+        return cls(self.options, schema)
 
     def streamReader(self, schema) -> "TxnlogStreamReader":
         return TxnlogStreamReader(self.options, schema)
@@ -113,6 +128,73 @@ class TxnlogBatchReader(DataSourceReader):
         if getattr(partition, "path", None) is None:
             return iter(())
         return _read_file(partition.path, self.schema)
+
+
+class TxnlogPruningReader(TxnlogBatchReader):
+    """Batch reader with log-stats file skipping from Catalyst-pushed
+    predicates (Delta's data-skipping behavior through the public
+    DataSource pushdown API): range/equality filters on stats-tracked
+    columns shrink the snapshot to files whose footer [min, max] can
+    match. EVERY filter is handed back as unsupported — skipping is
+    file-granular, Spark re-applies the row-level predicate — so this is
+    pure pruning, never a semantics change. Unknown columns, struct
+    paths, missing stats, or non-comparable literals keep the file
+    (never skip on missing information, same rule as pruned_files)."""
+
+    def pushFilters(self, filters):
+        bounds: dict[str, list] = {}  # col -> [lo, hi] (None = unbounded)
+
+        def tighten(col, lo=None, hi=None):
+            b = bounds.setdefault(col, [None, None])
+            if lo is not None and (b[0] is None or lo > b[0]):
+                b[0] = lo
+            if hi is not None and (b[1] is None or hi < b[1]):
+                b[1] = hi
+
+        for f in filters:
+            attr = f.attribute if isinstance(f.attribute, tuple) else (f.attribute,)
+            if len(attr) == 1:
+                col = attr[0]
+                if isinstance(f, EqualTo):
+                    tighten(col, lo=f.value, hi=f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    tighten(col, lo=f.value)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    tighten(col, hi=f.value)
+                elif isinstance(f, In) and f.value:
+                    try:
+                        tighten(col, lo=min(f.value), hi=max(f.value))
+                    except TypeError:
+                        pass
+            yield f  # all filters re-applied by Spark post-scan
+
+        if bounds:
+            t = _table(self.options)
+            version = (
+                int(self.options["version"])
+                if "version" in self.options
+                else None
+            )
+            keep = []
+            for name, entry in sorted(t.snapshot(version).items()):
+                stats = entry.get("stats", {})
+                ok = True
+                for col, (lo, hi) in bounds.items():
+                    st = stats.get(col)
+                    if st is None:
+                        continue  # no stats: never skip
+                    try:
+                        if lo is not None and st["max"] < lo:
+                            ok = False
+                            break
+                        if hi is not None and st["min"] > hi:
+                            ok = False
+                            break
+                    except TypeError:
+                        continue  # incomparable literal: keep the file
+                if ok:
+                    keep.append(os.path.join(t.path, name))
+            self.files = keep
 
 
 class TxnlogStreamReader(DataSourceStreamReader):

@@ -119,3 +119,49 @@ def test_stream_ignore_changes_opt_in(spark, tbl, tmp_path):
     # the rewritten file re-emits (Delta ignoreChanges contract): the
     # updated row is present; co-located rewrites may duplicate
     assert out.filter(F.col("v") == "UPD").count() == 1
+
+
+def test_pushdown_prunes_files_and_preserves_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        TransactionLogTable,
+    )
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog_source import (
+        TxnlogDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxnlogDataSource)
+    t = TransactionLogTable(spark, str(tmp_path / "p"), stats_cols=("k",))
+    t.append(
+        spark.range(0, 8000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ),
+        sort_by=["k"],
+        n_files=8,
+    )
+    on = (
+        spark.read.format("txnlog")
+        .option("path", t.path)
+        .option("pushdown", "true")
+        .load()
+    )
+    off = (
+        spark.read.format("txnlog")
+        .option("path", t.path)
+        .option("pushdown", "false")
+        .load()
+    )
+    # file-level skipping engages: range filter hits 1 of 8 files
+    assert on.rdd.getNumPartitions() == 8
+    assert on.filter("k >= 7000").rdd.getNumPartitions() == 1
+    assert on.filter("k = 42").rdd.getNumPartitions() == 1
+    # identical results with pruning on/off (Spark re-applies the filter)
+    for pred in ("k >= 7000", "k = 42", "k >= 100 AND k < 200", "v = 3"):
+        assert sorted(map(tuple, on.filter(pred).collect())) == sorted(
+            map(tuple, off.filter(pred).collect())
+        ), pred
+    # filter on a non-stats column must NOT skip anything
+    assert on.filter("v = 3").rdd.getNumPartitions() == 8
+    spark.conf.unset("spark.sql.python.filterPushdown.enabled")
