@@ -101,6 +101,8 @@ HEADLINE = [
     "cogroup_user_ledger",     # cogrouped-map pandas reconciliation
     "label_propagation_communities",  # oracled 3-round LPA
     "streaming_session_window_drain",  # native session_window drain
+    "txnlog_pushdown_scan",    # DataSource pushFilters file skipping
+    "balanced_class_sample",   # exactly-k-per-class deterministic sample
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
