@@ -22,12 +22,15 @@ distributed rewrite used here:
 Caveats: the sort columns must be non-null and numeric (split points
 come from ``approxQuantile`` / grouped ``percentile_approx``). Rows
 sharing one leading-key value land in one bucket; buckets that exceed
-3x the target size are split ONE further level on the second sort
-column (one grouped-percentile job covers all hot buckets), which
-handles the low-cardinality-leading-key shape — ntile by a status-like
-column over a unique tiebreak. A key PREFIX that is constant across
-most of the data deeper than two columns would need recursive
-refinement (same construction, not implemented).
+3x the target size are refined ONE further level: the bucket's dominant
+(modal) leading value's rows are split on the SECOND sort column (one
+grouped-percentile job covers all hot buckets), rows below/above the
+dominant value take boundary sub-buckets — order-safe even when the hot
+range holds several distinct leading values. This handles the
+low-cardinality-leading-key shape — ntile by a status-like column over
+a unique tiebreak. A key PREFIX that is constant across most of the
+data deeper than two columns would need recursive refinement (same
+construction, not implemented).
 """
 
 from __future__ import annotations
@@ -88,29 +91,58 @@ def global_row_number(
     sub_expr: Column = F.lit(0)
     if hot and len(order_cols) > 1:
         key2 = order_cols[1]
+        key1d = F.col(key).cast("double")
+        key2d = F.col(key2).cast("double")
+        hot_rows = with_bkt.filter(F.col(_BKT).isin(hot))
+        # A hot bucket is a key RANGE and may hold several distinct
+        # leading-key values (a heavy-hitter plus continuous neighbors in
+        # the same quantile interval). Sub-splitting on the second column
+        # is only order-safe among rows sharing ONE leading value, so:
+        # rows below the bucket's dominant (modal) value take sub 0, the
+        # dominant value's rows are percentile-split on the second column
+        # into subs 1..m+1, and rows above take the last sub. Sub order
+        # then agrees with (key1, key2) order by construction.
+        modes = {
+            r[_BKT]: r["mode"]
+            for r in hot_rows.groupBy(_BKT).agg(F.mode(key1d).alias("mode")).collect()
+        }
+        mode_pairs = [x for b, m in modes.items() for x in (F.lit(b), F.lit(m))]
+        mode_for_bucket = F.create_map(*mode_pairs)[F.col(_BKT)]
         sub_probs = [i / parts for i in range(1, parts)]
+        # One grouped job covers every hot bucket: second-column split
+        # points among the dominant value's rows only (NULL elsewhere —
+        # percentile_approx ignores nulls).
         sub_bounds = {
             r[_BKT]: sorted(
                 {float(x) for x in (r["qs"] or []) if x is not None}
             )
-            for r in with_bkt.filter(F.col(_BKT).isin(hot))
-            .groupBy(_BKT)
+            for r in hot_rows.groupBy(_BKT)
             .agg(
                 F.percentile_approx(
-                    F.col(key2).cast("double"), sub_probs, 1000
+                    F.when(key1d == mode_for_bucket, key2d), sub_probs, 1000
                 ).alias("qs")
             )
             .collect()
         }
         branches = None
-        for b, sbs in sub_bounds.items():
-            if not sbs:
+        for b in hot:
+            v = modes.get(b)
+            if v is None:
                 continue
-            sub_b = F.size(
-                F.filter(
-                    F.array(*[F.lit(x) for x in sbs]),
-                    lambda v: v < F.col(key2).cast("double"),
+            sbs = sub_bounds.get(b, [])
+            if sbs:
+                dom_sub = F.lit(1) + F.size(
+                    F.filter(
+                        F.array(*[F.lit(x) for x in sbs]),
+                        lambda q: q < key2d,
+                    )
                 )
+            else:
+                dom_sub = F.lit(1)
+            sub_b = (
+                F.when(key1d < F.lit(v), F.lit(0))
+                .when(key1d == F.lit(v), dom_sub)
+                .otherwise(F.lit(len(sbs) + 2))
             )
             cond = F.col(_BKT) == F.lit(b)
             branches = (

@@ -232,8 +232,15 @@ def _exec_merge(
         touched = t.files_touched_by_keys(
             src.select(F.col(skey).alias(tkey)), tkey, base_version
         )
+        # Declared-schema read (NOT bare spark.read.parquet): after ALTER
+        # ADD COLUMNS the touched files may predate the evolved schema —
+        # first-file-wins inference would silently drop evolved-column
+        # values from newer files and make UPDATE SET on an evolved
+        # column a no-op (absent from tcols). _read_files_declared
+        # NULL-fills and projects onto the log schema at base_version,
+        # matching update_where/delete_where.
         current = (
-            spark.read.parquet(*t._abs(touched))
+            t._read_files_declared(touched, base_version)
             if touched
             else spark.createDataFrame([], t._schema_at(base_version))
         )

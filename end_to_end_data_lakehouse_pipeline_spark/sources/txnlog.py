@@ -75,6 +75,27 @@ class ConstraintViolation(RuntimeError):
     """A write staged rows that fail a table CHECK constraint."""
 
 
+def _all_nullable(dt):
+    """Recursively mark every field/element nullable. The declared log
+    schema must never inherit the non-nullability of one write's literal
+    DataFrame — other files in the snapshot (or NULL-filled evolved
+    columns) may legitimately hold nulls."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_all_nullable(dt.keyType), _all_nullable(dt.valueType), True)
+    return dt
+
+
 def _file_stats(path: str, cols: Sequence[str]) -> dict:
     """min/max/null-count per tracked column from the parquet FOOTER
     (row-group metadata only — no data pages are read)."""
@@ -317,7 +338,13 @@ class TransactionLogTable:
     def _meta(self, op: str, df: DataFrame | None = None) -> dict:
         meta: dict = {"op": op, "ts": time.time()}
         if df is not None:
-            meta["schema"] = df.schema.json()
+            # Record the schema with every field nullable (recursively):
+            # a lakehouse column is nullable unless constrained (Delta's
+            # stance; NOT NULL here is a CHECK constraint). Otherwise an
+            # INSERT of literals (non-nullable columns) would NARROW the
+            # declared schema, and NULL-filled evolved columns on older
+            # files would violate it at read time (executor NPE).
+            meta["schema"] = _all_nullable(df.schema).json()
         return {"meta": meta}
 
     def append(
@@ -465,15 +492,6 @@ class TransactionLogTable:
         EXISTING snapshot against the expression, then commit the
         constraint as metadata. Every subsequent write path stages
         through :meth:`_stage_files`, which enforces it."""
-        if name in self.constraints():
-            raise ValueError(f"constraint {name!r} already exists")
-        if self.latest_version() is not None and self.snapshot():
-            bad = self.read().filter(~F.expr(expr)).limit(1).count()
-            if bad:
-                raise ConstraintViolation(
-                    f"existing rows violate CHECK ({expr}); constraint "
-                    f"{name!r} not added"
-                )
         meta = {
             "meta": {
                 "op": "add_constraint",
@@ -482,6 +500,20 @@ class TransactionLogTable:
             }
         }
         while True:
+            # Validate INSIDE the commit loop: a concurrent append that
+            # wins the version race may have introduced violating rows
+            # (the write side only enforces constraints already in the
+            # log), so the snapshot must be re-checked after every lost
+            # race — the mirror of write-side re-validation on retry.
+            if name in self.constraints():
+                raise ValueError(f"constraint {name!r} already exists")
+            if self.latest_version() is not None and self.snapshot():
+                bad = self.read().filter(~F.expr(expr)).limit(1).count()
+                if bad:
+                    raise ConstraintViolation(
+                        f"existing rows violate CHECK ({expr}); constraint "
+                        f"{name!r} not added"
+                    )
             version = (self.latest_version() or 0) + 1
             try:
                 self._commit(version, [meta])
@@ -516,26 +548,32 @@ class TransactionLogTable:
         :meth:`read` / the ``txnlog`` DataSource. O(1) commit; snapshot
         files unchanged, so time travel to pre-ALTER versions still reads
         the old schema."""
-        current = self._schema_at(None)
-        if current is None:
-            raise FileNotFoundError(f"no committed schema at {self.path}")
         added = StructType.fromDDL(cols_ddl)
-        existing = {f.name.lower() for f in current.fields}
-        for f in added.fields:
-            if f.name.lower() in existing:
-                raise ValueError(f"column {f.name!r} already exists")
-        evolved = StructType(
-            current.fields
-            + [StructField(f.name, f.dataType, True) for f in added.fields]
-        )
-        meta = {
-            "meta": {
-                "op": "alter_add_columns",
-                "ts": time.time(),
-                "schema": evolved.json(),
-            }
-        }
         while True:
+            # Recompute the base schema INSIDE the commit loop: if a
+            # concurrent ALTER ADD COLUMNS wins the version race, the
+            # retry must build on the WINNER's schema (else this commit
+            # would be a full-replacement schema missing the winner's
+            # column — a lost update), and the duplicate-name check must
+            # run against the fresh schema too.
+            current = self._schema_at(None)
+            if current is None:
+                raise FileNotFoundError(f"no committed schema at {self.path}")
+            existing = {f.name.lower() for f in current.fields}
+            for f in added.fields:
+                if f.name.lower() in existing:
+                    raise ValueError(f"column {f.name!r} already exists")
+            evolved = StructType(
+                current.fields
+                + [StructField(f.name, f.dataType, True) for f in added.fields]
+            )
+            meta = {
+                "meta": {
+                    "op": "alter_add_columns",
+                    "ts": time.time(),
+                    "schema": evolved.json(),
+                }
+            }
             version = (self.latest_version() or 0) + 1
             try:
                 self._commit(version, [meta])

@@ -90,6 +90,35 @@ def test_global_row_number_low_cardinality_leading_key(spark):
     assert [r.t for r in rows] == sorted(r.t for r in rows)
 
 
+def test_global_row_number_hot_bucket_multivalued_leading_key(spark):
+    """ADVICE r4 medium (ranking.py): a hot bucket is a key RANGE — a
+    heavy-hitter value PLUS continuous neighbors can share one quantile
+    interval. Sub-splitting such a bucket on the second column alone
+    reordered rows across leading-key values (larger k, small t ranked
+    before smaller k, large t). The fix splits only the dominant value's
+    rows; neighbors take boundary sub-buckets. Rank must equal exact
+    (k, t) sort order."""
+    from pyspark.sql import functions as F
+
+    # 6000 rows at k=5.0 (the heavy hitter) + 3000 continuous neighbors
+    # in (4.9990, 5.0010) — with 8 target buckets the hitter's bucket is
+    # hot AND multi-valued on k.
+    hot = spark.range(0, 6000).select(
+        F.lit(5.0).alias("k"), F.col("id").cast("double").alias("t")
+    )
+    neighbors = spark.range(0, 3000).select(
+        (F.lit(4.999) + (F.col("id") % 200) * F.lit(0.00001)).alias("k"),
+        (F.lit(10000) + F.col("id")).cast("double").alias("t"),
+    )
+    df = hot.unionAll(neighbors)
+    ranked, total = global_row_number(df, ["k", "t"], num_partitions=8)
+    assert total == 9000
+    rows = ranked.orderBy("rn").collect()
+    assert [r.rn for r in rows] == list(range(1, 9001))
+    keys = [(r.k, r.t) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_ntile_formula_property(spark, duck):
     """Closed-form NTILE from rank == the engines' own NTILE for random
     (total, n) — including total < n, total % n != 0, n = 1."""

@@ -201,3 +201,42 @@ def test_concurrent_sql_merges_serialize(spark, tmp_path):
     assert all(got[k] == "A" for k in range(0, 5))
     assert all(got[k] == "B" for k in range(15, 20))
     assert all(got[k] == "v" for k in range(5, 15))
+
+
+def test_sql_merge_reads_declared_schema_after_alter(spark, tmp_path):
+    """ADVICE r4 medium: MERGE's touched-file read must project onto the
+    DECLARED log schema. After ALTER ADD COLUMNS, touched files span
+    both schema versions — bare spark.read.parquet (first-file wins)
+    silently dropped evolved-column values from newer files and made
+    UPDATE SET on the evolved column a no-op."""
+    t = TransactionLogTable(spark, str(tmp_path / "ev"), stats_cols=("k",))
+    # file 1: pre-evolution schema (k, v, updated_at)
+    t.append(_mk(spark, [(1, "a", 1), (2, "b", 1)]), sort_by=["k"])
+    t.alter_add_columns("tier STRING")
+    # file 2: post-evolution, carries tier values
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 1, "gold")], ["k", "v", "updated_at", "tier"]
+        ),
+        sort_by=["k"],
+    )
+    src = spark.createDataFrame(
+        [(2, "B2", 2, "silver"), (3, "C2", 2, "plat")],
+        ["k", "v", "updated_at", "tier"],
+    )
+    src.createOrReplaceTempView("ev_src")
+    execute_dml(
+        spark,
+        """
+        MERGE INTO ev t USING ev_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, tier = s.tier
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables={"ev": t},
+    )
+    got = {r.k: (r.v, r.tier) for r in t.read(merge_schema=True).collect()}
+    # evolved column updated on BOTH the pre-evolution file's row (k=2)
+    # and the post-evolution file's row (k=3); untouched row NULL-fills
+    assert got[2] == ("B2", "silver")
+    assert got[3] == ("C2", "plat")
+    assert got[1] == ("a", None)

@@ -188,3 +188,59 @@ def test_check_constraints_end_to_end(spark, cat):
     assert cat.table("t").constraints() == {}
     cat.sql("INSERT INTO t VALUES (-1, 'now ok', 9)")
     assert -1 in {r.k for r in cat.sql("SELECT k FROM t").collect()}
+
+
+def test_catalog_dml_sources_see_fresh_snapshots(spark, cat):
+    """ADVICE r4 low: a MERGE whose source is ANOTHER catalog table must
+    read that table's CURRENT snapshot — temp views registered by an
+    earlier read-path call pin the snapshot as of registration."""
+    cat.create("s", _mk(spark, [(5, "STALE", 9)]), stats_cols=("k",))
+    cat.sql("SELECT * FROM s").collect()  # registers (and pins) views
+    cat.sql("UPDATE s SET v = 'FRESH' WHERE k = 5")  # mutate after pin
+    cat.sql(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM t").collect()}
+    assert got[5] == "FRESH"
+
+
+def test_drop_table_unregisters_temp_view(spark, cat):
+    """ADVICE r4 low: DROP TABLE must drop the table's temp view too —
+    a leftover view would keep serving the dropped table's last
+    snapshot to later spark.sql reads."""
+    cat.create("gone", _mk(spark, [(1, "x", 1)]))
+    cat.sql("SELECT * FROM gone").collect()  # registers the view
+    cat.sql("DROP TABLE gone")
+    assert "gone" not in [v.name for v in spark.catalog.listTables()]
+
+
+def test_catalog_sql_reads_get_pushdown_file_skipping(spark, tmp_path):
+    """VERDICT r4 task 3: catalog reads auto-inject txnlog stats
+    pushdown — a point/range predicate through catalog.sql plans only
+    the stats-matching files, no option incantation from the user."""
+    from pyspark.sql import functions as F
+
+    c = LakeCatalog(spark, str(tmp_path / "lakep"))
+    t = c.create("p", stats_cols=("k",))
+    t.append(
+        spark.range(0, 8000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ),
+        sort_by=["k"],
+        n_files=8,
+    )
+    full = c.sql("SELECT * FROM p")
+    assert full.rdd.getNumPartitions() == 8
+    point = c.sql("SELECT * FROM p WHERE k = 42")
+    assert point.rdd.getNumPartitions() == 1
+    assert [(r.k, r.v) for r in point.collect()] == [(42, 2)]
+    rng = c.sql("SELECT * FROM p WHERE k >= 7000")
+    assert rng.rdd.getNumPartitions() == 1
+    assert rng.count() == 1000
+    # opting out restores the native-parquet view path
+    c2 = LakeCatalog(spark, str(tmp_path / "lakep"), pushdown=False)
+    assert sorted(
+        map(tuple, c2.sql("SELECT * FROM p WHERE k = 42").collect())
+    ) == [(42, 2)]
+    spark.conf.unset("spark.sql.python.filterPushdown.enabled")

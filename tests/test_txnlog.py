@@ -627,3 +627,94 @@ def test_append_lost_race_revalidates_new_constraint(spark, tmp_path):
     # nothing committed, no orphan staged files referenced, table readable
     assert {r.k for r in t.read().collect()} == {1}
     assert t.constraints() == {"k_pos": "k >= 0"}
+
+
+def test_add_constraint_revalidates_after_lost_race(spark, tmp_path):
+    """ADVICE r4 medium: add_constraint that loses its commit race to a
+    concurrent append of VIOLATING rows must re-validate the winner's
+    snapshot on retry — a blind retry would commit the constraint over
+    data that was never checked (mirror of the append-side check)."""
+    from end_to_end_data_lakehouse_pipeline_spark.sources import txnlog as T
+
+    t = T.TransactionLogTable(spark, str(tmp_path / "race_ac"), stats_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+
+    orig_commit = t._commit
+    state = {"raced": False}
+
+    def racing_commit(version, actions):
+        if not state["raced"] and any(
+            a.get("meta", {}).get("op") == "add_constraint" for a in actions
+        ):
+            state["raced"] = True
+            t2 = T.TransactionLogTable(spark, t.path, stats_cols=("k",))
+            t2.append(spark.createDataFrame([(-7, "bad")], ["k", "v"]))
+            raise T.ConcurrentCommitError("simulated lost race")
+        return orig_commit(version, actions)
+
+    t._commit = racing_commit
+    import pytest as _pytest
+
+    try:
+        with _pytest.raises(T.ConstraintViolation):
+            t.add_constraint("k_pos", "k >= 0")
+    finally:
+        t._commit = orig_commit
+    # constraint NOT committed; both appends visible
+    assert t.constraints() == {}
+    assert {r.k for r in t.read().collect()} == {1, -7}
+
+
+def test_alter_add_columns_merges_concurrent_alter(spark, tmp_path):
+    """ADVICE r4 medium: an ALTER ADD COLUMNS that loses the version race
+    to ANOTHER alter must rebuild its evolved schema on the winner's —
+    a stale retry would commit a full-replacement schema missing the
+    winner's column (lost update)."""
+    from end_to_end_data_lakehouse_pipeline_spark.sources import txnlog as T
+
+    t = T.TransactionLogTable(spark, str(tmp_path / "race_alter"), stats_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+
+    orig_commit = t._commit
+    state = {"raced": False}
+
+    def racing_commit(version, actions):
+        if not state["raced"] and any(
+            a.get("meta", {}).get("op") == "alter_add_columns" for a in actions
+        ):
+            state["raced"] = True
+            t2 = T.TransactionLogTable(spark, t.path, stats_cols=("k",))
+            t2.alter_add_columns("w INT")
+            raise T.ConcurrentCommitError("simulated lost race")
+        return orig_commit(version, actions)
+
+    t._commit = racing_commit
+    try:
+        t.alter_add_columns("z STRING")
+    finally:
+        t._commit = orig_commit
+    cols = [f.name for f in t._schema_at(None).fields]
+    assert cols == ["k", "v", "w", "z"]  # winner's column survives
+    # duplicate-name check must also be fresh: racing the SAME column
+    state2 = {"raced": False}
+
+    def racing_commit_dup(version, actions):
+        if not state2["raced"] and any(
+            a.get("meta", {}).get("op") == "alter_add_columns" for a in actions
+        ):
+            state2["raced"] = True
+            t2 = T.TransactionLogTable(spark, t.path, stats_cols=("k",))
+            t2.alter_add_columns("dup DOUBLE")
+            raise T.ConcurrentCommitError("simulated lost race")
+        return orig_commit(version, actions)
+
+    t._commit = racing_commit_dup
+    import pytest as _pytest
+
+    try:
+        with _pytest.raises(ValueError):
+            t.alter_add_columns("dup DOUBLE")
+    finally:
+        t._commit = orig_commit
+    cols = [f.name for f in t._schema_at(None).fields]
+    assert cols == ["k", "v", "w", "z", "dup"]  # exactly one dup column
