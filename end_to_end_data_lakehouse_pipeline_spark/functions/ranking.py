@@ -54,6 +54,36 @@ def global_row_number(
     key) with a non-null numeric leading column. Returns ``(df_with_rank,
     total_rows)`` — the total falls out of the offset pass for free.
     """
+    out, total, _ = _rank_impl(df, order_cols, out_col, num_partitions)
+    return out, total
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "rn",
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Global row_number PLUS the running sum of ``sum_col`` over the same
+    total order — the Pareto/cumulative-share primitive — with the same
+    distributed construction: per-(bucket, sub) SUMS ride along in the
+    offset pass, so the running sum is a bucket-local window plus a
+    broadcast sum-offset. Returns ``(df, total_rows, total_sum)`` — the
+    grand total falls out of the same bucket-sized collect (no extra
+    job for the denominator of a cumulative share)."""
+    return _rank_impl(df, order_cols, out_col, num_partitions, sum_col, cumsum_col)
+
+
+def _rank_impl(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    num_partitions: int | None,
+    sum_col: str | None = None,
+    cumsum_col: str | None = None,
+) -> tuple[DataFrame, int, int | float | None]:
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     key = order_cols[0]
     probs = [i / parts for i in range(1, parts)]
@@ -154,37 +184,56 @@ def global_row_number(
             sub_expr = branches.otherwise(F.lit(0))
     with_sub = with_bkt.withColumn(_SUB, sub_expr)
 
-    counts2 = {
-        (r[_BKT], r[_SUB]): r["cnt"]
-        for r in with_sub.groupBy(_BKT, _SUB)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("s"))
+    grouped = with_sub.groupBy(_BKT, _SUB).agg(*aggs).collect()
+    counts2 = {(r[_BKT], r[_SUB]): r["cnt"] for r in grouped}
+    sums2 = (
+        {(r[_BKT], r[_SUB]): (r["s"] or 0) for r in grouped}
+        if sum_col is not None
+        else {}
+    )
     acc = 0
+    sacc: int | float = 0
     offsets2: dict[tuple[int, int], int] = {}
+    soffsets2: dict[tuple[int, int], int | float] = {}
     for bk in sorted(counts2):
         offsets2[bk] = acc
         acc += counts2[bk]
+        if sum_col is not None:
+            soffsets2[bk] = sacc
+            sacc += sums2[bk]
     offset_expr: Column = F.lit(0)
+    soffset_expr: Column = F.lit(0)
+    # composite key for the literal maps: bucket * 2^32 + sub
+    combo = F.col(_BKT).cast("long") * F.lit(1 << 32) + F.col(_SUB)
     if offsets2:
-        # composite key for the literal map: bucket * 2^32 + sub
-        combo = F.col(_BKT).cast("long") * F.lit(1 << 32) + F.col(_SUB)
         pairs = [
             x
             for (b, s), off in offsets2.items()
             for x in (F.lit(b * (1 << 32) + s), F.lit(off))
         ]
         offset_expr = F.create_map(*pairs)[combo]
+    if soffsets2:
+        spairs = [
+            x
+            for (b, s), off in soffsets2.items()
+            for x in (F.lit(b * (1 << 32) + s), F.lit(off))
+        ]
+        soffset_expr = F.create_map(*spairs)[combo]
 
     w = Window.partitionBy(_BKT, _SUB).orderBy(*[F.col(c) for c in order_cols])
-    out = (
-        with_sub.withColumn(
-            out_col, (F.row_number().over(w) + offset_expr).cast("long")
-        )
-        .drop(_BKT)
-        .drop(_SUB)
+    out = with_sub.withColumn(
+        out_col, (F.row_number().over(w) + offset_expr).cast("long")
     )
-    return out, acc
+    if sum_col is not None and cumsum_col is not None:
+        w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            cumsum_col, F.sum(sum_col).over(w_run) + soffset_expr
+        )
+    out = out.drop(_BKT).drop(_SUB)
+    return out, acc, (sacc if sum_col is not None else None)
 
 
 def ntile_from_rank(rn: Column, total: int, n: int) -> Column:
@@ -210,3 +259,54 @@ def ntile_from_rank(rn: Column, total: int, n: int) -> Column:
         .otherwise(F.lit(r) + intdiv(rn - 1 - F.lit(big), q))
         + 1
     ).cast("int")
+
+
+def sequence_gaps(df: DataFrame, col: str) -> DataFrame:
+    """Holes in an integer key sequence — ``LEAD() OVER (ORDER BY col)``
+    semantics WITHOUT the single-partition window.
+
+    Value-range buckets from ``approxQuantile`` (a pure function of the
+    key — stable across jobs under AQE), ``lead()`` inside each bucket
+    finds every in-bucket gap, and the bucket SEAMS are stitched from a
+    bucket-count-sized collect of per-bucket ``[min, max]`` (a gap
+    between consecutive buckets is visible from those two numbers
+    alone). Quantile accuracy only moves the seams, never the answer.
+    Keys must be distinct non-null integers. Output columns:
+    ``gap_start, gap_end, gap_len`` (all long)."""
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    probs = [i / parts for i in range(1, parts)]
+    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001))) if probs else []
+    if bounds:
+        bkt: Column = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: b < F.col(col).cast("double"),
+            )
+        )
+    else:
+        bkt = F.lit(0)
+    s = df.withColumn(_BKT, bkt).withColumn(
+        "__next",
+        F.lead(col).over(Window.partitionBy(_BKT).orderBy(col)),
+    )
+    inner = s.filter(F.col("__next") - F.col(col) > 1).select(
+        (F.col(col) + 1).cast("long").alias("gap_start"),
+        (F.col("__next") - 1).cast("long").alias("gap_end"),
+        (F.col("__next") - F.col(col) - 1).cast("long").alias("gap_len"),
+    )
+    edges = sorted(
+        (r[_BKT], r["lo"], r["hi"])
+        for r in s.groupBy(_BKT)
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+    seams = [
+        (int(prev_hi + 1), int(lo - 1), int(lo - prev_hi - 1))
+        for (_, _, prev_hi), (_, lo, _) in zip(edges, edges[1:])
+        if lo - prev_hi > 1
+    ]
+    seam_df = spark.createDataFrame(
+        seams, "gap_start bigint, gap_end bigint, gap_len bigint"
+    )
+    return inner.unionByName(seam_df)

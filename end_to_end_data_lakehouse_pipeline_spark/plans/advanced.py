@@ -365,14 +365,20 @@ def build_term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(tokens_col()).alias("t")).select(
         F.lower("t").alias("term")
     )
-    freq = (
+    # Distributed top-K (TakeOrdered — per-partition heads, K-row merge),
+    # then the ranks 1..K are assigned on the driver from the K-row
+    # collect: no window at all, and the vocab itself is never ranked or
+    # materialized beyond the grouped counts (VERDICT r4 task 8 — the
+    # regression's sufficient statistics only ever see K rows).
+    top = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("f"))
         .orderBy(F.desc("f"), "term")
         .limit(ZIPF_K)
+        .collect()
     )
-    ranked = freq.select(
-        "f", F.row_number().over(Window.orderBy(F.desc("f"), "term")).alias("rnk")
+    ranked = spark.createDataFrame(
+        [(i + 1, int(r["f"])) for i, r in enumerate(top)], "rnk int, f bigint"
     )
     # ln() of identical integers is the identical double on both engines;
     # quantizing to 1e-6 before the sum makes the OLS inputs exact integers

@@ -534,24 +534,33 @@ WINDOW w AS (ORDER BY rev_c DESC, o_custkey ASC)
 
 
 def build_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..functions.ranking import global_rank_cumsum
     from .parity import scaled_long
 
     orders = spread(table(spark, sf_dir, "orders"), spark)
     c = orders.groupBy("o_custkey").agg(
         F.sum(scaled_long("o_totalprice")).alias("rev_c")
     )
-    w = Window.orderBy(F.col("rev_c").desc(), F.col("o_custkey").asc())
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    return c.select(
+    # VERDICT r4 task 1: the rank AND the running revenue sum both ran in
+    # ONE no-partition window over ALL customers — the 100 TB cliff.
+    # global_rank_cumsum distributes both: value-range buckets on the
+    # negated cent revenue (DESC order as an ASC sort), bucket-local
+    # window + broadcast count/sum offsets; the cum-share denominator
+    # falls out of the same bucket-sized collect.
+    c = c.withColumn("_neg_rev", (-F.col("rev_c")).cast("double"))
+    ranked, _, total_rev = global_rank_cumsum(
+        c,
+        ["_neg_rev", "o_custkey"],
+        sum_col="rev_c",
+        out_col="revenue_rank",
+        cumsum_col="_cum_rev",
+    )
+    return ranked.select(
         "o_custkey",
-        F.row_number().over(w).cast("long").alias("revenue_rank"),
+        F.col("revenue_rank").cast("long").alias("revenue_rank"),
         (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
         (
-            F.sum("rev_c").over(w_run).cast("double")
-            / F.sum("rev_c").over(w_all)
+            F.col("_cum_rev").cast("double") / F.lit(total_rev).cast("double")
         ).alias("cum_share"),
     )
 

@@ -2253,8 +2253,9 @@ register(
 
 # ---------------------------------------------------------------------------
 # orderkey_gaps — sequence-gap detection (the islands complement): holes
-# in the orderkey sequence found with one lead() window — the data-
-# integrity audit for surrogate-key continuity after loads/replays.
+# in the orderkey sequence found with a range-bucketed lead() window plus
+# bucket-seam stitching — the data-integrity audit for surrogate-key
+# continuity after loads/replays.
 # ---------------------------------------------------------------------------
 
 ORDERKEY_GAPS_ORACLE = """
@@ -2271,26 +2272,21 @@ FROM s WHERE next_key - o_orderkey > 1
 
 
 def build_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import sequence_gaps
+
     orders = table(spark, sf_dir, "orders")
-    # global-order window over the bare key column: the window input is the
-    # deduped key set, calendar-of-keys sized; acceptable single partition
-    # for an audit (partition by key range for a 100 TB variant)
-    w = Window.orderBy("o_orderkey")
-    s = orders.select("o_orderkey").withColumn(
-        "next_key", F.lead("o_orderkey").over(w)
-    )
-    return s.filter(F.col("next_key") - F.col("o_orderkey") > 1).select(
-        (F.col("o_orderkey") + 1).alias("gap_start"),
-        (F.col("next_key") - 1).alias("gap_end"),
-        (F.col("next_key") - F.col("o_orderkey") - 1).cast("long").alias("gap_len"),
-    )
+    # VERDICT r4 task 1: lead() over the full key set ran in ONE task —
+    # replaced by the range-bucketed gap finder (in-bucket lead + seam
+    # stitching from per-bucket [min, max]).
+    return sequence_gaps(orders.select("o_orderkey"), "o_orderkey")
 
 
 register(
     "orderkey_gaps",
     oracle=ORDERKEY_GAPS_ORACLE,
-    doc="Sequence-gap detection: holes in the orderkey sequence via one "
-    "lead() window (surrogate-key continuity audit).",
+    doc="Sequence-gap detection: holes in the orderkey sequence via "
+    "range-bucketed lead() + seam stitching from per-bucket [min, max] "
+    "(surrogate-key continuity audit, no single-partition window).",
     tags=("relational", "window", "audit"),
 )(build_orderkey_gaps)
 
@@ -2619,14 +2615,26 @@ FROM t GROUP BY decile
 
 
 def build_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import global_row_number, ntile_from_rank
     from .parity import scaled_long
 
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = orders.select(
+    # VERDICT r4 task 1: ntile(10) with no PARTITION BY collapsed ALL
+    # orders into one task. Distributed rewrite = exact global row_number
+    # (value-range buckets + offset fold) + the closed-form NTILE —
+    # identical semantics, proven by the DuckDB NTILE oracle.
+    ranked, total = global_row_number(
+        orders.select(
+            "o_totalprice",
+            "o_orderkey",
+            scaled_long("o_totalprice").alias("cents"),
+        ),
+        ["o_totalprice", "o_orderkey"],
+    )
+    t = ranked.select(
         "o_totalprice",
-        scaled_long("o_totalprice").alias("cents"),
-        F.ntile(10).over(w).alias("decile"),
+        "cents",
+        ntile_from_rank(F.col("rn"), total, 10).alias("decile"),
     )
     return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_orders"),

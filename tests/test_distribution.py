@@ -148,3 +148,55 @@ def test_ntile_formula_property(spark, duck):
         assert got == want, (total, n)
 
     check()
+
+
+def test_sequence_gaps_finds_in_bucket_and_seam_gaps(spark, duck):
+    """orderkey_gaps' distributed core: gaps inside a bucket AND gaps
+    that straddle bucket seams must both surface (oracle = DuckDB lead()
+    over the same keys)."""
+    from end_to_end_data_lakehouse_pipeline_spark.functions.ranking import (
+        sequence_gaps,
+    )
+
+    keys = [k for k in range(1, 5001) if k % 97 != 0 and not 2000 <= k < 2300]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint").repartition(16)
+    got = sorted(
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in sequence_gaps(df, "k").collect()
+    )
+    duck.execute("CREATE OR REPLACE TEMP TABLE seqk AS SELECT unnest(?) AS k", [keys])
+    want = sorted(
+        duck.execute(
+            """
+            WITH s AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM seqk)
+            SELECT k + 1, nk - 1, nk - k - 1 FROM s WHERE nk - k > 1
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 10
+
+
+def test_global_rank_cumsum_matches_python_prefix_sums(spark):
+    from end_to_end_data_lakehouse_pipeline_spark.functions.ranking import (
+        global_rank_cumsum,
+    )
+
+    df = spark.range(0, 3000).select(
+        ((F.col("id") * 37) % 501).cast("double").alias("v"),
+        F.col("id").alias("k"),
+        ((F.col("id") % 13) + 1).alias("amt"),
+    )
+    out, total, total_sum = global_rank_cumsum(
+        df, ["v", "k"], sum_col="amt", out_col="rn", cumsum_col="cs",
+        num_partitions=8,
+    )
+    rows = sorted(
+        ((r.v, r.k, r.amt, r.rn, r.cs) for r in out.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    assert total == 3000
+    run = 0
+    for i, (v, k, amt, rn, cs) in enumerate(rows, start=1):
+        run += amt
+        assert rn == i and cs == run, (i, rn, cs, run)
+    assert total_sum == run
