@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -73,6 +74,133 @@ class ConcurrentCommitError(RuntimeError):
 
 class ConstraintViolation(RuntimeError):
     """A write staged rows that fail a table CHECK constraint."""
+
+
+_LIT = r"-?\d+(?:\.\d+)?|'[^']*'"
+_BETWEEN_RE = re.compile(
+    rf"(\w+)\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})", re.IGNORECASE
+)
+_CMP_RE = re.compile(
+    rf"^\s*(?:(?P<col>\w+)\s*(?P<op><=|>=|<|>|==?)\s*(?P<lit>{_LIT})"
+    rf"|(?P<lit2>{_LIT})\s*(?P<op2><=|>=|<|>|==?)\s*(?P<col2>\w+))\s*$"
+)
+_IN_RE = re.compile(
+    rf"^\s*(?P<col>\w+)\s+IN\s*\(\s*(?P<vals>(?:{_LIT})(?:\s*,\s*(?:{_LIT}))*)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _parse_lit(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def _split_conjuncts(s: str) -> list[str]:
+    """Top-level AND split, respecting parentheses and string literals."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    in_str = False
+    while i < n:
+        ch = s[i]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + 3].upper() == "AND"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 3 >= n or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+        ):
+            parts.append(s[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _strip_parens(p: str) -> str:
+    p = p.strip()
+    while p.startswith("(") and p.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(p):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(p) - 1:
+                    return p  # outer parens don't wrap the whole part
+        p = p[1:-1].strip()
+    return p
+
+
+def _stats_bounds_from_condition(
+    condition: str, stats_cols: Sequence[str]
+) -> dict:
+    """Extract ``{col: (lo, hi)}`` ranges over stats-tracked columns from
+    the predicate's top-level AND conjuncts (=, <, <=, >, >=, BETWEEN,
+    IN). Conjuncts that don't parse — ORs, NOTs, function calls, other
+    columns — are simply ignored: under AND, pruning on any SUBSET of
+    conjuncts is sound (kept files are a superset of matching files).
+    Returns ``{}`` when nothing usable is found (caller falls back to the
+    full snapshot)."""
+    if not stats_cols:
+        return {}
+    tracked = set(stats_cols)
+    s = _BETWEEN_RE.sub(
+        lambda m: f"{m.group(1)} >= {m.group(2)} AND {m.group(1)} <= {m.group(3)}",
+        condition,
+    )
+    bounds: dict = {}
+
+    def tighten(col, lo=None, hi=None):
+        b = bounds.setdefault(col, [None, None])
+        try:
+            if lo is not None and (b[0] is None or lo > b[0]):
+                b[0] = lo
+            if hi is not None and (b[1] is None or hi < b[1]):
+                b[1] = hi
+        except TypeError:
+            bounds.pop(col, None)  # mixed-type bounds: drop the column
+
+    for part in _split_conjuncts(s):
+        if re.search(r"\bOR\b|\bNOT\b", part, re.IGNORECASE):
+            continue
+        p = _strip_parens(part)
+        m = _IN_RE.match(p)
+        if m and m.group("col") in tracked:
+            try:
+                vals = [
+                    _parse_lit(v)
+                    for v in re.findall(_LIT, m.group("vals"))
+                ]
+                tighten(m.group("col"), lo=min(vals), hi=max(vals))
+            except TypeError:
+                pass
+            continue
+        m = _CMP_RE.match(p)
+        if not m:
+            continue
+        col = m.group("col") or m.group("col2")
+        op = m.group("op") or _FLIP.get(m.group("op2"), "=")
+        lit = _parse_lit(m.group("lit") or m.group("lit2"))
+        if col not in tracked:
+            continue
+        if op in ("=", "=="):
+            tighten(col, lo=lit, hi=lit)
+        elif op in (">", ">="):
+            tighten(col, lo=lit)
+        elif op in ("<", "<="):
+            tighten(col, hi=lit)
+    return {c: tuple(b) for c, b in bounds.items()}
 
 
 def _all_nullable(dt):
@@ -865,10 +993,31 @@ class TransactionLogTable:
             f"merge lost the commit race {max_retries} times at {self.path}"
         )
 
+    def _discovery_candidates(self, condition: str, base_version: int) -> list[str]:
+        """File set the verifying discovery scan must read (VERDICT r4
+        task 2): range/equality conjuncts over stats-tracked columns seed
+        the candidates via :meth:`pruned_files_multi` — a 1%-key-range
+        DELETE/UPDATE reads ~1% of files, the same discipline as merge's
+        ``files_touched_by_keys`` — with the full snapshot as the
+        fallback for opaque predicates. Pruning is file-granular and
+        conservative; the verifying scan still applies the exact
+        predicate, so this is never a semantics change."""
+        bounds = _stats_bounds_from_condition(condition, self.stats_cols)
+        if bounds:
+            try:
+                return sorted(
+                    os.path.basename(p)
+                    for p in self.pruned_files_multi(bounds, base_version)
+                )
+            except TypeError:
+                pass  # literal incomparable with stats: never skip
+        return sorted(self.snapshot(base_version))
+
     def delete_where(self, condition: str, max_retries: int = 5) -> int:
-        """File-level DELETE: scan finds the files that actually contain
+        """File-level DELETE: stats-seeded candidates, then a verifying
+        scan over ONLY the candidates finds the files actually containing
         matching rows (via ``_metadata.file_path`` — one distributed scan,
-        no driver data), only those are rewritten without the matches.
+        no driver data), and only those are rewritten without the matches.
         Files with no matching row keep their exact bytes.
 
         A lost commit race RE-EXECUTES the delete against the winner's
@@ -879,7 +1028,10 @@ class TransactionLogTable:
             base_version = self.latest_version()
             if base_version is None:
                 raise FileNotFoundError(f"no committed data at {self.path}")
-            df = self.read(base_version, merge_schema=True)
+            cand = self._discovery_candidates(condition, base_version)
+            if not cand:
+                return base_version
+            df = self._read_files_declared(cand, base_version)
             touched_abs = {
                 r["f"]
                 for r in df.filter(condition)
@@ -924,7 +1076,10 @@ class TransactionLogTable:
             base_version = self.latest_version()
             if base_version is None:
                 raise FileNotFoundError(f"no committed data at {self.path}")
-            df = self.read(base_version, merge_schema=True)
+            cand = self._discovery_candidates(condition, base_version)
+            if not cand:
+                return base_version
+            df = self._read_files_declared(cand, base_version)
             touched_abs = {
                 r["f"]
                 for r in df.filter(condition)

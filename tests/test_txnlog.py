@@ -718,3 +718,54 @@ def test_alter_add_columns_merges_concurrent_alter(spark, tmp_path):
         t._commit = orig_commit
     cols = [f.name for f in t._schema_at(None).fields]
     assert cols == ["k", "v", "w", "z", "dup"]  # exactly one dup column
+
+
+def test_update_delete_discovery_is_stats_seeded(spark, tmp_path):
+    """VERDICT r4 task 2: update_where/delete_where must seed their
+    touched-file discovery from log stats — a 1%-range predicate plans a
+    discovery scan over ~1 of 8 files (mirror of the DataSource's 8->1
+    partitions assert), with full-scan fallback ONLY for opaque
+    predicates. End-to-end: untouched files keep their exact bytes."""
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        _stats_bounds_from_condition,
+    )
+
+    t = TransactionLogTable(spark, str(tmp_path / "disc"), stats_cols=("k",))
+    t.append(
+        spark.range(0, 8000).selectExpr("id AS k", "id % 5 AS v"),
+        sort_by=["k"],
+        n_files=8,
+    )
+    v0 = t.latest_version()
+    # parser: conjunct shapes
+    assert _stats_bounds_from_condition("k >= 7000", ("k",)) == {"k": (7000, None)}
+    assert _stats_bounds_from_condition("k BETWEEN 100 AND 199 AND v = 3", ("k",)) == {
+        "k": (100, 199)
+    }
+    assert _stats_bounds_from_condition("42 > k", ("k",)) == {"k": (None, 42)}
+    assert _stats_bounds_from_condition("k IN (5, 9, 7)", ("k",)) == {"k": (5, 9)}
+    assert _stats_bounds_from_condition("k % 2 = 0", ("k",)) == {}
+    assert _stats_bounds_from_condition("k >= 5 OR v = 1", ("k",)) == {}
+    assert _stats_bounds_from_condition("NOT (k > 5)", ("k",)) == {}
+    # candidate discovery: 8 -> 1 file on a range / point predicate
+    assert len(t._discovery_candidates("k >= 7000", v0)) == 1
+    assert len(t._discovery_candidates("k = 42", v0)) == 1
+    assert len(t._discovery_candidates("k BETWEEN 100 AND 199 AND v = 3", v0)) == 1
+    # untracked column or opaque predicate: full snapshot (sound fallback)
+    assert len(t._discovery_candidates("v = 3", v0)) == 8
+    assert len(t._discovery_candidates("k % 2 = 0", v0)) == 8
+    # end-to-end: the range UPDATE removes exactly one file from the
+    # snapshot; the other 7 live entries are carried over untouched
+    before = set(t.snapshot())
+    t.update_where("k >= 7000", {"v": "v + 100"})
+    after = set(t.snapshot())
+    assert len(before - after) == 1 and len(before & after) == 7
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[7999] == 7999 % 5 + 100 and got[0] == 0
+    # range DELETE: only the low file rewritten, rows gone
+    before = set(t.snapshot())
+    t.delete_where("k BETWEEN 0 AND 99")
+    after = set(t.snapshot())
+    assert len(before - after) == 1 and len(before & after) == 7
+    assert t.read().filter("k < 100").count() == 0
+    assert t.read().count() == 7900
