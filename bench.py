@@ -182,6 +182,24 @@ def main() -> None:
             "queries": heavy_timings,
         }
     print(json.dumps(out))
+    # VERDICT r4 task 5: the full line above carries ~80 per-query times
+    # and the driver's capture keeps only the TAIL of stdout — round 4's
+    # headline total was truncated out of BENCH_r04.json. Emit a compact
+    # totals-only summary LAST so tail-truncation always preserves the
+    # round's primary metric (consumers keep parsing the first line; the
+    # summary is self-describing via "summary": true).
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "summary": True,
+    }
+    if heavy_timings:
+        summary["heavy_total"] = out["heavy"]["value"]
+        summary["n_heavy"] = len(heavy_timings)
+    print(json.dumps(summary))
     spark.stop()
 
 

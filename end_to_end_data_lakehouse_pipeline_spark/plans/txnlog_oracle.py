@@ -110,6 +110,47 @@ def build_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "status", "price_cents", "updated_at")
 
 
+def build_sql_merge_subquery_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CDC workload driven through ``MERGE ... USING (SELECT
+    ...) AS s`` — a SUBQUERY source (VERDICT r4 task 6, the first
+    Delta-SQL shape a porting user hits): the subquery resolves a temp
+    view through spark.sql and feeds the identical file-level merge, so
+    the same relational oracle must hold."""
+    from ..sources.dml import execute_dml
+
+    base, updates = _merge_workload(spark, sf_dir)
+    ws = session_dir("sql_merge_sub")
+    t = TransactionLogTable(spark, os.path.join(ws, "t"), stats_cols=("k",))
+    t.append(base, sort_by=["k"])
+    updates.createOrReplaceTempView("cdc_sub_src")
+    execute_dml(
+        spark,
+        """
+        MERGE INTO t AS tg USING (
+            SELECT k, status, price_cents, updated_at, _deleted
+            FROM cdc_sub_src
+        ) AS s ON tg.k = s.k
+        WHEN MATCHED AND s._deleted THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND NOT s._deleted THEN
+            INSERT (k, status, price_cents, updated_at)
+            VALUES (s.k, s.status, s.price_cents, s.updated_at)
+        """,
+        tables={"t": t},
+    )
+    return t.read().select("k", "status", "price_cents", "updated_at")
+
+
+register(
+    "sql_merge_subquery_source",
+    oracle=TXNLOG_MERGE_ORACLE,
+    doc="MERGE INTO with a USING (SELECT ...) subquery source routed "
+    "through spark.sql into the file-level merge; same oracle as the "
+    "API- and named-source variants.",
+    tags=("lakehouse", "txnlog", "merge", "sql"),
+)(build_sql_merge_subquery_source)
+
+
 register(
     "sql_merge_into",
     oracle=TXNLOG_MERGE_ORACLE,

@@ -29,10 +29,13 @@ Catalyst work, exactly the scope a lakehouse user needs:
 
 Name resolution: target names resolve through the ``tables`` mapping
 (name → TransactionLogTable); MERGE sources resolve through ``sources``
-(name → DataFrame) falling back to the session's temp views. Limits
-(documented, parser-enforced): the ON clause must be a conjunction of
-``alias.col = alias.col`` equalities, and clause predicates must not
-contain the bare token ``WHEN`` (no CASE WHEN inside merge conditions).
+(name → DataFrame) falling back to the session's temp views, and
+``USING (SELECT ...) [AS] alias`` subquery sources run through
+``spark.sql`` (temp views resolve inside the subquery) into the same
+DataFrame-source path. Limits (documented, parser-enforced): the ON
+clause must be a conjunction of ``alias.col = alias.col`` equalities,
+and clause predicates must not contain the bare token ``WHEN`` (no CASE
+WHEN inside merge conditions).
 """
 
 from __future__ import annotations
@@ -115,6 +118,39 @@ def _split_assignments(text: str) -> dict[str, str]:
         col = col.split(".")[-1]
         out[col] = expr.strip()
     return out
+
+
+_USING_SUB_RE = re.compile(r"\bUSING\s*\(", re.IGNORECASE)
+
+
+def _extract_using_subquery(sql: str) -> tuple[str, str | None]:
+    """``USING (SELECT ...) [AS] alias`` → rewrite to ``USING alias`` and
+    return the subquery text (VERDICT r4 task 6 — the first Delta-SQL
+    shape a porting user hits). Balanced-paren scan, so nested
+    parentheses inside the subquery are fine; the subquery itself runs
+    through ``spark.sql`` in :func:`_exec_merge`."""
+    m = _USING_SUB_RE.search(sql)
+    if not m:
+        return sql, None
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(f"unbalanced parentheses in MERGE USING: {sql!r}")
+    sub = sql[m.end() : i - 1].strip()
+    if not re.match(r"^(SELECT|WITH)\b", sub, re.IGNORECASE):
+        raise ValueError(
+            f"MERGE USING (...) must wrap a SELECT/WITH subquery; got {sub!r}"
+        )
+    am = re.match(r"\s*(?:AS\s+)?(\w+)", sql[i:], re.IGNORECASE)
+    if not am or am.group(1).upper() == "ON":
+        raise ValueError("MERGE USING (subquery) requires an alias")
+    rewritten = sql[: m.start()] + f"USING {am.group(1)}" + sql[i + am.end() :]
+    return rewritten, sub
 
 
 def _parse_merge(sql: str):
@@ -204,11 +240,15 @@ def _exec_merge(
     sources: dict[str, DataFrame],
     max_retries: int = 5,
 ) -> int:
+    sql, subquery = _extract_using_subquery(sql)
     tname, ta, sname, sa, on, keys, matched_cls, not_matched_cls = _parse_merge(sql)
     t = tables[tname]
-    src = sources.get(sname)
-    if src is None:
-        src = spark.table(sname)
+    if subquery is not None:
+        src = spark.sql(subquery)
+    else:
+        src = sources.get(sname)
+        if src is None:
+            src = spark.table(sname)
     tkey, skey = keys[0]
 
     def q(alias: str, col: str) -> F.Column:

@@ -240,3 +240,40 @@ def test_sql_merge_reads_declared_schema_after_alter(spark, tmp_path):
     assert got[2] == ("B2", "silver")
     assert got[3] == ("C2", "plat")
     assert got[1] == ("a", None)
+
+
+def test_sql_merge_using_subquery_source(spark, tbl):
+    """VERDICT r4 task 6: MERGE ... USING (SELECT ...) AS alias — the
+    subquery routes through spark.sql into the DataFrame-source path
+    (temp views resolve inside it), including nested parens and a
+    WHEN NOT MATCHED insert."""
+    _mk(
+        spark,
+        [(5, "five", 9), (6, "six", 9), (200, "new", 9)],
+    ).createOrReplaceTempView("sub_src")
+    execute_dml(
+        spark,
+        """
+        MERGE INTO t USING (
+            SELECT k, upper(v) AS v, updated_at + (1 + 1) AS updated_at
+            FROM sub_src WHERE k <> 6
+        ) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, updated_at = s.updated_at
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables={"t": tbl},
+    )
+    got = _state(tbl)
+    assert got[5] == ("FIVE", 11)
+    assert got[6] == ("v6", 1)  # filtered out of the subquery
+    assert got[200] == ("NEW", 11)
+    assert got[0] == ("v0", 1)
+    # missing alias is a parse error, not silent misbehavior
+    with pytest.raises(ValueError):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING (SELECT * FROM sub_src) ON t.k = k "
+            "WHEN MATCHED THEN DELETE",
+            tables={"t": tbl},
+        )

@@ -96,8 +96,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from end_to_end_data_lakehouse_pipeline_spark import plans
     from end_to_end_data_lakehouse_pipeline_spark.session import get_spark
@@ -109,33 +115,70 @@ def main() -> int:
     specs = plans.specs()
     names = [n for n in specs if not only or n in only]
     failed = []
+    # --json: the driver's CORRECTNESS artifact shape per query, so the
+    # never-driver-sampled families (txnlog/connector/drain/tpch/mv) have
+    # an auditable self-measured record (VERDICT r4 task 4). The local
+    # compare is exact-value (strictly stronger than the driver's hash),
+    # so hash_match=true here implies the driver's hash would match.
+    results: dict[str, dict] = {}
     for name in names:
         spec = specs[name]
         t0 = time.time()
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "err": None,
+            "spark_rows": None,
+        }
+        results[name] = rec
         try:
             sdf = spec.fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
+            rec["spark_rows"] = len(spark_pdf)
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            rec["err"] = "spark_error"
             failed.append(name)
             continue
         if spec.oracle is None:
             print(f"ok   {name}: rows={len(spark_pdf)} (no oracle; rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            rec["err"] = "no_oracle"
             continue
         try:
             oracle_pdf = con.execute(spec.oracle).df()
         except Exception:
             print(f"FAIL {name}: oracle error\n{traceback.format_exc()}")
+            rec["err"] = "oracle_error"
             failed.append(name)
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
+        rec["rows_match"] = not any(p.startswith("rowcount") for p in problems)
+        rec["schema_match"] = not any(
+            p.startswith(("columns", "dtype")) for p in problems
+        )
+        rec["hash_match"] = not problems
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
         else:
             print(f"ok   {name}: rows={len(spark_pdf)} match [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - len(failed)}/{len(names)} queries match", f"failed: {failed}" if failed else "")
+    if json_out:
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(names),
+            "n_match": len(names) - len(failed),
+            "failed": failed,
+            "compare": "exact-value (sorted rows; stronger than value-hash)",
+            "queries": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
