@@ -649,6 +649,24 @@ class TransactionLogTable:
             except ConcurrentCommitError:
                 continue
 
+    def create_empty(self, schema: StructType) -> int:
+        """``CREATE TABLE`` with a declared schema and NO data: a
+        version-1 metadata-only commit carrying the schema (nullable-
+        normalized). Reads return an empty declared-schema DataFrame;
+        appends/INSERTs align against it like any later commit. Delta's
+        empty-table creation, log-only."""
+        if self.latest_version() is not None:
+            raise ValueError(f"table already exists at {self.path}")
+        meta = {
+            "meta": {
+                "op": "create_table",
+                "ts": time.time(),
+                "schema": _all_nullable(schema).json(),
+            }
+        }
+        self._commit(1, [meta])
+        return 1
+
     def drop_constraint(self, name: str) -> int:
         if name not in self.constraints():
             raise ValueError(f"no constraint {name!r}")
