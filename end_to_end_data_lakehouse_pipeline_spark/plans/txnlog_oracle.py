@@ -141,6 +141,81 @@ def build_sql_merge_subquery_source(spark: SparkSession, sf_dir: str) -> DataFra
     return t.read().select("k", "status", "price_cents", "updated_at")
 
 
+RESIDUAL_MERGE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 5 = 0 THEN 'X'
+            ELSE o_orderstatus END AS status,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 5 = 0 THEN 2
+                 ELSE 1 END AS BIGINT) AS updated_at
+FROM orders
+"""
+
+
+def build_sql_merge_residual_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-if-newer through a NON-EQUI residual in the ON clause
+    (``ON tg.k = s.k AND s.updated_at > tg.updated_at`` — Delta SQL's
+    conditional-match shape, round-5 parser extension). The source
+    carries three disjoint slices: genuinely-newer updates (residual
+    true → UPDATE), STALE rows whose updated_at regressed (key matches,
+    residual false → NOT MATCHED per SQL semantics; the guarded INSERT
+    drops them), and brand-new keys (INSERT). The equality conjunct
+    still seeds the stats-pruned candidate discovery; the residual rides
+    the join condition. Final state = every orders key, X/2 exactly on
+    odd %5 keys — any stale row leaking through means the residual was
+    ignored."""
+    from ..sources.dml import execute_dml
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = orders.filter(F.col("k") % 2 == 1).withColumn(
+        "updated_at", F.lit(1).cast("long")
+    )
+    newer = (
+        orders.filter((F.col("k") % 2 == 1) & (F.col("k") % 5 == 0))
+        .withColumn("status", F.lit("X"))
+        .withColumn("updated_at", F.lit(2).cast("long"))
+    )
+    stale = (
+        orders.filter(
+            (F.col("k") % 2 == 1) & (F.col("k") % 5 != 0) & (F.col("k") % 3 == 0)
+        )
+        .withColumn("status", F.lit("STALE"))
+        .withColumn("updated_at", F.lit(0).cast("long"))
+    )
+    fresh = orders.filter(F.col("k") % 2 == 0).withColumn(
+        "updated_at", F.lit(1).cast("long")
+    )
+    ws = session_dir("sql_merge_residual")
+    t = TransactionLogTable(spark, os.path.join(ws, "t"), stats_cols=("k",))
+    t.append(base, sort_by=["k"])
+    execute_dml(
+        spark,
+        """
+        MERGE INTO t AS tg USING cdc AS s
+        ON tg.k = s.k AND s.updated_at > tg.updated_at
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.updated_at > 0 THEN INSERT *
+        """,
+        tables={"t": t},
+        sources={"cdc": newer.unionByName(stale).unionByName(fresh)},
+    )
+    return t.read().select("k", "status", "price_cents", "updated_at")
+
+
+register(
+    "sql_merge_residual_on",
+    oracle=RESIDUAL_MERGE_ORACLE,
+    doc="MERGE with a non-equi ON residual (upsert-if-newer): equality "
+    "conjunct prunes candidate files, residual decides MATCHED; stale "
+    "rows are NOT MATCHED and the guarded INSERT drops them.",
+    tags=("lakehouse", "txnlog", "merge", "sql"),
+)(build_sql_merge_residual_on)
+
+
 register(
     "sql_merge_subquery_source",
     oracle=TXNLOG_MERGE_ORACLE,

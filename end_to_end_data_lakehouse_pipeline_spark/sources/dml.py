@@ -32,10 +32,20 @@ Name resolution: target names resolve through the ``tables`` mapping
 (name → DataFrame) falling back to the session's temp views, and
 ``USING (SELECT ...) [AS] alias`` subquery sources run through
 ``spark.sql`` (temp views resolve inside the subquery) into the same
-DataFrame-source path. Limits (documented, parser-enforced): the ON
-clause must be a conjunction of ``alias.col = alias.col`` equalities,
-and clause predicates must not contain the bare token ``WHEN`` (no CASE
-WHEN inside merge conditions).
+DataFrame-source path.
+
+ON-clause shape: a top-level AND conjunction. ``alias.col = alias.col``
+equality conjuncts become the merge keys (the FIRST seeds the stats-
+pruned candidate-file discovery, ``files_touched_by_keys``); every
+other conjunct — range comparisons, expressions, ``t.ts < s.ts`` — is a
+NON-EQUI RESIDUAL evaluated as part of the full join condition (match =
+equalities AND residuals, standard MERGE semantics: a source row that
+matches the keys but fails a residual is NOT MATCHED). Residual-only ON
+(zero equalities) is accepted and falls back to all-files candidate
+discovery — correct but unpruned, the same cost Delta pays for a
+non-equi-only MERGE. Remaining limit (parser-enforced): clause
+predicates must not contain the bare token ``WHEN`` (no CASE WHEN
+inside merge conditions).
 """
 
 from __future__ import annotations
@@ -80,6 +90,33 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+_AND_RE = re.compile(r"(?i)^AND\b")
+
+
+def _split_top_and(text: str) -> list[str]:
+    """Split a predicate on top-level ``AND`` only — ``AND`` inside
+    parentheses (subexpressions, function args) stays put."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "Aa"
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and _AND_RE.match(text[i:])
+            and (i + 3 >= n or not (text[i + 3].isalnum() or text[i + 3] == "_"))
+        ):
+            parts.append(text[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 @dataclass
@@ -161,18 +198,16 @@ def _parse_merge(sql: str):
     keys: list[tuple[str, str]] = []
     talias = m.group("talias") or m.group("target")
     salias = m.group("salias") or m.group("source")
-    for part in re.split(r"(?i)\s+AND\s+", on):
+    # equality conjuncts become merge keys (the first drives candidate-
+    # file pruning); anything else is a non-equi residual left inside
+    # the full ON expression (evaluated by the join itself)
+    for part in _split_top_and(on):
         eq = _EQ_RE.match(part)
-        if not eq:
-            raise ValueError(
-                f"MERGE ON must be a conjunction of alias.col = alias.col "
-                f"equalities; got {part!r}"
-            )
-        a1, c1, a2, c2 = eq.groups()
-        pair = {a1: c1, a2: c2}
-        if set(pair) != {talias, salias}:
-            raise ValueError(f"ON term {part!r} must join {talias} to {salias}")
-        keys.append((pair[talias], pair[salias]))
+        if eq:
+            a1, c1, a2, c2 = eq.groups()
+            pair = {a1: c1, a2: c2}
+            if set(pair) == {talias, salias}:
+                keys.append((pair[talias], pair[salias]))
     matched: list[_MatchedClause] = []
     not_matched: list[_NotMatchedClause] = []
     raw = re.split(r"(?i)\bWHEN\b", m.group("clauses"))
@@ -249,7 +284,8 @@ def _exec_merge(
         src = sources.get(sname)
         if src is None:
             src = spark.table(sname)
-    tkey, skey = keys[0]
+    tkey, skey = keys[0] if keys else (None, None)
+    sort_by = [tkey] if tkey else ()
 
     def q(alias: str, col: str) -> F.Column:
         return F.col(f"{alias}.{col}")
@@ -261,7 +297,7 @@ def _exec_merge(
             inserts = _insert_rows(None, src.alias(sa), sa, not_matched_cls, None)
             if inserts is None:
                 return 0
-            adds = t._stage_files(inserts, sort_by=[tkey])
+            adds = t._stage_files(inserts, sort_by=sort_by)
             try:
                 t._commit(1, [t._meta("merge_sql", inserts), *adds])
                 return 1
@@ -269,9 +305,14 @@ def _exec_merge(
                 for a in adds:
                     os.remove(os.path.join(t.path, a["add"]["name"]))
                 continue
-        touched = t.files_touched_by_keys(
-            src.select(F.col(skey).alias(tkey)), tkey, base_version
-        )
+        if keys:
+            touched = t.files_touched_by_keys(
+                src.select(F.col(skey).alias(tkey)), tkey, base_version
+            )
+        else:
+            # residual-only ON: no key to prune on — every live file is
+            # a candidate (the cost Delta pays for a non-equi MERGE too)
+            touched = set(t.snapshot(base_version))
         # Declared-schema read (NOT bare spark.read.parquet): after ALTER
         # ADD COLUMNS the touched files may predate the evolved schema —
         # first-file-wins inference would silently drop evolved-column
@@ -351,7 +392,7 @@ def _exec_merge(
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
-        adds = t._stage_files(out, sort_by=[tkey])
+        adds = t._stage_files(out, sort_by=sort_by)
         removes = [{"remove": {"name": n}} for n in sorted(touched)]
         try:
             t._commit(

@@ -128,7 +128,7 @@ def test_sql_merge_resolves_temp_view_source(spark, tbl):
 def test_unparseable_statements_raise(spark, tbl):
     for bad in (
         "TRUNCATE TABLE t",
-        "MERGE INTO t USING s ON t.k < s.k WHEN MATCHED THEN DELETE",
+        "MERGE INTO t USING s WHEN MATCHED THEN DELETE",
         "UPDATE t WHERE k = 1",
     ):
         with pytest.raises(ValueError):
@@ -277,3 +277,68 @@ def test_sql_merge_using_subquery_source(spark, tbl):
             "WHEN MATCHED THEN DELETE",
             tables={"t": tbl},
         )
+
+
+def test_sql_merge_non_equi_residual_on(spark, tbl):
+    """ON t.k = s.k AND s.updated_at > t.updated_at — the upsert-if-newer
+    shape: the equality still drives file pruning, the residual decides
+    MATCHED. A stale source row (residual false) is NOT MATCHED per SQL
+    semantics; the guarded INSERT keeps it out of the table."""
+    src = _mk(
+        spark,
+        [
+            (5, "NEWER", 9),   # residual true -> update
+            (7, "stale", 0),   # residual false -> NOT MATCHED, guard drops
+            (300, "NEW", 3),   # no key match -> insert
+        ],
+    )
+    execute_dml(
+        spark,
+        """
+        MERGE INTO t USING s ON t.k = s.k AND s.updated_at > t.updated_at
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.updated_at > 0 THEN INSERT *
+        """,
+        tables={"t": tbl},
+        sources={"s": src},
+    )
+    got = _state(tbl)
+    assert got[5] == ("NEWER", 9)
+    assert got[7] == ("v7", 1)  # stale row neither updated nor inserted
+    assert got[300] == ("NEW", 3)
+    assert len(got) == 11
+
+
+def test_sql_merge_residual_only_on(spark, tbl):
+    """Zero equality conjuncts: candidate discovery falls back to the
+    full live file set; the join condition is the raw residual."""
+    src = _mk(spark, [(90, "HIT", 5)])
+    execute_dml(
+        spark,
+        """
+        MERGE INTO t USING s ON t.k * 10 = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        """,
+        tables={"t": tbl},
+        sources={"s": src},
+    )
+    got = _state(tbl)
+    assert got[9] == ("HIT", 1)
+    assert got[8] == ("v8", 1) and len(got) == 10
+
+
+def test_split_top_and_respects_parens():
+    from end_to_end_data_lakehouse_pipeline_spark.sources.dml import (
+        _split_top_and,
+    )
+
+    assert _split_top_and("t.k = s.k AND s.ts > t.ts") == [
+        "t.k = s.k",
+        "s.ts > t.ts",
+    ]
+    assert _split_top_and("t.k = s.k AND (s.a AND s.b)") == [
+        "t.k = s.k",
+        "(s.a AND s.b)",
+    ]
+    assert _split_top_and("t.brand = s.brand") == ["t.brand = s.brand"]
+    assert _split_top_and("coalesce(a, b) and c") == ["coalesce(a, b)", "c"]
