@@ -14,14 +14,16 @@ naming layer:
 - ``catalog.sql(text)`` is the single user entry point: DML statements
   (MERGE INTO / INSERT INTO / UPDATE / DELETE) route through
   sources/dml.py to ACID txnlog operations; DDL/maintenance statements
-  (CREATE TABLE AS, DROP TABLE, ALTER TABLE ADD COLUMNS, OPTIMIZE,
-  VACUUM, DESCRIBE HISTORY) map to the table API's metadata-only or
+  (CREATE TABLE [AS | SHALLOW CLONE], DROP TABLE, ALTER TABLE ADD
+  COLUMNS, RESTORE TABLE TO VERSION|TIMESTAMP AS OF, OPTIMIZE, VACUUM,
+  DESCRIBE HISTORY) map to the table API's metadata-only or
   file-level ops; everything else (SELECT, WITH, EXPLAIN...) registers
   every catalog table's CURRENT SNAPSHOT as a temp view (projected onto
   the declared log schema, so evolved columns NULL-fill) and runs
   ``spark.sql`` — Catalyst serves reads while the log serves writes.
-  ``FROM <name> VERSION AS OF <n>`` time travel is supported in reads
-  via a pre-pass that registers the pinned snapshot under an alias view.
+  ``FROM <name> VERSION AS OF <n>`` and ``TIMESTAMP AS OF <epoch|'iso'>``
+  time travel are supported in reads via a pre-pass that registers the
+  pinned snapshot under an alias view.
 
 Scale note: view registration is metadata-only (the snapshot scan is
 lazy); reads plan one task per live file straight from the log, writes
@@ -56,10 +58,40 @@ _CREATE_COLS_RE = re.compile(
     r"(?:\s+STATS\s+ON\s*\((?P<stats>[^)]*)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<dst>\w+)\s+SHALLOW\s+CLONE\s+(?P<src>\w+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>\w+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+(?:\.\d+)?|'[^']*'))\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TIMESTAMP_AS_OF = re.compile(
+    r"\b(?P<name>\w+)\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+(?:\.\d+)?|'[^']*')",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _parse_ts(tok: str) -> float:
+    """``TIMESTAMP AS OF`` literal → epoch seconds: a bare number is
+    epoch seconds already; a quoted ISO string is parsed as UTC unless
+    it carries an explicit offset (the log records ``time.time()``)."""
+    tok = tok.strip()
+    if tok.startswith("'"):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(tok.strip("'"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+    return float(tok)
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+COLUMNS?\s*"
     r"\(?\s*(?P<cols>[^()]+?)\s*\)?\s*;?\s*$",
@@ -200,6 +232,56 @@ class LakeCatalog:
             if os.path.isdir(os.path.join(self.root, n, LOG_DIR))
         )
 
+    def clone(
+        self, src: str, dst: str, version: int | None = None
+    ) -> TransactionLogTable:
+        """Shallow clone (``CREATE TABLE dst SHALLOW CLONE src [VERSION
+        AS OF n]`` — Delta's zero-copy clone): the new table's version-1
+        commit carries the SOURCE snapshot's add actions (stats included,
+        no re-harvest) and its declared schema + live CHECK constraints.
+        Delta's clone points at the source's files by absolute path; here
+        each live parquet file is HARD-LINKED into the clone's directory
+        — still zero-copy (no bytes move), but each table owns its own
+        names, so OPTIMIZE/VACUUM on either side stays safe: unlinking
+        one name never deletes bytes the other table still references.
+        Writes after the clone diverge the two logs independently."""
+        s = self.table(src)
+        if self.exists(dst):
+            raise ValueError(f"table {dst!r} already exists in {self.root}")
+        import time as _time
+
+        snap = s.snapshot(version)
+        at = version if version is not None else s.latest_version()
+        t = TransactionLogTable(
+            self.spark, self._path(dst), stats_cols=self._stats_cols.get(src, ())
+        )
+        self._stats_cols[dst] = self._stats_cols.get(src, ())
+        meta: dict = {
+            "op": "clone",
+            "ts": _time.time(),
+            "source": s.path,
+            "source_version": at,
+        }
+        schema = s._schema_at(version)
+        if schema is not None:
+            meta["schema"] = schema.json()
+        actions: list[dict] = [{"meta": meta}]
+        for cname, expr in sorted(s.constraints(version).items()):
+            actions.append(
+                {
+                    "meta": {
+                        "op": "add_constraint",
+                        "ts": _time.time(),
+                        "constraint": {"name": cname, "expr": expr},
+                    }
+                }
+            )
+        for n, e in sorted(snap.items()):
+            os.link(os.path.join(s.path, n), os.path.join(t.path, n))
+            actions.append({"add": e})
+        t._commit(1, actions)
+        return t
+
     def drop(self, name: str) -> None:
         if not self.exists(name):
             raise FileNotFoundError(f"no table {name!r} in {self.root}")
@@ -216,7 +298,31 @@ class LakeCatalog:
         version (int); reads return the DataFrame from ``spark.sql``
         over current-snapshot views (+ ``VERSION AS OF`` pins)."""
         head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
+        if head == "RESTORE":
+            m = _RESTORE_RE.match(text)
+            if not m:
+                raise ValueError(
+                    f"only RESTORE TABLE <name> TO VERSION|TIMESTAMP AS OF "
+                    f"is supported; got {text!r}"
+                )
+            if not self.exists(m.group("name")):
+                raise FileNotFoundError(f"no table {m.group('name')!r}")
+            t = self.table(m.group("name"))
+            version = (
+                int(m.group("version"))
+                if m.group("version")
+                else t.version_at_timestamp(_parse_ts(m.group("ts")))
+            )
+            return t.restore(version)
         if head == "CREATE":
+            km = _CLONE_RE.match(text)
+            if km:
+                self.clone(
+                    km.group("src"),
+                    km.group("dst"),
+                    int(km.group("version")) if km.group("version") else None,
+                )
+                return 1
             cm = _CREATE_COLS_RE.match(text)
             if cm:
                 # empty table with an explicit column list (closes the
@@ -326,7 +432,9 @@ class LakeCatalog:
             return execute_dml(
                 self.spark, text, tables={n: self.table(n) for n in self.tables()}
             )
-        # read path: register snapshots, rewrite VERSION AS OF pins
+        # read path: register snapshots, rewrite VERSION/TIMESTAMP AS OF
+        # pins (timestamp resolves to the last version committed at or
+        # before it, then pins that snapshot exactly like VERSION AS OF)
         self._register_views()
 
         def _pin(m: re.Match) -> str:
@@ -335,4 +443,15 @@ class LakeCatalog:
             self._snapshot_df(name, version).createOrReplaceTempView(alias)
             return alias
 
-        return self.spark.sql(_VERSION_AS_OF.sub(_pin, text))
+        def _pin_ts(m: re.Match) -> str:
+            name = m.group("name")
+            version = self.table(name).version_at_timestamp(
+                _parse_ts(m.group("ts"))
+            )
+            alias = f"{name}__v{version}"
+            self._snapshot_df(name, version).createOrReplaceTempView(alias)
+            return alias
+
+        return self.spark.sql(
+            _VERSION_AS_OF.sub(_pin, _TIMESTAMP_AS_OF.sub(_pin_ts, text))
+        )

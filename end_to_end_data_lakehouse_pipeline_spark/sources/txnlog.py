@@ -667,6 +667,69 @@ class TransactionLogTable:
         self._commit(1, [meta])
         return 1
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest committed version whose commit timestamp <= ``ts``
+        (``TIMESTAMP AS OF`` resolution — Delta's semantics: the state a
+        reader at that wall-clock instant would have seen)."""
+        best = None
+        for h in self.history():
+            if float(h.get("ts", 0.0)) <= ts:
+                best = h["version"] if best is None else max(best, h["version"])
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} in {self.path}"
+            )
+        return best
+
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """``RESTORE TABLE ... TO VERSION AS OF`` (Delta RESTORE
+        semantics): a NEW commit whose live file set and declared schema
+        equal the snapshot at ``version``. History rolls FORWARD — no log
+        entry is deleted, so time travel to the states being undone still
+        works, and a bad restore is itself restorable. Fails closed if
+        vacuum already removed a file the old snapshot references.
+        CHECK constraints are left at their current (latest) set — they
+        guard future writes; narrowing them silently on restore would
+        drop protections the operator added after ``version``."""
+        if version not in self._log_versions():
+            raise ValueError(f"no version {version} in {self.path}")
+        target = self.snapshot(version)
+        missing = [
+            n for n in target if not os.path.exists(os.path.join(self.path, n))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot RESTORE to v{version}: {len(missing)} referenced "
+                f"files already vacuumed (e.g. {missing[0]})"
+            )
+        schema = self._schema_at(version)
+        for _ in range(max_retries):
+            base = self.latest_version() or 0
+            current = self.snapshot(base) if base else {}
+            meta: dict = {
+                "op": "restore",
+                "ts": time.time(),
+                "restore_version": version,
+            }
+            if schema is not None:
+                meta["schema"] = schema.json()
+            actions: list[dict] = [{"meta": meta}]
+            actions += [
+                {"remove": {"name": n}}
+                for n in sorted(set(current) - set(target))
+            ]
+            actions += [
+                {"add": e} for n, e in sorted(target.items()) if n not in current
+            ]
+            try:
+                self._commit(base + 1, actions)
+                return base + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"RESTORE lost the commit race {max_retries} times at {self.path}"
+        )
+
     def drop_constraint(self, name: str) -> int:
         if name not in self.constraints():
             raise ValueError(f"no constraint {name!r}")
@@ -1137,33 +1200,6 @@ class TransactionLogTable:
         )
 
     # -- maintenance ------------------------------------------------------
-
-    def restore(self, version: int) -> int:
-        """RESTORE: new commit whose live set equals ``snapshot(version)``
-        — history moves forward, data files are reused, nothing is
-        rewritten."""
-        target = self.snapshot(version)
-        while True:
-            # recompute the diff against the CURRENT head each attempt and
-            # pin the commit to head+1 — a blind retry of a stale action
-            # list would leave concurrently-added files live after a
-            # "restore", which must make the live set exactly the target
-            base = self.latest_version() or 0
-            current = self.snapshot(base if base else None)
-            actions = [self._meta("restore")]
-            actions += [
-                {"remove": {"name": n}} for n in sorted(set(current) - set(target))
-            ]
-            actions += [
-                {"add": entry}
-                for n, entry in sorted(target.items())
-                if n not in current
-            ]
-            try:
-                self._commit(base + 1, actions)
-                return base + 1
-            except ConcurrentCommitError:
-                continue
 
     def compact(
         self, max_file_bytes: int = 128 * 1024 * 1024, max_retries: int = 5

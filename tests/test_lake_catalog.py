@@ -265,3 +265,94 @@ def test_create_table_with_explicit_schema(spark, cat):
     assert got == {1: "a", 2: "B"}
     with pytest.raises(ValueError):
         cat.sql("CREATE TABLE w (k BIGINT)")  # already exists
+
+
+def test_restore_to_version(spark, cat):
+    """RESTORE rolls the live set AND declared schema back via a NEW
+    commit — history is preserved, so the pre-restore state stays
+    time-travelable and the restore itself is restorable."""
+    t = cat.table("t")
+    v1 = t.latest_version()
+    cat.sql("DELETE FROM t WHERE k >= 5")
+    cat.sql("ALTER TABLE t ADD COLUMNS (extra BIGINT)")
+    cat.sql("INSERT INTO t VALUES (200, 'x', 2, 7)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 6
+    rv = cat.sql(f"RESTORE TABLE t TO VERSION AS OF {v1}")
+    assert rv == cat.table("t").latest_version()
+    out = cat.sql("SELECT * FROM t")
+    assert out.columns == ["k", "v", "updated_at"]  # schema rolled back
+    assert sorted(r.k for r in out.collect()) == list(range(10))
+    # the undone state is still reachable, and the restore is undoable
+    assert (
+        cat.sql(f"SELECT COUNT(*) AS n FROM t VERSION AS OF {rv - 1}")
+        .collect()[0]
+        .n
+        == 6
+    )
+    cat.sql(f"RESTORE TABLE t TO VERSION AS OF {rv - 1}")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 6
+    with pytest.raises(ValueError):
+        cat.table("t").restore(99)
+
+
+def test_timestamp_as_of_read_and_restore(spark, cat):
+    t = cat.table("t")
+    ts_after_v1 = max(float(h["ts"]) for h in t.history()) + 0.001
+    cat.sql("DELETE FROM t WHERE k >= 5")
+    n = (
+        cat.sql(f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF {ts_after_v1}")
+        .collect()[0]
+        .n
+    )
+    assert n == 10  # pinned to the pre-delete commit
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 5
+    cat.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF {ts_after_v1}")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 10
+    # ISO-string literal resolves too (UTC)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts_after_v1, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f"
+    )
+    assert (
+        cat.sql(f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '{iso}'")
+        .collect()[0]
+        .n
+        == 10
+    )
+
+
+def test_shallow_clone(spark, cat, tmp_path):
+    """Zero-copy clone: hard-linked files, stats/schema/constraints
+    carried; writes after the clone diverge the two logs."""
+    import os
+
+    cat.sql("ALTER TABLE t ADD CONSTRAINT k_pos CHECK (k >= 0)")
+    cat.sql("CREATE TABLE t2 SHALLOW CLONE t")
+    assert sorted(cat.tables()) == ["t", "t2"]
+    assert cat.sql("SELECT COUNT(*) AS n FROM t2").collect()[0].n == 10
+    t, t2 = cat.table("t"), cat.table("t2")
+    # same file names, hard-linked bytes (same inode), stats carried
+    assert set(t.snapshot()) == set(t2.snapshot())
+    for n in t2.snapshot():
+        assert os.path.samefile(
+            os.path.join(t.path, n), os.path.join(t2.path, n)
+        )
+        assert t2.snapshot()[n].get("stats") == t.snapshot()[n].get("stats")
+    assert t2.constraints() == {"k_pos": "k >= 0"}
+    # diverge: write to the clone, source unchanged; constraint enforced
+    cat.sql("INSERT INTO t2 VALUES (300, 'c', 3)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t2").collect()[0].n == 11
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 10
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        cat.sql("INSERT INTO t2 VALUES (-1, 'bad', 3)")
+    # VERSION AS OF clone pins an older snapshot
+    cat.sql("DELETE FROM t WHERE k >= 5")
+    cat.sql("CREATE TABLE t3 SHALLOW CLONE t VERSION AS OF 1")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t3").collect()[0].n == 10
+    with pytest.raises(ValueError):
+        cat.clone("t", "t2")  # dst exists
