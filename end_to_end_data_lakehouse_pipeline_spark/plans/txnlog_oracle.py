@@ -404,6 +404,92 @@ def build_lake_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LAKE_TIME_TRAVEL_ORACLE = """
+WITH o AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT 'restored_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM o WHERE k % 2 = 1
+UNION ALL
+SELECT 'clone_v2_rows', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM o WHERE k % 2 = 1 AND k % 3 <> 0
+UNION ALL
+SELECT 'pre_restore_rows', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM o WHERE (k % 2 = 1 AND k % 3 <> 0) OR k % 2 = 0
+UNION ALL
+SELECT 'cdf_delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM o WHERE k % 2 = 1 AND k % 3 = 0
+UNION ALL
+SELECT 'cdf_insert', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM o WHERE k % 2 = 0
+"""
+
+
+def build_lake_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 catalog surface end-to-end: CREATE → DELETE → INSERT →
+    SHALLOW CLONE pinned at v2 → RESTORE TO VERSION 1, then ONE SELECT
+    combining (a) the restored head (must equal v1 exactly — schema and
+    rows), (b) the clone's pinned v2 state (unaffected by the source's
+    later restore — hard-linked files, independent log), (c) the
+    pre-restore head via VERSION AS OF (history preserved through
+    RESTORE), and (d) TABLE_CHANGES(hist, 1, 3) CDF classification
+    (file-diff net changes: the deleted odd %3 rows and the inserted
+    evens; co-located rewritten rows must cancel). Every leg reduces to
+    a pure key-modulus identity over orders."""
+    from ..sources.lake_catalog import LakeCatalog
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ws = session_dir("lake_time_travel")
+    cat = LakeCatalog(spark, os.path.join(ws, "lake"))
+    cat.create("hist", orders.filter(F.col("k") % 2 == 1), stats_cols=("k",))
+    cat.sql("DELETE FROM hist WHERE k % 3 = 0")
+    orders.filter(F.col("k") % 2 == 0).createOrReplaceTempView("tt_evens")
+    try:
+        cat.sql("INSERT INTO hist SELECT k, cents FROM tt_evens")
+    finally:
+        spark.catalog.dropTempView("tt_evens")
+    head = cat.table("hist").latest_version()
+    cat.sql("CREATE TABLE hist2 SHALLOW CLONE hist VERSION AS OF 2")
+    cat.sql("RESTORE TABLE hist TO VERSION AS OF 1")
+    return cat.sql(
+        f"""
+        SELECT 'restored_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM hist
+        UNION ALL
+        SELECT 'clone_v2_rows', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(cents) AS BIGINT)
+        FROM hist2
+        UNION ALL
+        SELECT 'pre_restore_rows', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(cents) AS BIGINT)
+        FROM hist VERSION AS OF {head}
+        UNION ALL
+        SELECT concat('cdf_', _change_type), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(cents) AS BIGINT)
+        FROM TABLE_CHANGES(hist, 1, {head})
+        GROUP BY _change_type
+        """
+    )
+
+
+register(
+    "lake_catalog_time_travel",
+    oracle=LAKE_TIME_TRAVEL_ORACLE,
+    doc="RESTORE / SHALLOW CLONE / VERSION AS OF / TABLE_CHANGES driven "
+    "through catalog.sql in one drive; every leg is a key-modulus "
+    "identity over orders.",
+    tags=("lakehouse", "txnlog", "sql", "catalog", "timetravel"),
+)(build_lake_catalog_time_travel)
+
+
 register(
     "lake_catalog_sql",
     oracle=LAKE_CATALOG_SQL_ORACLE,

@@ -121,6 +121,16 @@ _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE_TABLE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_TABLE_CHANGES_RE = re.compile(
+    r"\bTABLE_CHANGES\s*\(\s*'?(?P<name>\w+)'?\s*,\s*(?P<v0>\d+)"
+    r"\s*(?:,\s*(?P<v1>\d+)\s*)?\)",
+    re.IGNORECASE,
+)
 _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
@@ -393,6 +403,12 @@ class LakeCatalog:
             return self.table(m.group("name")).vacuum(
                 retention_seconds=hours * 3600.0
             )
+        if head == "SHOW":
+            if not _SHOW_TABLES_RE.match(text):
+                raise ValueError(f"only SHOW TABLES is supported; got {text!r}")
+            return self.spark.createDataFrame(
+                [(n,) for n in self.tables()] or [], "tableName string"
+            )
         if head == "DESCRIBE":
             d = _DETAIL_RE.match(text)
             if d:
@@ -400,20 +416,35 @@ class LakeCatalog:
                     raise FileNotFoundError(f"no table {d.group('name')!r}")
                 return self.table(d.group("name")).detail()
             m = _HISTORY_RE.match(text)
+            if m:
+                if not self.exists(m.group("name")):
+                    raise FileNotFoundError(f"no table {m.group('name')!r}")
+                hist = self.table(m.group("name")).history()
+                return self.spark.createDataFrame(
+                    [
+                        (h["version"], h.get("op", ""), float(h.get("ts", 0.0)))
+                        for h in hist
+                    ],
+                    ["version", "operation", "ts"],
+                )
+            m = _DESCRIBE_TABLE_RE.match(text)
             if not m:
                 raise ValueError(
-                    f"only DESCRIBE HISTORY/DETAIL <name> is supported; "
-                    f"got {text!r}"
+                    f"only DESCRIBE [TABLE|HISTORY|DETAIL] <name> is "
+                    f"supported; got {text!r}"
                 )
             if not self.exists(m.group("name")):
                 raise FileNotFoundError(f"no table {m.group('name')!r}")
-            hist = self.table(m.group("name")).history()
+            t = self.table(m.group("name"))
+            schema = t._schema_at(None)
+            if schema is None:
+                schema = t.read().schema
             return self.spark.createDataFrame(
                 [
-                    (h["version"], h.get("op", ""), float(h.get("ts", 0.0)))
-                    for h in hist
+                    (f.name, f.dataType.simpleString(), bool(f.nullable))
+                    for f in schema.fields
                 ],
-                ["version", "operation", "ts"],
+                "col_name string, data_type string, nullable boolean",
             )
         if head == "DROP":
             m = _DROP_RE.match(text)
@@ -435,7 +466,22 @@ class LakeCatalog:
         # read path: register snapshots, rewrite VERSION/TIMESTAMP AS OF
         # pins (timestamp resolves to the last version committed at or
         # before it, then pins that snapshot exactly like VERSION AS OF)
+        # and TABLE_CHANGES(name, v0[, v1]) CDF reads (Delta's
+        # table_changes: net row-level changes between the two snapshots
+        # with a _change_type column, computed from the file diff alone)
         self._register_views()
+
+        def _pin_changes(m: re.Match) -> str:
+            name = m.group("name")
+            v0 = int(m.group("v0"))
+            v1 = int(m.group("v1")) if m.group("v1") else None
+            alias = f"{name}__changes_{v0}_{v1 if v1 is not None else 'head'}"
+            self.table(name).read_changes(v0, v1).createOrReplaceTempView(
+                alias
+            )
+            return alias
+
+        text = _TABLE_CHANGES_RE.sub(_pin_changes, text)
 
         def _pin(m: re.Match) -> str:
             name, version = m.group("name"), int(m.group("version"))

@@ -356,3 +356,27 @@ def test_shallow_clone(spark, cat, tmp_path):
     assert cat.sql("SELECT COUNT(*) AS n FROM t3").collect()[0].n == 10
     with pytest.raises(ValueError):
         cat.clone("t", "t2")  # dst exists
+
+
+def test_show_tables_describe_table_changes(spark, cat):
+    assert [r.tableName for r in cat.sql("SHOW TABLES").collect()] == ["t"]
+    desc = {r.col_name: r.data_type for r in cat.sql("DESCRIBE TABLE t").collect()}
+    assert desc == {"k": "bigint", "v": "string", "updated_at": "bigint"}
+    # CDF through SQL: net changes between snapshot 1 and head
+    cat.sql("DELETE FROM t WHERE k = 3")
+    cat.sql("INSERT INTO t VALUES (400, 'n', 2)")
+    ch = cat.sql(
+        "SELECT _change_type, k FROM TABLE_CHANGES(t, 1) ORDER BY k"
+    ).collect()
+    got = {(r._change_type, r.k) for r in ch}
+    assert got == {("delete", 3), ("insert", 400)}
+    # bounded upper version: nothing changed between head and head
+    head = cat.table("t").latest_version()
+    assert (
+        cat.sql(f"SELECT COUNT(*) AS n FROM TABLE_CHANGES(t, {head}, {head})")
+        .collect()[0]
+        .n
+        == 0
+    )
+    with pytest.raises(ValueError):
+        cat.sql("SHOW PARTITIONS t")
