@@ -103,6 +103,9 @@ HEADLINE = [
     "streaming_session_window_drain",  # native session_window drain
     "txnlog_pushdown_scan",    # DataSource pushFilters file skipping
     "balanced_class_sample",   # exactly-k-per-class deterministic sample
+    # round-5 additions
+    "sql_merge_residual_on",   # non-equi ON residual (upsert-if-newer)
+    "lake_catalog_time_travel",  # RESTORE/CLONE/VERSION AS OF/TABLE_CHANGES
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

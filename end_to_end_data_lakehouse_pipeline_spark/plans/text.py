@@ -1211,3 +1211,70 @@ register(
     "exact integer sums, one hash aggregate.",
     tags=("text", "llm", "agg"),
 )(build_tokenizer_fertility_by_lang)
+
+
+# ---------------------------------------------------------------------------
+# document_chunking — overlapping token-window chunks (the RAG / training
+# sequence-prep step): every document splits into CHUNK-token windows on a
+# STRIDE-token grid (last window short, overlap = CHUNK - STRIDE). Pure
+# Catalyst — sequence() of starts, explode, slice — so the chunker is one
+# narrow projection + generate, no Python in the row path; at 100 TB it
+# scales as a map-only stage (zero shuffles).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
+
+DOCUMENT_CHUNKING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+), x AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+    FROM t WHERE len(toks) > 0
+), s AS (
+    SELECT doc_id, toks, n,
+           UNNEST(range(0, n, {CHUNK_STRIDE})) AS start
+    FROM x
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(toks[start + 1 : least(start + {CHUNK_TOKENS}, n)]) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(
+           toks[start + 1 : least(start + {CHUNK_TOKENS}, n)], ' '))
+           AS chunk_md5
+FROM s
+"""
+
+
+def build_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    toks = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    ).withColumn(
+        "chunk", F.slice("toks", F.col("start") + 1, CHUNK_TOKENS)
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+register(
+    "document_chunking",
+    oracle=DOCUMENT_CHUNKING_ORACLE,
+    doc="Overlapping token-window chunking (64-token chunks on a "
+    "48-token stride) — the RAG/training sequence-prep transform; "
+    "sequence+explode+slice, map-only, zero shuffles.",
+    tags=("text", "llm", "chunking"),
+)(build_document_chunking)

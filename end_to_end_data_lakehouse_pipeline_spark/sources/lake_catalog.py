@@ -109,7 +109,8 @@ _DROP_CONSTRAINT_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>\w+)"
-    r"(?:\s+MAX\s+FILE\s+BYTES\s+(?P<bytes>\d+))?\s*;?\s*$",
+    r"(?:\s+MAX\s+FILE\s+BYTES\s+(?P<bytes>\d+))?"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[^)]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
@@ -392,6 +393,10 @@ class LakeCatalog:
             kwargs = {}
             if m.group("bytes"):
                 kwargs["max_file_bytes"] = int(m.group("bytes"))
+            if m.group("zcols"):
+                kwargs["zorder_by"] = tuple(
+                    c.strip() for c in m.group("zcols").split(",")
+                )
             return t.compact(**kwargs) or (t.latest_version() or 0)
         if head == "VACUUM":
             m = _VACUUM_RE.match(text)

@@ -1202,7 +1202,10 @@ class TransactionLogTable:
     # -- maintenance ------------------------------------------------------
 
     def compact(
-        self, max_file_bytes: int = 128 * 1024 * 1024, max_retries: int = 5
+        self,
+        max_file_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 5,
+        zorder_by: Sequence[str] = (),
     ) -> int | None:
         """OPTIMIZE: bin-pack the files SMALLER than ``max_file_bytes``
         into full-size sorted files in one atomic commit (remove smalls +
@@ -1216,22 +1219,48 @@ class TransactionLogTable:
         frequency appends accumulate small files, and small files poison
         both scan planning (task per file) and stats pruning (overlapping
         tiny ranges). Returns the new version, or None if <2 small files.
+
+        ``zorder_by=(a, b)`` is ``OPTIMIZE ... ZORDER BY``: rewrite ALL
+        live files clustered by the Morton interleave of the two keys
+        (functions/zorder.py) so later scans prune on EITHER key; the
+        small-file threshold is ignored — a re-cluster is whole-table by
+        definition (Delta's OPTIMIZE ZORDER contract).
         """
+        if zorder_by:
+            # stats on BOTH z-keys are the point of the re-cluster —
+            # pruning on either key needs its per-file [min,max]
+            self.stats_cols = tuple(dict.fromkeys([*self.stats_cols, *zorder_by]))
         for _ in range(max_retries):
             base_version = self.latest_version()
             if base_version is None:
                 return None
             snap = self.snapshot(base_version)
-            small = [n for n, e in snap.items() if e.get("bytes", 0) < max_file_bytes]
-            if len(small) < 2:
-                return None
+            if zorder_by:
+                small = sorted(snap)
+                if not small:
+                    return None
+            else:
+                small = [
+                    n for n, e in snap.items()
+                    if e.get("bytes", 0) < max_file_bytes
+                ]
+                if len(small) < 2:
+                    return None
             n_out = int(
                 max(1, sum(snap[n].get("bytes", 0) for n in small) // max_file_bytes)
             )
-            df = self.spark.read.parquet(*self._abs(small))
-            adds = self._stage_files(
-                df, sort_by=list(self.stats_cols[:1]), n_files=n_out
-            )
+            # declared-schema projection, NOT bare spark.read.parquet:
+            # after ALTER ADD COLUMNS the smalls may straddle the
+            # evolution — first-file-wins inference would silently drop
+            # evolved-column values from newer files (same hazard ADVICE
+            # r4 flagged for MERGE's touched-file read)
+            df = self._read_files_declared(small, base_version)
+            if zorder_by:
+                adds = self._stage_files(df, zorder_by=tuple(zorder_by))
+            else:
+                adds = self._stage_files(
+                    df, sort_by=list(self.stats_cols[:1]), n_files=n_out
+                )
             removes = [{"remove": {"name": n}} for n in sorted(small)]
             # commit pinned to base_version+1: ANY interleaved commit
             # (e.g. a merge that rewrote one of our source files) forces a

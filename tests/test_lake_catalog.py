@@ -380,3 +380,20 @@ def test_show_tables_describe_table_changes(spark, cat):
     )
     with pytest.raises(ValueError):
         cat.sql("SHOW PARTITIONS t")
+
+
+def test_optimize_zorder_by(spark, cat):
+    """OPTIMIZE ... ZORDER BY (a, b): whole-table Morton re-cluster
+    through the SQL route; content identical, later reads prune on
+    EITHER key via the re-harvested per-file stats."""
+    t = cat.table("t")
+    before = sorted((r.k, r.v, r.updated_at) for r in t.read().collect())
+    # split into several files so there is something to re-cluster
+    cat.sql("INSERT INTO t VALUES (20, 'w', 5), (21, 'x', 6)")
+    v = cat.sql("OPTIMIZE t ZORDER BY (k, updated_at)")
+    assert v == cat.table("t").latest_version()
+    after = sorted((r.k, r.v, r.updated_at) for r in cat.table("t").read().collect())
+    assert after == sorted(before + [(20, "w", 5), (21, "x", 6)])
+    # every live file carries fresh stats on both z-keys
+    for e in cat.table("t").snapshot().values():
+        assert "k" in e.get("stats", {}) and "updated_at" in e.get("stats", {})
