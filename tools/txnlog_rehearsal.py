@@ -89,6 +89,27 @@ def main() -> None:
         cdf = t.read_changes(v1, pks=["k"])
         out["cdf_rows"] = cdf.count()
         out["cdf_sec"] = round(time.perf_counter() - t0, 2)
+
+        # UPDATE WHERE on the NEXT contiguous 1% range (VERDICT r4 task
+        # 2 done-criterion): stats-seeded discovery must plan its
+        # verifying scan over ~the merge path's 1%, not 100%
+        u_lo, u_hi = r_hi, r_hi + span // 100
+        cond = f"k >= {u_lo} AND k < {u_hi}"
+        head = t.latest_version()
+        cands = t._discovery_candidates(cond, head)
+        out["update_discovery_candidates"] = len(cands)
+        out["update_discovery_fraction"] = round(
+            len(cands) / len(t.snapshot(head)), 4
+        )
+        before_u = set(t.snapshot())
+        t0 = time.perf_counter()
+        t.update_where(cond, {"status": "'Y'"})
+        out["update_where_sec"] = round(time.perf_counter() - t0, 2)
+        after_u = set(t.snapshot())
+        out["update_files_rewritten"] = len(before_u - after_u)
+        out["update_rewrite_fraction"] = round(
+            len(before_u - after_u) / len(before_u), 4
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
