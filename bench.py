@@ -106,6 +106,8 @@ HEADLINE = [
     # round-5 additions
     "sql_merge_residual_on",   # non-equi ON residual (upsert-if-newer)
     "lake_catalog_time_travel",  # RESTORE/CLONE/VERSION AS OF/TABLE_CHANGES
+    "ivm_join_mv_refresh",     # signed-delta JOIN-MV maintenance from CDF
+    "document_chunking",       # map-only overlapping token windows
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

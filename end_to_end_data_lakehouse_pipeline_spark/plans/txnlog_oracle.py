@@ -574,3 +574,161 @@ register(
     "range); Spark re-applies the predicate, so semantics are exact.",
     tags=("lakehouse", "txnlog", "source", "filter", "scale"),
 )(build_txnlog_pushdown_scan)
+
+
+# ---------------------------------------------------------------------------
+# ivm_join_mv_refresh — incremental maintenance of a JOIN materialized view
+# from the txnlog Change Data Feed (the DBSP / "maintain, don't recompute"
+# algebra). txnlog_cdf_mv_refresh covers the single-table aggregate MV; this
+# covers the hard case — an aggregate over a JOIN where BOTH sides change:
+#
+#   O_new ⋈ C_new  =  O_old ⋈ C_old  +  ΔO ⋈ C_old  +  O_old ⋈ ΔC  +  ΔO ⋈ ΔC
+#
+# with ΔO/ΔC as SIGNED multisets straight from read_changes (insert/
+# postimage = +1, delete/preimage = -1; a joined pair's sign is the
+# product). The grouped delta then folds into the old MV with one
+# full-outer join; groups whose count reaches zero drop out. At 100 TB the
+# cost is O(|Δ| ⋈ dims), never a fact-table recompute — the three delta
+# terms join CHANGE rows (1%-sized) against one snapshot each.
+# ---------------------------------------------------------------------------
+
+IVM_JOIN_MV_ORACLE = """
+WITH o AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(o_custkey AS BIGINT) AS ck,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 10 = 5 AND o_orderkey % 7 <> 0
+                  THEN 100 ELSE 0 END AS cents
+    FROM orders
+    WHERE (o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0)
+       OR (o_orderkey % 2 = 0 AND o_orderkey % 4 = 0)
+), c AS (
+    SELECT CAST(c_custkey AS BIGINT) AS ck,
+           CASE WHEN c_custkey % 6 = 0
+                THEN (CAST(c_nationkey AS BIGINT) + 7) % 25
+                ELSE CAST(c_nationkey AS BIGINT) END AS nk
+    FROM customer
+)
+SELECT c.nk AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN c ON o.ck = c.ck
+GROUP BY c.nk
+"""
+
+
+def build_ivm_join_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue MV over O ⋈ C, maintained incrementally while
+    a CDC batch updates/deletes/inserts orders AND re-homes customers'
+    nations. The returned MV is the INCREMENTALLY folded one — the
+    oracle recomputes the final join directly, so any error in the
+    signed-delta algebra (double counting, missed ΔO ⋈ ΔC cross term,
+    wrong sign on preimages) is a value mismatch, not a perf note."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    ws = session_dir("ivm_join_mv")
+    O = TransactionLogTable(spark, os.path.join(ws, "o"), stats_cols=("k",))
+    O.append(
+        orders.filter(F.col("k") % 2 == 1).withColumn(
+            "updated_at", F.lit(1).cast("long")
+        ),
+        sort_by=["k"],
+    )
+    C = TransactionLogTable(spark, os.path.join(ws, "c"), stats_cols=("ck",))
+    C.append(cust.withColumn("updated_at", F.lit(1).cast("long")), sort_by=["ck"])
+
+    # the materialized state BEFORE the CDC batch (version-pinned reads)
+    o_old = O.read(1).select("k", "ck", "cents")
+    c_old = C.read(1).select("ck", "nk")
+    mv_old = (
+        o_old.join(c_old, "ck")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+    # CDC batch 1 (orders): +100 cents on %10==5 keys, delete odd %7
+    # keys, insert even %4 keys
+    upd = (
+        orders.filter(
+            (F.col("k") % 10 == 5) & (F.col("k") % 7 != 0)
+        )
+        .withColumn("cents", F.col("cents") + 100)
+        .withColumn("updated_at", F.lit(2).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    dele = (
+        orders.filter((F.col("k") % 2 == 1) & (F.col("k") % 7 == 0))
+        .withColumn("updated_at", F.lit(2).cast("long"))
+        .withColumn("_deleted", F.lit(True))
+    )
+    ins = (
+        orders.filter((F.col("k") % 2 == 0) & (F.col("k") % 4 == 0))
+        .withColumn("updated_at", F.lit(1).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    O.merge(upd.unionByName(dele).unionByName(ins), pks=["k"], order_col="updated_at")
+    # CDC batch 2 (customers): %6 custkeys re-homed to (nk + 7) % 25
+    C.merge(
+        cust.filter(F.col("ck") % 6 == 0)
+        .withColumn("nk", (F.col("nk") + 7) % 25)
+        .withColumn("updated_at", F.lit(2).cast("long"))
+        .withColumn("_deleted", F.lit(False)),
+        pks=["ck"],
+        order_col="updated_at",
+    )
+
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    d_o = O.read_changes(1).select("ck", "cents", sign.alias("s_o"))
+    d_c = C.read_changes(1).select("ck", "nk", sign.alias("s_c"))
+
+    term1 = d_o.join(c_old, "ck").select("nk", F.col("s_o").alias("s"), "cents")
+    term2 = o_old.join(d_c, "ck").select("nk", F.col("s_c").alias("s"), "cents")
+    term3 = d_o.join(d_c, "ck").select(
+        "nk", (F.col("s_o") * F.col("s_c")).alias("s"), "cents"
+    )
+    delta = (
+        term1.unionByName(term2)
+        .unionByName(term3)
+        .groupBy("nk")
+        .agg(
+            F.sum("s").alias("d_n"),
+            F.sum(F.col("s") * F.col("cents")).alias("d_rev"),
+        )
+    )
+    mv_new = (
+        mv_old.join(delta, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            (
+                F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce("revenue_cents", F.lit(0))
+                + F.coalesce("d_rev", F.lit(0))
+            ).alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return mv_new
+
+
+register(
+    "ivm_join_mv_refresh",
+    oracle=IVM_JOIN_MV_ORACLE,
+    doc="Incremental JOIN-MV maintenance from signed CDF deltas "
+    "(dO x C + O x dC + dO x dC), both sides changing; the oracle is "
+    "the direct recompute, so the delta algebra is value-checked.",
+    tags=("lakehouse", "txnlog", "cdf", "ivm", "mv"),
+)(build_ivm_join_mv_refresh)
