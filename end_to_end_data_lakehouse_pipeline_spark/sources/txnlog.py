@@ -546,6 +546,54 @@ class TransactionLogTable:
             except ConcurrentCommitError:
                 continue
 
+    def overwrite_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        sort_by: Sequence[str] = (),
+    ) -> int | None:
+        """Idempotent full refresh — :meth:`overwrite` guarded by the
+        Delta ``txn`` watermark. This is the foreachBatch AGGREGATE-sink
+        pattern: each micro-batch replaces the materialized view; a
+        redelivered batch (sink committed, checkpoint didn't) sees its
+        batch id already recorded and becomes a no-op instead of
+        clobbering a newer refresh. Same pinned-version atomicity rule
+        as :meth:`append_txn`. Returns the committed version, or None
+        if this batch was already applied."""
+        base = self.latest_version()
+        if self.txn_versions(base).get(app_id, -1) >= batch_id:
+            return None
+        adds = self._stage_files(df, sort_by)
+        while True:
+            base = self.latest_version()
+            if self.txn_versions(base).get(app_id, -1) >= batch_id:
+                for a in adds:
+                    os.remove(os.path.join(self.path, a["add"]["name"]))
+                return None
+            removes = (
+                [{"remove": {"name": n}} for n in self.snapshot(base)]
+                if base
+                else []
+            )
+            actions = [
+                self._meta("overwrite", df),
+                {"txn": {"app": app_id, "version": batch_id}},
+                *removes,
+                *adds,
+            ]
+            try:
+                self._commit((base or 0) + 1, actions)
+                return (base or 0) + 1
+            except ConcurrentCommitError:
+                try:
+                    self._validate(df)  # a concurrent ADD CONSTRAINT wins
+                except ConstraintViolation:
+                    for a in adds:
+                        os.remove(os.path.join(self.path, a["add"]["name"]))
+                    raise
+                continue
+
     def overwrite(
         self, df: DataFrame, sort_by: Sequence[str] = (), n_files: int | None = None
     ) -> int:

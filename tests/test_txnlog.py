@@ -769,3 +769,86 @@ def test_update_delete_discovery_is_stats_seeded(spark, tmp_path):
     assert len(before - after) == 1 and len(before & after) == 7
     assert t.read().filter("k < 100").count() == 0
     assert t.read().count() == 7900
+
+
+def test_ivm_multibatch_exactly_once(spark, tmp_path):
+    """Incremental MV maintenance as a multi-batch loop with the Delta
+    txn watermark: three CDC merges into the source, each folding its
+    signed CDF delta into a result table via overwrite_txn. Batch 2 is
+    REDELIVERED with a stale payload — the watermark must no-op it —
+    and the final MV must equal the direct recompute."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        TransactionLogTable,
+    )
+
+    src = TransactionLogTable(spark, str(tmp_path / "src"), stats_cols=("k",))
+    rows = [(k, k % 5, 100 + k) for k in range(100)]
+    src.append(
+        spark.createDataFrame(rows, ["k", "bucket", "cents"]).withColumn(
+            "updated_at", F.lit(1).cast("long")
+        ),
+        sort_by=["k"],
+    )
+    mv = TransactionLogTable(spark, str(tmp_path / "mv"))
+
+    def fold(from_v: int, to_v: int) -> None:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        d = src.read_changes(from_v, to_v).select(
+            "bucket", sign.alias("s"), "cents"
+        )
+        delta = d.groupBy("bucket").agg(
+            F.sum("s").alias("d_n"), F.sum(F.col("s") * F.col("cents")).alias("d_c")
+        )
+        old = (
+            mv.read()
+            if mv.latest_version() is not None
+            else spark.createDataFrame([], "bucket long, n long, total long")
+        )
+        new = (
+            old.join(delta, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
+                (F.coalesce("total", F.lit(0)) + F.coalesce("d_c", F.lit(0))).alias(
+                    "total"
+                ),
+            )
+            .filter(F.col("n") > 0)
+        )
+        mv.overwrite_txn(new, app_id="ivm", batch_id=to_v, sort_by=["bucket"])
+
+    # bootstrap: fold from the empty state (version 0 has no files)
+    fold(0, 1)
+    prev = 1
+    for batch, (mod, bump) in enumerate(((3, 7), (4, 11), (6, 13)), start=2):
+        cdc = (
+            spark.createDataFrame(rows, ["k", "bucket", "cents"])
+            .filter(F.col("k") % mod == 0)
+            .withColumn("cents", F.col("cents") + bump)
+            .withColumn("updated_at", F.lit(batch).cast("long"))
+            .withColumn("_deleted", F.col("k") % (mod * 10) == 0)
+        )
+        v = src.merge(cdc, pks=["k"], order_col="updated_at")
+        fold(prev, v)
+        prev = v
+
+    final = {r.bucket: (r.n, r.total) for r in mv.read().collect()}
+
+    # redelivery of the LAST batch with a stale (empty) payload: no-op
+    stale = spark.createDataFrame([], "bucket long, n long, total long")
+    assert mv.overwrite_txn(stale, app_id="ivm", batch_id=prev) is None
+    assert {r.bucket: (r.n, r.total) for r in mv.read().collect()} == final
+
+    # direct recompute from the source's final snapshot must agree
+    direct = {
+        r.bucket: (r.n, r.total)
+        for r in src.read()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total"))
+        .collect()
+    }
+    assert final == direct
