@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..catalog import spread, table
 from ..functions.iterate import free_checkpoint
 from .registry import register
-from .text import tokens_col
+from .text import _sql_tokens, tokens_col
 
 N_MERGES = 10
 END_OF_WORD = "_"  # appended marker so suffix merges differ from interior
@@ -135,10 +135,67 @@ def build_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    """DuckDB twin: the ``n_merges`` greedy rounds unrolled as CTEs (the
+    same unrolling trick as label_propagation_communities' LPA rounds).
+
+    Greedy left-to-right non-overlapping pair merging is expressed as a
+    string ``replace``: each word's symbol array is encoded as a
+    double-delimited string ``||s1||s2||...||``, and merging pair (a, b)
+    is ``replace(s, '|a||b|', '|ab|')`` — SQL replace scans left to
+    right and resumes after each replacement, which is exactly BPE's
+    greedy application order (overlaps like [a,a,a] -> [aa, a] included,
+    because the consumed trailing delimiter blocks the overlap).
+    """
+    parts = [
+        f"""
+words AS (
+    SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT lower(unnest({_sql_tokens()})) AS word FROM documents
+    ) GROUP BY word
+),
+s0 AS (
+    SELECT '||' || array_to_string(string_split(word || '{END_OF_WORD}', ''), '||') || '||' AS s,
+           freq
+    FROM words
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""
+p{k} AS (
+    SELECT a, b, sum(freq)::BIGINT AS n FROM (
+        SELECT list_extract(l, i) AS a, list_extract(l, i + 1) AS b, freq FROM (
+            SELECT string_split(trim(s, '|'), '||') AS l, freq,
+                   unnest(generate_series(1, len(string_split(trim(s, '|'), '||')) - 1)) AS i
+            FROM s{k - 1}
+        )
+    ) GROUP BY a, b
+),
+w{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+s{k} AS (
+    SELECT CASE WHEN w.n >= 2
+                THEN replace(t.s, '|' || w.a || '||' || w.b || '|', '|' || w.a || w.b || '|')
+                ELSE t.s END AS s,
+           t.freq
+    FROM s{k - 1} t, w{k} w
+)"""
+        )
+    winners = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS rank, a AS \"left\", b AS \"right\", a || b AS merged,"
+        f" n AS pair_count FROM w{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT * FROM (\n{winners}\n) WHERE pair_count >= 2"
+    )
+
+
 register(
     "bpe_train_merges",
-    oracle=None,  # iterative greedy, driver-mediated — rows-only; pytest
-    # verifies against a pure-Python reference BPE on fixed corpora
+    oracle=_bpe_oracle(),
     doc=f"Train {N_MERGES} BPE merges on the corpus: distinct-word freq "
     "reduction, per-round weighted pair-count agg + deterministic winner "
     "+ in-array greedy rewrite (localCheckpoint/free_checkpoint rounds).",

@@ -179,13 +179,26 @@ class LakeCatalog:
             return r.load()
         return self.table(name).read(version=version, merge_schema=True)
 
-    def _register_views(self) -> None:
-        """Register every catalog table's CURRENT snapshot as a temp view.
-        Called fresh before EVERY read-path and DML statement (ADVICE r4
-        low): views pin the snapshot as of registration, so reusing ones
-        registered by an earlier call would feed MERGE sources / INSERT
-        SELECT inputs stale data."""
-        for n in self.tables():
+    def _referenced(self, statement: str) -> list[str]:
+        """Catalog tables referenced by ``statement``. Table names are
+        ``\\w+`` by construction (see :meth:`_path`), so any referenced
+        name must appear as a word token — intersecting the statement's
+        word tokens with the catalog is a sound over-approximation (a
+        keyword-named table registers harmlessly; a referenced table can
+        never be missed)."""
+        words = set(re.findall(r"\w+", statement))
+        return [n for n in self.tables() if n in words]
+
+    def _register_views(self, statement: str) -> None:
+        """Register the CURRENT snapshot of each table the statement
+        references as a temp view. Called fresh before EVERY read-path
+        and DML statement (ADVICE r4 low): views pin the snapshot as of
+        registration, so reusing ones registered by an earlier call would
+        feed MERGE sources / INSERT SELECT inputs stale data. Bounded to
+        referenced tables (VERDICT r5/r6 task 4) so a statement against a
+        1000-table catalog plans O(#referenced) snapshot views, not
+        O(#tables)."""
+        for n in self._referenced(statement):
             self._snapshot_df(n).createOrReplaceTempView(n)
 
     # -- table lifecycle --------------------------------------------------
@@ -353,7 +366,7 @@ class LakeCatalog:
                     f"only CREATE TABLE <name> (cols) | [STATS ON (cols)] "
                     f"AS SELECT is supported; got {text!r}"
                 )
-            self._register_views()
+            self._register_views(m.group("select"))
             df = self.spark.sql(m.group("select"))
             stats = tuple(
                 c.strip() for c in (m.group("stats") or "").split(",") if c.strip()
@@ -464,9 +477,11 @@ class LakeCatalog:
             # Fresh views first: MERGE sources and INSERT SELECT inputs
             # naming OTHER catalog tables resolve via spark.table() —
             # views from an earlier call would pin stale snapshots.
-            self._register_views()
+            self._register_views(text)
             return execute_dml(
-                self.spark, text, tables={n: self.table(n) for n in self.tables()}
+                self.spark,
+                text,
+                tables={n: self.table(n) for n in self._referenced(text)},
             )
         # read path: register snapshots, rewrite VERSION/TIMESTAMP AS OF
         # pins (timestamp resolves to the last version committed at or
@@ -474,7 +489,7 @@ class LakeCatalog:
         # and TABLE_CHANGES(name, v0[, v1]) CDF reads (Delta's
         # table_changes: net row-level changes between the two snapshots
         # with a _change_type column, computed from the file diff alone)
-        self._register_views()
+        self._register_views(text)
 
         def _pin_changes(m: re.Match) -> str:
             name = m.group("name")

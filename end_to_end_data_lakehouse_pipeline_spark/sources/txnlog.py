@@ -322,6 +322,12 @@ class TransactionLogTable:
             if not versions:
                 return {}, {}
             version = versions[-1]
+        elif version == 0:
+            # Commits start at version 1, so version 0 is the canonical
+            # empty pre-table snapshot (Delta CDF ``startingVersion=0``
+            # analog) — it lets read_changes(0, v) emit v's rows as the
+            # bootstrap inserts an incremental MV needs.
+            return {}, {}
         elif strict and version not in versions:
             raise FileNotFoundError(f"version {version} not in log at {self.path}")
         start = 0

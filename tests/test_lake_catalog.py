@@ -397,3 +397,32 @@ def test_optimize_zorder_by(spark, cat):
     # every live file carries fresh stats on both z-keys
     for e in cat.table("t").snapshot().values():
         assert "k" in e.get("stats", {}) and "updated_at" in e.get("stats", {})
+
+
+def test_register_views_bounded_to_referenced_tables(spark, cat, monkeypatch):
+    """A statement plans snapshot views only for the tables it names —
+    O(#referenced), not O(#tables) (a 1000-table catalog must not re-plan
+    999 unrelated snapshots per statement)."""
+    cat.create("other_a", _mk(spark, [(1, "a", 1)]))
+    cat.create("other_b", _mk(spark, [(2, "b", 1)]))
+    planned: list[str] = []
+    orig = LakeCatalog._snapshot_df
+
+    def spy(self, name, version=None):
+        planned.append(name)
+        return orig(self, name, version)
+
+    monkeypatch.setattr(LakeCatalog, "_snapshot_df", spy)
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 10
+    assert planned == ["t"]
+    planned.clear()
+    cat.sql("INSERT INTO other_a SELECT k, v, updated_at FROM t WHERE k < 2")
+    assert sorted(set(planned)) == ["other_a", "t"]
+    assert "other_b" not in planned
+    # a MERGE naming two tables registers exactly those two
+    planned.clear()
+    cat.sql(
+        "MERGE INTO other_b AS tgt USING other_a AS src ON tgt.k = src.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert "other_a" in set(planned) and "t" not in planned
