@@ -108,6 +108,11 @@ HEADLINE = [
     "lake_catalog_time_travel",  # RESTORE/CLONE/VERSION AS OF/TABLE_CHANGES
     "ivm_join_mv_refresh",     # signed-delta JOIN-MV maintenance from CDF
     "document_chunking",       # map-only overlapping token windows
+    # round-7 additions
+    "kafka_envelope_project",  # bronze Kafka-envelope cast path, wire fixture
+    "txnlog_partitioned_prune",  # hive-partitioned log, exact month pruning
+    "bpe_train_merges",        # 10-round distributed BPE merge training
+    "pareto_frontier_parts",   # skyline via distributed exclusive cummax
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -76,6 +76,67 @@ def global_rank_cumsum(
     return _rank_impl(df, order_cols, out_col, num_partitions, sum_col, cumsum_col)
 
 
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prev_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global running max of ``value_col`` over the
+    ``order_col`` total order (``MAX(...) OVER (ORDER BY o ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``), distributed — the skyline /
+    cumulative-dominance primitive, with the same construction as
+    :func:`global_row_number`: value-range buckets from approx quantiles
+    of ``order_col``, a bucket-local exclusive cummax window, and a
+    broadcast prefix-max of the buckets strictly below. No
+    single-partition WindowExec at any input size. ``order_col`` must be
+    non-null numeric and unique (one row per ordered value)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    probs = [i / parts for i in range(1, parts)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
+    )
+    if bounds:
+        bucket: Column = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: b < F.col(order_col).cast("double"),
+            )
+        )
+    else:
+        bucket = F.lit(0)
+    with_bkt = df.withColumn(_BKT, bucket)
+    bmax = {
+        r[_BKT]: r["m"]
+        for r in with_bkt.groupBy(_BKT).agg(F.max(value_col).alias("m")).collect()
+    }
+    prefix: dict[int, object] = {}
+    run = None
+    for b in sorted(bmax):
+        prefix[b] = run
+        run = bmax[b] if run is None else max(run, bmax[b])
+    vtype = dict(df.dtypes)[value_col]
+    pairs = [
+        x for b, m in prefix.items() if m is not None for x in (F.lit(b), F.lit(m))
+    ]
+    prefix_expr: Column = (
+        F.create_map(*pairs)[F.col(_BKT)].cast(vtype)
+        if pairs
+        else F.lit(None).cast(vtype)
+    )
+    w = (
+        Window.partitionBy(_BKT)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() skips nulls (null only when BOTH sides are null — the
+    # global first row), exactly the exclusive-frame semantics
+    return with_bkt.withColumn(
+        out_col, F.greatest(F.max(value_col).over(w), prefix_expr)
+    ).drop(_BKT)
+
+
 def _rank_impl(
     df: DataFrame,
     order_cols: list[str],

@@ -25,12 +25,17 @@ def scd2_intervals(
     ts: str,
     tiebreak: str,
     value: str,
+    weight: str | None = None,
 ) -> DataFrame:
     """Collapse a (key, ts, value) change stream into SCD2 intervals.
 
     ``tiebreak`` must make (ts, tiebreak) a total order per key so run
     boundaries are deterministic. Output: key, <value>, valid_from,
     valid_to (null = open), n_events, is_current.
+
+    ``weight``: optional per-row event count — a row produced by bronze
+    run-compaction (streaming/scd2.py) stands for ``weight`` original
+    events, so ``n_events`` sums weights instead of counting rows.
     """
     worder = Window.partitionBy(key).orderBy(ts, tiebreak)
     flagged = changes.withColumn(
@@ -45,10 +50,13 @@ def scd2_intervals(
         "_run_id",
         F.sum("_chg").over(worder.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    n_events = (
+        F.sum(weight).cast("long") if weight else F.count(F.lit(1))
+    ).alias("n_events")
     intervals = runs.groupBy(key, "_run_id").agg(
         F.min(value).alias(value),
         F.min(ts).alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
+        n_events,
     )
     wrun = Window.partitionBy(key).orderBy("_run_id")
     return intervals.select(

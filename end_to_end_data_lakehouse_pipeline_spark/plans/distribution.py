@@ -108,12 +108,16 @@ ORDER BY f.price
 
 
 def build_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import global_running_max
+
     part = spread(table(spark, sf_dir, "part"), spark)
     pm = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("best_size")
     )
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    fr = pm.withColumn("prev_max", F.max("best_size").over(w)).filter(
+    # exclusive running max over the price order, distributed (value-range
+    # buckets + broadcast prefix max — no single-partition WindowExec even
+    # though the distinct-price table is value-domain-sized)
+    fr = global_running_max(pm, "price", "best_size", "prev_max").filter(
         F.col("prev_max").isNull() | (F.col("prev_max") < F.col("best_size"))
     )
     return (

@@ -59,16 +59,11 @@ _TOPK_K = 3
 _N_SPLITS = 3  # input files per incremental drain = micro-batch count
 
 
-def _split_input(spark: SparkSession, sf_dir: str, filename: str,
-                 order_col: str, ws: str) -> str:
-    """Stage one table file as ``_N_SPLITS`` range-partitioned files under
+def _stage_stream_files(src: DataFrame, order_col: str, ws: str) -> str:
+    """Stage ``src`` as ``_N_SPLITS`` range-partitioned files under
     ``ws/input`` with strictly increasing mtimes, so the file stream
     source (which orders by modification time) replays them as separate
     micro-batches in ``order_col`` order under ``maxFilesPerTrigger=1``."""
-    from ..catalog import ensure_read_confs
-
-    ensure_read_confs(spark)
-    src = spark.read.parquet(f"{sf_dir}/{filename}")
     data_dir = os.path.join(ws, "input")
     (
         src.repartitionByRange(_N_SPLITS, F.col(order_col))
@@ -80,6 +75,17 @@ def _split_input(spark: SparkSession, sf_dir: str, filename: str,
     for i, name in enumerate(parts):
         os.utime(os.path.join(data_dir, name), (t0 + i * 10, t0 + i * 10))
     return data_dir
+
+
+def _split_input(spark: SparkSession, sf_dir: str, filename: str,
+                 order_col: str, ws: str) -> str:
+    """:func:`_stage_stream_files` over one testdata table file."""
+    from ..catalog import ensure_read_confs
+
+    ensure_read_confs(spark)
+    return _stage_stream_files(
+        spark.read.parquet(f"{sf_dir}/{filename}"), order_col, ws
+    )
 
 
 def _split_input_mod(spark: SparkSession, sf_dir: str, filename: str,
@@ -763,3 +769,70 @@ register(
     "batch-membership rule.",
     tags=("streaming", "stateful", "drain", "agg"),
 )(streaming_running_totals_drain)
+
+
+# ---------------------------------------------------------------------------
+# kafka_envelope_project — the bronze Kafka-envelope projection (reference
+# streaming_bronze.py:80-89) driven wire-shape-faithfully. No broker runs in
+# the sandbox, so a kafka-wire-shaped fixture (binary key/value, topic,
+# partition, offset, timestamp, timestampType — exactly the Kafka source's
+# output schema) is derived deterministically from `events`, replayed as a
+# >=3-micro-batch file stream, and pushed through bronze_projection's real
+# select/cast path. The payload is a delimited string rather than JSON so
+# the DuckDB twin avoids cross-engine JSON-formatting parity issues — the
+# projection under test is envelope metadata handling, not payload parsing.
+
+KAFKA_ENVELOPE_ORACLE = """
+SELECT
+    concat_ws('|', event_id, event_type, props) AS _raw_value,
+    CAST(user_id AS VARCHAR) AS _key,
+    'cdc.events' AS _topic,
+    CAST(event_id % 8 AS INTEGER) AS _partition,
+    event_id AS _offset,
+    ts AS _kafka_timestamp,
+    'events' AS _source_table
+FROM events
+"""
+
+
+def _kafka_wire_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` re-shaped to the exact Kafka source output schema."""
+    from ..catalog import table
+
+    return table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat_ws("|", "event_id", "event_type", "props")
+        .cast("binary")
+        .alias("value"),
+        F.lit("cdc.events").alias("topic"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def kafka_envelope_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.bronze import bronze_projection
+
+    ws = session_dir("kafka_envelope")
+    data_dir = _stage_stream_files(_kafka_wire_fixture(spark, sf_dir), "offset", ws)
+    batch = spark.read.parquet(data_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    bronze = bronze_projection(stream, "events").drop("_ingested_at")
+    return _drain_to_parquet(bronze, "kafka_envelope", min_batches=_N_SPLITS)
+
+
+register(
+    "kafka_envelope_project",
+    oracle=KAFKA_ENVELOPE_ORACLE,
+    doc="Bronze Kafka-envelope projection (S1/P1, reference "
+    "streaming_bronze.py:71-89) over a kafka-wire-shaped fixture (binary "
+    "key/value + topic/partition/offset/timestamp), drained through the "
+    "real file-source streaming path in >=3 micro-batches.",
+    tags=("streaming", "kafka", "bronze", "drain"),
+)(kafka_envelope_project)

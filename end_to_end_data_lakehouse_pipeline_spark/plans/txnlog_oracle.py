@@ -732,3 +732,72 @@ register(
     "the direct recompute, so the delta algebra is value-checked.",
     tags=("lakehouse", "txnlog", "cdf", "ivm", "mv"),
 )(build_ivm_join_mv_refresh)
+
+
+# ---------------------------------------------------------------------------
+# txnlog_partitioned_prune — hive-style partition columns on the log
+# (reference streaming_bronze.py:102 partitionBy + 03_fact_tables.sql:53
+# PARTITION BY toYYYYMM(order_month)). Every staged file holds exactly one
+# partition-value tuple recorded on its add action, so the catalog read
+# path's stats pruning is EXACT on the partition column — a quarter scan
+# touches only that quarter's files (asserted file-level in
+# tests/test_txnlog_partition.py; value-checked here).
+
+TXNLOG_PARTITIONED_ORACLE = """
+SELECT
+    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS o_month,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        AS sum_price_cents
+FROM orders
+WHERE CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+      BETWEEN 199501 AND 199503
+GROUP BY 1
+"""
+
+
+def build_txnlog_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lake_catalog import LakeCatalog
+
+    orders = table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("o_month"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    ws = session_dir("txnlog_part")
+    cat = LakeCatalog(spark, os.path.join(ws, "lake"))
+    orders.createOrReplaceTempView("orders_src")
+    try:
+        # PARTITIONED BY through the SQL surface: one file per month,
+        # month value recorded on each add action
+        cat.sql(
+            "CREATE TABLE orders_part STATS ON (o_orderkey) "
+            "PARTITIONED BY (o_month) AS SELECT * FROM orders_src"
+        )
+    finally:
+        spark.catalog.dropTempView("orders_src")
+    # quarter read: the month range prunes to exactly 3 files via the
+    # exact per-file partition values (catalog pushdown path)
+    return cat.sql(
+        """
+        SELECT o_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+        FROM orders_part
+        WHERE o_month BETWEEN 199501 AND 199503
+        GROUP BY o_month
+        """
+    )
+
+
+register(
+    "txnlog_partitioned_prune",
+    oracle=TXNLOG_PARTITIONED_ORACLE,
+    doc="Hive-style partition columns on the transaction log (one "
+    "partition-value tuple per file, recorded on the add action); a "
+    "month-range catalog SQL read prunes exactly to matching partitions "
+    "(reference streaming_bronze.py:102; 03_fact_tables.sql:53).",
+    tags=("lakehouse", "txnlog", "partition", "pruning"),
+)(build_txnlog_partitioned_prune)

@@ -50,6 +50,7 @@ _VERSION_AS_OF = re.compile(
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)"
     r"(?:\s+STATS\s+ON\s*\((?P<stats>[^)]*)\))?"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<partition>[^)]*)\))?"
     r"\s+AS\s+(?P<select>SELECT\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -214,13 +215,21 @@ class LakeCatalog:
         df: DataFrame | None = None,
         stats_cols: tuple[str, ...] = (),
         sort_by: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
     ) -> TransactionLogTable:
         """CREATE TABLE [AS SELECT]: new named table, optionally seeded
-        with ``df`` as its first commit. Fails if the name exists."""
+        with ``df`` as its first commit. Fails if the name exists.
+        ``partition_by`` — hive-style partition columns (exact per-file
+        pruning; see TransactionLogTable)."""
         if self.exists(name):
             raise ValueError(f"table {name!r} already exists in {self.root}")
-        t = TransactionLogTable(self.spark, self._path(name), stats_cols=stats_cols)
-        self._stats_cols[name] = tuple(stats_cols)
+        t = TransactionLogTable(
+            self.spark,
+            self._path(name),
+            stats_cols=stats_cols,
+            partition_by=partition_by,
+        )
+        self._stats_cols[name] = tuple(t.stats_cols)
         if df is not None:
             t.append(df, sort_by=list(sort_by or stats_cols[:1]))
         return t
@@ -242,6 +251,18 @@ class LakeCatalog:
                 cols |= set(entry.get("stats", {}))
             self._stats_cols[name] = tuple(sorted(cols))
             t.stats_cols = self._stats_cols[name]
+        if not t.partition_by and t.latest_version() is not None:
+            # fresh-instance inference, same stance as stats_cols: the
+            # log is the only metadata store — the latest commit's meta
+            # records the partition spec, so future writes keep the
+            # one-value-per-file invariant
+            for h in reversed(t.history()):
+                if h.get("partition_by"):
+                    t.partition_by = tuple(h["partition_by"])
+                    t.stats_cols = t.stats_cols + tuple(
+                        c for c in t.partition_by if c not in t.stats_cols
+                    )
+                    break
         return t
 
     def exists(self, name: str) -> bool:
@@ -371,7 +392,10 @@ class LakeCatalog:
             stats = tuple(
                 c.strip() for c in (m.group("stats") or "").split(",") if c.strip()
             )
-            self.create(m.group("name"), df, stats_cols=stats)
+            parts = tuple(
+                c.strip() for c in (m.group("partition") or "").split(",") if c.strip()
+            )
+            self.create(m.group("name"), df, stats_cols=stats, partition_by=parts)
             return self.table(m.group("name")).latest_version() or 0
         if head == "ALTER":
             for rx, op in (

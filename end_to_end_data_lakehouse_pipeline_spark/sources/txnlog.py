@@ -286,10 +286,25 @@ class TransactionLogTable:
         path: str,
         stats_cols: Sequence[str] = (),
         checkpoint_interval: int = 10,
+        partition_by: Sequence[str] = (),
     ):
+        """``partition_by`` — hive-style partition columns (reference
+        streaming_bronze.py:102 / 03_fact_tables.sql:53 ``PARTITION BY
+        toYYYYMM``): every staged file holds EXACTLY ONE value tuple of
+        these columns, the tuple is recorded on the add action
+        (``partition``) and the columns auto-join ``stats_cols``, so
+        per-file min==max and every existing stats-pruning path
+        (read_pruned, MERGE/UPDATE discovery, pushFilters) becomes an
+        EXACT partition pruner on these columns — Delta's
+        partition-values-in-the-log design, with the data columns kept in
+        the files so every reader works unchanged. Best with low-
+        cardinality int/string derivations (yyyymm, region)."""
         self.spark = spark
         self.path = path
-        self.stats_cols = tuple(stats_cols)
+        self.partition_by = tuple(partition_by)
+        self.stats_cols = tuple(stats_cols) + tuple(
+            c for c in self.partition_by if c not in stats_cols
+        )
         self.checkpoint_interval = checkpoint_interval
         os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
 
@@ -438,32 +453,60 @@ class TransactionLogTable:
         exclusive with ``sort_by``."""
         self._validate(df)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
-        if zorder_by:
-            from ..functions.zorder import zorder_cluster
-
-            df = zorder_cluster(df, *zorder_by, n_files=n_files)
-        elif sort_by:
-            # range-partition + sort by the leading key so per-file
-            # [min,max] ranges are disjoint and tight — this is what makes
-            # stats-based skipping decisive for merge/read_pruned
-            parts = [n_files] if n_files else []
-            df = df.repartitionByRange(*parts, *sort_by).sortWithinPartitions(
-                *sort_by
+        if self.partition_by:
+            # One partition-value tuple per file: duplicate the partition
+            # columns (the hive writer strips its partitioning columns —
+            # the copies get stripped, the originals stay in the data),
+            # co-locate each tuple with a hash repartition, then let
+            # partitionBy split files exactly on value boundaries.
+            # sort_by still orders rows within each partition's files.
+            dups = [F.col(c).alias(f"__p_{c}") for c in self.partition_by]
+            pdf = df.select("*", *dups).repartition(
+                *[F.col(f"__p_{c}") for c in self.partition_by]
             )
-        elif n_files:
-            df = df.coalesce(n_files)
-        df.write.mode("overwrite").parquet(staging)
+            if sort_by:
+                pdf = pdf.sortWithinPartitions(*sort_by)
+            pdf.write.mode("overwrite").partitionBy(
+                *[f"__p_{c}" for c in self.partition_by]
+            ).parquet(staging)
+        else:
+            if zorder_by:
+                from ..functions.zorder import zorder_cluster
+
+                df = zorder_cluster(df, *zorder_by, n_files=n_files)
+            elif sort_by:
+                # range-partition + sort by the leading key so per-file
+                # [min,max] ranges are disjoint and tight — this is what
+                # makes stats-based skipping decisive for merge/read_pruned
+                parts = [n_files] if n_files else []
+                df = df.repartitionByRange(*parts, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+            elif n_files:
+                df = df.coalesce(n_files)
+            df.write.mode("overwrite").parquet(staging)
         adds = []
         try:
-            for name in sorted(os.listdir(staging)):
-                if not name.endswith(".parquet"):
-                    continue
+            staged = sorted(
+                os.path.join(dirpath, name)
+                for dirpath, _dirs, names in os.walk(staging)
+                for name in names
+                if name.endswith(".parquet")
+            )
+            for src in staged:
                 unique = f"part-{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(self.path, unique)
-                os.rename(os.path.join(staging, name), dst)
+                os.rename(src, dst)
                 entry = {"name": unique, "bytes": os.path.getsize(dst)}
                 if self.stats_cols:
                     entry["stats"] = _file_stats(dst, self.stats_cols)
+                if self.partition_by:
+                    # exact per-file partition tuple: min==max by
+                    # construction, recorded explicitly Delta-style
+                    st = entry.get("stats", {})
+                    entry["partition"] = {
+                        c: st[c]["min"] for c in self.partition_by if c in st
+                    }
                 adds.append({"add": entry})
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -471,6 +514,8 @@ class TransactionLogTable:
 
     def _meta(self, op: str, df: DataFrame | None = None) -> dict:
         meta: dict = {"op": op, "ts": time.time()}
+        if self.partition_by:
+            meta["partition_by"] = list(self.partition_by)
         if df is not None:
             # Record the schema with every field nullable (recursively):
             # a lakehouse column is nullable unless constrained (Delta's

@@ -153,3 +153,69 @@ def test_incremental_update_rewrites_only_touched_buckets(
         .collect()
     )
     assert len(cur) == 1 and cur[0]["tier"] == "high"
+
+
+def test_compacted_sink_equals_batch_scd2_within_lateness(spark, sf_dir, tmp_path):
+    """With run-compaction enabled and time-ordered arrival (out-of-order
+    bounded by the lateness), the dimension — including exact n_events —
+    equals the batch SCD2 of the full history, while bronze history is
+    physically folded into value-run summaries."""
+    changes = user_tier_changes(table(spark, sf_dir, "events"))
+    in_dir = tmp_path / "changes"
+    # 4 time-range-ordered files: arrival order = event-time order, so no
+    # event ever lands below an already-compacted watermark
+    changes.repartitionByRange(4, F.col("ts")).write.parquet(str(in_dir))
+    import os as _os
+
+    parts = sorted(
+        p for p in _os.listdir(in_dir) if p.endswith(".parquet")
+    )
+    t0 = 1_000_000_000
+    for i, name in enumerate(parts):
+        _os.utime(str(in_dir / name), (t0 + i * 10, t0 + i * 10))
+
+    schema = spark.read.parquet(str(in_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    sink = Scd2DimensionSink(
+        spark,
+        bronze_path=str(tmp_path / "bronze"),
+        dim_path=str(tmp_path / "dim"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        value="tier",
+        compact_every=2,
+        lateness="1 minute",
+    )
+    q = sink.sink(stream, checkpoint_path=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    manifest = sink._manifest()
+    assert manifest["gen"] >= 1, "compaction never ran"
+    assert manifest["covered"], "no batch dirs were folded"
+    for d in manifest["covered"]:
+        assert not _os.path.isdir(str(tmp_path / "bronze" / d)), "covered dir kept"
+    # bronze physically shrank: folded rows < raw event count
+    n_raw = changes.count()
+    n_bronze = sink._read_bronze().count()
+    assert n_bronze < n_raw, "compaction did not collapse any runs"
+    # exact n_events preserved through the weighted recompute
+    assert (
+        sink._read_bronze().agg(F.sum("_n")).first()[0] == n_raw
+    ), "weights must sum to the raw event count"
+
+    expected = scd2_intervals(
+        spark.read.parquet(str(in_dir)),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        value="tier",
+    )
+    got = _sorted_pdf(sink.read_dim())
+    want = _sorted_pdf(expected)
+    assert got.shape == want.shape
+    assert got.equals(want), "compacted streamed dimension != batch SCD2"
