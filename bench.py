@@ -85,6 +85,7 @@ HEADLINE = [
     "lake_catalog_sql",        # named-catalog CREATE/MERGE/SELECT story
     "bloom_prejoin_lineitem",  # pure-Catalyst runtime Bloom semi-join
     "duplicate_span_coverage", # repeated-span token coverage (Lee et al.)
+    "span_dedup_rewrite",      # exact-substring dedup rewrite (cleaned corpus)
     "chunk_exact_dedup",       # aligned-window chunk dedup (one hash shuffle)
     "embedding_quantize_int8", # per-dim int8 quantization + recon error
     "span_top_repeats",        # boilerplate report: top repeated spans
@@ -108,10 +109,9 @@ HEADLINE = [
     "lake_catalog_time_travel",  # RESTORE/CLONE/VERSION AS OF/TABLE_CHANGES
     "ivm_join_mv_refresh",     # signed-delta JOIN-MV maintenance from CDF
     "document_chunking",       # map-only overlapping token windows
-    # round-7 additions
+    # round-7 additions (bpe_train_merges already runs in the heavy tier)
     "kafka_envelope_project",  # bronze Kafka-envelope cast path, wire fixture
     "txnlog_partitioned_prune",  # hive-partitioned log, exact month pruning
-    "bpe_train_merges",        # 10-round distributed BPE merge training
     "pareto_frontier_parts",   # skyline via distributed exclusive cummax
 ]
 

@@ -291,3 +291,138 @@ register(
     "total-order top-k).",
     tags=("dedup", "llm", "text", "spans"),
 )(build_span_top_repeats)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_rewrite — the exact-substring dedup REWRITE (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): where
+# duplicate_span_coverage only reports repeated-span fractions, this emits
+# the CLEANED corpus — every token position covered by a repeated span is
+# dropped, except the positions of each span's single canonical occurrence
+# (first writer: smallest (doc_id, start) over all its instances, the
+# keep-one-copy rule). Repetition is counted over ALL instances (within-doc
+# repeats dedup too, unlike the cross-doc-only coverage signal). All
+# linear, stride-1 gram shuffles: gram agg -> canonical winner window ->
+# covered/protected position explodes -> anti-join -> ordered reassembly.
+# ---------------------------------------------------------------------------
+
+
+SPAN_REWRITE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos,
+           unnest({_sql_pos_grams('toks')}) AS gram
+    FROM t WHERE len(toks) >= {SPAN_K}
+),
+inst AS (
+    SELECT doc_id, pos, gram,
+           COUNT(*) OVER (PARTITION BY gram) AS n_inst,
+           ROW_NUMBER() OVER (
+               PARTITION BY gram ORDER BY doc_id, pos
+           ) AS rk
+    FROM g
+),
+rep AS (SELECT * FROM inst WHERE n_inst >= 2),
+covered AS (
+    SELECT DISTINCT doc_id,
+           unnest(generate_series(pos, pos + {SPAN_K - 1})) AS cp
+    FROM rep
+),
+protected AS (
+    SELECT DISTINCT doc_id,
+           unnest(generate_series(pos, pos + {SPAN_K - 1})) AS cp
+    FROM rep WHERE rk = 1
+),
+dropped AS (
+    SELECT c.doc_id, c.cp FROM covered c
+    LEFT JOIN protected p ON c.doc_id = p.doc_id AND c.cp = p.cp
+    WHERE p.doc_id IS NULL
+),
+toks AS (
+    SELECT t.doc_id,
+           unnest(generate_series(1, len(t.toks))) AS cp,
+           unnest(t.toks) AS tok
+    FROM t
+),
+kept AS (
+    SELECT k.doc_id, k.cp, k.tok FROM toks k
+    LEFT JOIN dropped d ON k.doc_id = d.doc_id AND k.cp = d.cp
+    WHERE d.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(kn.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(kn.cleaned_text, '') AS cleaned_text
+FROM t
+LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY cp) AS cleaned_text
+    FROM kept GROUP BY doc_id
+) kn ON t.doc_id = kn.doc_id
+"""
+
+
+def build_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    base = docs.select("doc_id", tokens_col().alias("toks"))
+    g = base.select(
+        "doc_id", F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    wg = Window.partitionBy("gram")
+    inst = g.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wg).alias("n_inst"),
+        F.row_number().over(wg.orderBy("doc_id", "pos")).alias("rk"),
+    )
+    rep = inst.filter(F.col("n_inst") >= 2)
+    span_positions = F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
+    ).alias("cp")
+    covered = rep.select("doc_id", span_positions).distinct()
+    protected = rep.filter(F.col("rk") == 1).select("doc_id", span_positions).distinct()
+    dropped = covered.join(protected, ["doc_id", "cp"], "left_anti")
+    toks = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("cp"), "tok")
+    kept = toks.join(dropped, ["doc_id", "cp"], "left_anti")
+    # ordered reassembly without a per-doc sort shuffle beyond the groupBy:
+    # collect (cp, tok) structs, array_sort on cp, project the tokens
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cp", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+register(
+    "span_dedup_rewrite",
+    oracle=SPAN_REWRITE_ORACLE,
+    doc=f"Exact-substring dedup rewrite (Lee et al. 2022): drop every "
+    f"token covered by a repeated {SPAN_K}-token span except the span's "
+    "canonical first occurrence; emits the cleaned corpus text. Linear "
+    "stride-1 gram shuffles + anti-joins, no pairwise comparisons.",
+    tags=("dedup", "llm", "text", "spans", "rewrite"),
+)(build_span_dedup_rewrite)

@@ -200,3 +200,25 @@ def test_global_rank_cumsum_matches_python_prefix_sums(spark):
         run += amt
         assert rn == i and cs == run, (i, rn, cs, run)
     assert total_sum == run
+
+
+def test_global_running_max_matches_single_partition_window(spark):
+    """global_running_max == the exclusive-frame MAX window, at any
+    bucket count (partition-invariance of the distributed construction)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from end_to_end_data_lakehouse_pipeline_spark.functions.ranking import (
+        global_running_max,
+    )
+
+    rng = random.Random(7)
+    rows = [(float(i) + rng.random() * 0.5, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "price double, best int").repartition(7)
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("prev_max", F.max("best").over(w))
+    for parts in (1, 4, 32):
+        got = global_running_max(df, "price", "best", num_partitions=parts)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

@@ -109,3 +109,50 @@ def test_catalog_ctas_partitioned_by_and_inference(spark, tmp_path, monthly_orde
     for e in t2.snapshot().values():
         st = e["stats"]["o_month"]
         assert st["min"] == st["max"]
+
+
+def test_streaming_sink_into_partitioned_table(spark, tmp_path, monthly_orders):
+    """The exactly-once streaming sink composes with partition_by: every
+    micro-batch's staged files keep the one-value-per-file invariant (the
+    reference's streaming partitionBy bronze, streaming_bronze.py:102)."""
+    from end_to_end_data_lakehouse_pipeline_spark.streaming.txn_sink import (
+        txnlog_append_sink,
+    )
+
+    in_dir = tmp_path / "in"
+    monthly_orders.repartitionByRange(3, F.col("o_orderkey")).write.parquet(
+        str(in_dir)
+    )
+    schema = spark.read.parquet(str(in_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "t"),
+        stats_cols=("o_orderkey",),
+        partition_by=("o_month",),
+    )
+    q = txnlog_append_sink(
+        stream,
+        t,
+        app_id="orders_ingest",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    snap = t.snapshot()
+    for e in snap.values():
+        st = e["stats"]["o_month"]
+        assert st["min"] == st["max"] and e["partition"]["o_month"] == st["min"]
+    assert t.read().count() == monthly_orders.count()
+    # month pruning works on the streamed table
+    months = sorted({e["partition"]["o_month"] for e in snap.values()})
+    m = months[0]
+    assert all(
+        e["partition"]["o_month"] == m
+        for n, e in snap.items()
+        if os.path.join(t.path, n) in t.pruned_files("o_month", m, m)
+    )
