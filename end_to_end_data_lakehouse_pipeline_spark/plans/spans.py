@@ -366,26 +366,33 @@ LEFT JOIN (
 
 
 def build_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = spread(table(spark, sf_dir, "documents"), spark)
     base = docs.select("doc_id", tokens_col().alias("toks"))
     g = base.select(
         "doc_id", F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
-    wg = Window.partitionBy("gram")
-    inst = g.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(wg).alias("n_inst"),
-        F.row_number().over(wg.orderBy("doc_id", "pos")).alias("rk"),
+    # per-gram instance count + canonical first occurrence as ONE
+    # map-side-combinable aggregate (no per-gram window: a degenerate
+    # hyper-repeated gram — a billion-instance stopword run at corpus
+    # scale — would funnel through a single row_number reducer; min on a
+    # (doc_id, pos) struct combines in O(1) state per gram per task)
+    grams = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
     )
-    rep = inst.filter(F.col("n_inst") >= 2)
+    rep = g.join(grams.filter(F.col("n_inst") >= 2), "gram")
     span_positions = F.explode(
         F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
     ).alias("cp")
     covered = rep.select("doc_id", span_positions).distinct()
-    protected = rep.filter(F.col("rk") == 1).select("doc_id", span_positions).distinct()
+    protected = (
+        rep.filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", span_positions)
+        .distinct()
+    )
     dropped = covered.join(protected, ["doc_id", "cp"], "left_anti")
     toks = base.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")
