@@ -65,6 +65,7 @@ HEADLINE = [
     "tpch_q18",               # HAVING-agg broadcast back onto fact join
     "quality_gate",           # corpus filter chain with reject reasons
     "contamination_ngrams",   # broadcast benchmark-overlap decontamination
+    "contamination_minhash",  # fuzzy LSH benchmark decontamination
     # round-3 additions
     "window_funnel_levels",   # chained window mins on one user partitioning
     "purchase_attribution",   # ignore-nulls last over user window

@@ -1672,3 +1672,145 @@ register(
     "subsample / per-class inspection primitive.",
     tags=("llm", "sampling", "window", "pipeline"),
 )(build_balanced_class_sample)
+
+
+# ---------------------------------------------------------------------------
+# contamination_minhash — FUZZY benchmark decontamination (the GPT-3-style
+# companion to contamination_ngrams' exact-shingle overlap): corpus docs
+# are LSH-banded against the benchmark split's MinHash signatures, band
+# collisions become candidate (corpus, benchmark) pairs, and each
+# candidate is verified with the EXACT shingle Jaccard — so a lightly
+# edited benchmark leak (insertions, reordering) is still flagged even
+# when few shingles survive verbatim. Cost: banding is linear, the
+# candidate join is bounded by band-bucket populations (never corpus x
+# benchmark), the verify touches candidates only.
+# ---------------------------------------------------------------------------
+
+CONTAM_MINHASH_JACCARD = 0.5
+
+
+def _contamination_minhash_oracle() -> str:
+    from .dedup import _SQL_MINHASH_CTES, _band_sql, N_BANDS
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, source, sh, {j} AS band_idx, band_{j} AS band_key FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, source, {_sql_shingles("toks")} AS sh FROM t
+    WHERE len({_sql_shingles("toks")}) > 0
+){_SQL_MINHASH_CTES},
+sig AS (
+    SELECT s.doc_id, s.source, s.sh,
+           {', '.join(_band_sql(j) + f' AS band_{j}' for j in range(N_BANDS))}
+    FROM s JOIN mh ON s.doc_id = mh.doc_id
+),
+bands AS ({bands_union}),
+cand AS (
+    SELECT DISTINCT c.doc_id, c.sh AS c_sh, b.doc_id AS bench_doc_id,
+                    b.sh AS b_sh
+    FROM bands c
+    JOIN bands b ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+    WHERE c.source <> '{BENCH_SOURCE}' AND b.source = '{BENCH_SOURCE}'
+),
+verified AS (
+    SELECT doc_id, bench_doc_id,
+           CAST(len(list_intersect(c_sh, b_sh)) AS DOUBLE)
+               / (len(c_sh) + len(b_sh) - len(list_intersect(c_sh, b_sh)))
+               AS jaccard
+    FROM cand
+),
+ranked AS (
+    SELECT doc_id, bench_doc_id, jaccard,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_candidates,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY jaccard DESC, bench_doc_id ASC
+           ) AS rk
+    FROM verified
+)
+SELECT doc_id, bench_doc_id, jaccard, n_candidates
+FROM ranked WHERE rk = 1 AND jaccard >= {CONTAM_MINHASH_JACCARD}
+"""
+
+
+def build_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import N_BANDS, _band_col, minhash_table
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    s = docs.select(
+        "doc_id", "source", shingles_col(tokens_col()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    mh = minhash_table(s)
+    sig = (
+        s.join(mh, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "sh",
+            *[_band_col(j).alias(f"band_{j}") for j in range(N_BANDS)],
+        )
+        .persist()
+    )
+    sig.count()  # materialize once; feeds both band sides + the verify
+    bands = sig.select(
+        "doc_id",
+        "source",
+        "sh",
+        F.posexplode(F.array(*[F.col(f"band_{j}") for j in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    corpus = bands.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", F.col("sh").alias("c_sh"), "band_idx", "band_key"
+    )
+    bench = bands.filter(F.col("source") == BENCH_SOURCE).select(
+        F.col("doc_id").alias("bench_doc_id"),
+        F.col("sh").alias("b_sh"),
+        "band_idx",
+        "band_key",
+    )
+    cand = (
+        corpus.join(bench, ["band_idx", "band_key"])
+        .select("doc_id", "c_sh", "bench_doc_id", "b_sh")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("c_sh", "b_sh"))
+    verified = cand.select(
+        "doc_id",
+        "bench_doc_id",
+        (
+            inter.cast("double") / (F.size("c_sh") + F.size("b_sh") - inter)
+        ).alias("jaccard"),
+    )
+    wd = Window.partitionBy("doc_id")
+    ranked = verified.select(
+        "doc_id",
+        "bench_doc_id",
+        "jaccard",
+        F.count(F.lit(1)).over(wd).cast("long").alias("n_candidates"),
+        F.row_number()
+        .over(wd.orderBy(F.desc("jaccard"), F.asc("bench_doc_id")))
+        .alias("rk"),
+    )
+    out = ranked.filter(
+        (F.col("rk") == 1) & (F.col("jaccard") >= CONTAM_MINHASH_JACCARD)
+    ).drop("rk")
+    return out
+
+
+register(
+    "contamination_minhash",
+    oracle=_contamination_minhash_oracle(),
+    doc="Fuzzy benchmark decontamination: corpus LSH-banded against the "
+    "benchmark split's MinHash signatures, band-collision candidates "
+    "verified with exact shingle Jaccard; per corpus doc the best "
+    "matching benchmark doc above the threshold (candidate-bounded, "
+    "never corpus x benchmark).",
+    tags=("llm", "contamination", "minhash", "dedup"),
+)(build_contamination_minhash)
