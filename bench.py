@@ -114,6 +114,7 @@ HEADLINE = [
     "kafka_envelope_project",  # bronze Kafka-envelope cast path, wire fixture
     "txnlog_partitioned_prune",  # hive-partitioned log, exact month pruning
     "pareto_frontier_parts",   # skyline via distributed exclusive cummax
+    "quality_logit_fit",       # IRLS logistic trainer, exact decimal sums
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
