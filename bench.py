@@ -114,7 +114,6 @@ HEADLINE = [
     "kafka_envelope_project",  # bronze Kafka-envelope cast path, wire fixture
     "txnlog_partitioned_prune",  # hive-partitioned log, exact month pruning
     "pareto_frontier_parts",   # skyline via distributed exclusive cummax
-    "quality_logit_fit",       # IRLS logistic trainer, exact decimal sums
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
@@ -137,6 +136,7 @@ HEAVY = [
     # round-4 additions
     "streaming_dedup_admission_drain",  # 3-batch gated admission (near-dup)
     "bpe_train_merges",        # iterative tokenizer training (10 rounds)
+    "quality_logit_fit",       # IRLS logistic trainer (4 driver rounds)
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
