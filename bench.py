@@ -66,6 +66,7 @@ HEADLINE = [
     "quality_gate",           # corpus filter chain with reject reasons
     "contamination_ngrams",   # broadcast benchmark-overlap decontamination
     "contamination_minhash",  # fuzzy LSH benchmark decontamination
+    "dsir_importance_weights",  # DSIR target-domain importance scores
     # round-3 additions
     "window_funnel_levels",   # chained window mins on one user partitioning
     "purchase_attribution",   # ignore-nulls last over user window

@@ -1814,3 +1814,155 @@ register(
     "never corpus x benchmark).",
     tags=("llm", "contamination", "minhash", "dedup"),
 )(build_contamination_minhash)
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights — Data Selection via Importance Resampling
+# (Xie et al. 2023, public): score every raw-corpus document by the
+# log-likelihood ratio of a hashed-bigram unigram model fit on the
+# TARGET domain (the benchmark split) vs one fit on the raw corpus, the
+# published recipe for picking pretraining data that "looks like" a
+# target domain. Distributed shape: two bucket-count aggregates (map-side
+# combined, DSIR_BUCKETS-bounded), one broadcastable per-bucket
+# log-ratio table, one join + exact integer sum per document. The
+# per-bucket log ratio is quantized to the 1e-6 grid BEFORE the per-doc
+# summation, so document scores are exact integer sums — deterministic
+# at any parallelism and bit-identical to the DuckDB twin (transcendental
+# ln() agrees across engines well inside the 1e-6 grid).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+_DSIR_Q = 1_000_000
+
+
+def _bigrams_col(toks: Column) -> Column:
+    n = F.size(toks)
+    m = n - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_bigrams(toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1]) "
+        f"ELSE [] END"
+    )
+
+
+DSIR_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, {_sql_bigrams(_sql_tokens())} AS bg FROM documents
+),
+e AS (
+    SELECT doc_id, source,
+           {_hex8_sql('md5(unnest(bg))', 1)} % {DSIR_BUCKETS} AS b
+    FROM t
+),
+tc AS (SELECT b, COUNT(*) AS ct FROM e WHERE source = '{BENCH_SOURCE}' GROUP BY b),
+rc AS (SELECT b, COUNT(*) AS cr FROM e WHERE source <> '{BENCH_SOURCE}' GROUP BY b),
+tot AS (
+    SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS t_total,
+           (SELECT COALESCE(SUM(cr), 0) FROM rc) AS r_total
+),
+lr AS (
+    SELECT COALESCE(tc.b, rc.b) AS b,
+           CAST(ROUND(ln(
+               (COALESCE(ct, 0) + 1.0) / (t_total + {DSIR_BUCKETS})
+               * (r_total + {DSIR_BUCKETS}) / (COALESCE(cr, 0) + 1.0)
+           ) * {_DSIR_Q}) AS BIGINT) AS lr_q
+    FROM tc FULL OUTER JOIN rc ON tc.b = rc.b, tot
+),
+doc_b AS (
+    SELECT doc_id, b, COUNT(*) AS n
+    FROM e WHERE source <> '{BENCH_SOURCE}' GROUP BY doc_id, b
+),
+w AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           SUM(n * lr_q) AS wq
+    FROM doc_b JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(wq AS DOUBLE) / {_DSIR_Q} AS logweight,
+       wq > 0 AS selected
+FROM w
+"""
+
+
+def build_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    e = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_bigrams_col(tokens_col())).alias(("g")),
+    ).select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS)
+        .alias("b"),
+    )
+    tc = (
+        e.filter(F.col("source") == BENCH_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rc = (
+        e.filter(F.col("source") != BENCH_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    t_total = tc.agg(F.coalesce(F.sum("ct"), F.lit(0))).first()[0]
+    r_total = rc.agg(F.coalesce(F.sum("cr"), F.lit(0))).first()[0]
+    lr = (
+        tc.join(rc, "b", "full_outer")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1.0)
+                    / F.lit(float(t_total + DSIR_BUCKETS))
+                    * F.lit(float(r_total + DSIR_BUCKETS))
+                    / (F.coalesce("cr", F.lit(0)) + 1.0)
+                )
+                * _DSIR_Q
+            )
+            .cast("long")
+            .alias("lr_q"),
+        )
+    )
+    doc_b = (
+        e.filter(F.col("source") != BENCH_SOURCE)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        doc_b.join(F.broadcast(lr), "b")  # lr is DSIR_BUCKETS-bounded
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("lr_q")).alias("wq"),
+        )
+    )
+    return w.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("wq").cast("double") / _DSIR_Q).alias("logweight"),
+        (F.col("wq") > 0).alias("selected"),
+    )
+
+
+register(
+    "dsir_importance_weights",
+    oracle=DSIR_ORACLE,
+    doc=f"DSIR data selection (Xie et al. 2023): hashed-bigram "
+    f"({DSIR_BUCKETS} buckets) target-vs-raw log-likelihood-ratio weight "
+    "per raw-corpus document, Laplace-smoothed; per-bucket ratios "
+    "quantized to 1e-6 before the exact-integer per-doc sum.",
+    tags=("llm", "sampling", "importance", "pipeline"),
+)(build_dsir_importance_weights)
