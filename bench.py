@@ -115,6 +115,7 @@ HEADLINE = [
     "kafka_envelope_project",  # bronze Kafka-envelope cast path, wire fixture
     "txnlog_partitioned_prune",  # hive-partitioned log, exact month pruning
     "pareto_frontier_parts",   # skyline via distributed exclusive cummax
+    "medallion_e2e_drain",     # full bronze->silver->gold composition, oracled
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -836,3 +836,144 @@ register(
     "real file-source streaming path in >=3 micro-batches.",
     tags=("streaming", "kafka", "bronze", "drain"),
 )(kafka_envelope_project)
+
+
+# ---------------------------------------------------------------------------
+# medallion_e2e_drain — the WHOLE reference pipeline as one oracled query:
+# CDC JSON envelopes (Debezium shape, derived deterministically from
+# `events`) -> streaming bronze append via process_cdc_stream (>=3
+# micro-batches, S1/S4/S5) -> typed from_json envelope parse with delete
+# images (P5/ST7, batch_silver.py:60-82) -> silver last-write-wins MERGE
+# (S7/W1, batch_silver.py:107-159) -> gold daily aggregate (A3,
+# batch_gold.py). The oracle recomputes latest-state-per-key + the daily
+# rollup directly from `events`, so every seam of the composition
+# (envelope round-trip, bronze metadata, LWW ordering incl. same-ms
+# tie-breaks, delete filtering, exact cents sums) is value-checked at
+# data scale — the composition the medallion pytest only covers on a
+# 5-event fixture.
+# ---------------------------------------------------------------------------
+
+MEDALLION_PAYLOAD = None  # built lazily (pyspark types import at module top)
+
+MEDALLION_ORACLE = """
+WITH c AS (
+    SELECT user_id,
+           event_type AS status,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           CAST(ts AS DATE) AS day,
+           epoch_ms(ts) * 1048576 + event_id AS order_key,
+           event_id % 10 = 0 AS deleted
+    FROM events
+),
+latest AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY order_key DESC
+    ) AS rk FROM c
+),
+live AS (SELECT * FROM latest WHERE rk = 1 AND NOT deleted)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM live GROUP BY day
+"""
+
+
+def medallion_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..catalog import table as cat_table
+    from ..sources.cdc import parse_cdc_envelope
+    from ..sources.lakehouse import LakehouseTable
+    from ..streaming.bronze import process_cdc_stream
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("status", T.StringType(), True),
+            T.StructField("cents", T.LongType(), True),
+            T.StructField("day", T.DateType(), True),
+        ]
+    )
+    ws = session_dir("medallion_e2e")
+    # NTZ -> instant under the UTC-pinned session (same parity contract
+    # as _ts_fix on the file-stream path)
+    ev = cat_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    img = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("status"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.to_date("ts").alias("day"),
+    )
+    is_del = F.col("event_id") % 10 == 0
+    op = F.when(is_del, F.lit("d")).when(
+        F.col("event_id") % 5 == 0, F.lit("u")
+    ).otherwise(F.lit("c"))
+    env = F.struct(
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        op.alias("op"),
+        F.unix_millis("ts").alias("source_ts_ms"),
+        F.struct(
+            F.lit("events").alias("table"), F.col("event_id").alias("lsn")
+        ).alias("source"),
+    )
+    wire = ev.select(F.to_json(env).alias("value"), F.col("ts"))
+    data_dir = _stage_stream_files(wire, "ts", ws)
+    batch = spark.read.parquet(data_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    bronze_dir = os.path.join(ws, "bronze")
+    q = process_cdc_stream(
+        stream,
+        "events",
+        bronze_dir,
+        os.path.join(ws, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    _assert_multibatch(os.path.join(ws, "ckpt"), _N_SPLITS)
+    # silver: typed envelope parse (deletes carry the before image) +
+    # LWW MERGE keyed on user_id; order = (event-time ms, lsn) packed
+    # into one strictly-increasing long so same-millisecond events
+    # tie-break by log sequence number
+    bronze = spark.read.parquet(bronze_dir)
+    parsed = parse_cdc_envelope(
+        bronze.select(F.col("_raw_value").alias("value")), payload
+    )
+    updates = parsed.select(
+        "user_id",
+        "status",
+        "cents",
+        "day",
+        (F.unix_millis("_event_ts") * F.lit(1048576) + F.col("_source_lsn"))
+        .alias("order_key"),
+        "_deleted",
+    )
+    silver = LakehouseTable(spark, os.path.join(ws, "silver"))
+    silver.merge(updates, pks=["user_id"], order_col="order_key")
+    # gold: daily rollup over the silver latest state, exact cents sums
+    return (
+        silver.read()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+register(
+    "medallion_e2e_drain",
+    oracle=MEDALLION_ORACLE,
+    doc="The full medallion composition oracled at data scale: Debezium "
+    "envelopes -> multi-batch streaming bronze -> typed CDC parse -> "
+    "silver last-write-wins MERGE (ms+lsn total order, delete images) "
+    "-> gold daily rollup (reference streaming_bronze.py -> "
+    "batch_silver.py -> batch_gold.py).",
+    tags=("streaming", "cdc", "lakehouse", "e2e", "drain"),
+)(medallion_e2e_drain)
