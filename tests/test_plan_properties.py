@@ -79,6 +79,9 @@ ALLOWED_BROADCAST_ARGS = {
     # ~10 MB at 100 TB with 1 GB files; the same metadata Delta's own log
     # replay holds driver-side. The join's BIG side is `updates`.
     "ranges_df",
+    # DSIR per-bucket log-ratio table: exactly DSIR_BUCKETS (4096) rows
+    # by construction, regardless of corpus size
+    "lr",
     "bins",  # PSI bin grid: spark.range(_PSI_BINS) — 10 literal rows
     "scales",  # int8 quantization per-dimension scales — EMB_DIM rows
     "sketch",  # Count-Min counters — at most CMS_ROWS*CMS_WIDTH cells
