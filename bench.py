@@ -116,6 +116,7 @@ HEADLINE = [
     "txnlog_partitioned_prune",  # hive-partitioned log, exact month pruning
     "pareto_frontier_parts",   # skyline via distributed exclusive cummax
     "medallion_e2e_drain",     # full bronze->silver->gold composition, oracled
+    "interval_join_attribution",  # grid-bucketed point-in-interval range join
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
