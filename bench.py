@@ -139,6 +139,7 @@ HEAVY = [
     # round-4 additions
     "streaming_dedup_admission_drain",  # 3-batch gated admission (near-dup)
     "bpe_train_merges",        # iterative tokenizer training (10 rounds)
+    "bpe_apply_merges",        # train->apply tokenizer round-trip
     "quality_logit_fit",       # IRLS logistic trainer (4 driver rounds)
 ]
 

@@ -201,3 +201,104 @@ register(
     "+ in-array greedy rewrite (localCheckpoint/free_checkpoint rounds).",
     tags=("text", "llm", "iterative", "tokenizer"),
 )(build_bpe_train_merges)
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply_merges — the APPLY side of the tokenizer round-trip: run the
+# merge table bpe_train_merges produces back over the corpus and report
+# per-document token counts before/after. Application uses the same
+# delimiter-exact string-replace encoding as the training oracle (greedy
+# left-to-right non-overlapping == replace's scan-resume semantics), so
+# the DuckDB twin re-derives the merges with the training CTEs and
+# applies them with an identical replace chain — the full train->apply
+# loop is differentially verified. Scale shape: merges apply to the
+# DISTINCT-WORD table (vocabulary-sized, the classic reduction); per-doc
+# counts come from one explode + equi-join + sum.
+# ---------------------------------------------------------------------------
+
+
+def _apply_oracle(n_merges: int = N_MERGES) -> str:
+    train = _bpe_oracle(n_merges)
+    ctes = train[len("WITH ") : train.rindex("\nSELECT * FROM")]
+    expr = "ws.s"
+    for k in range(1, n_merges + 1):
+        expr = (
+            f"CASE WHEN w{k}.n >= 2 THEN "
+            f"replace({expr}, '|' || w{k}.a || '||' || w{k}.b || '|', "
+            f"'|' || w{k}.a || w{k}.b || '|') ELSE {expr} END"
+        )
+    joins = " ".join(f"LEFT JOIN w{k} ON TRUE" for k in range(1, n_merges + 1))
+    return f"""WITH {ctes},
+vocab AS (
+    SELECT word, freq,
+           '||' || array_to_string(string_split(word || '{END_OF_WORD}', ''), '||') || '||' AS s
+    FROM words
+),
+applied AS (
+    SELECT ws.word,
+           len(string_split(trim({expr}, '|'), '||')) AS n_sym,
+           len(ws.word) + 1 AS n_chr
+    FROM vocab ws {joins}
+),
+doc_words AS (
+    SELECT doc_id, lower(unnest({_sql_tokens()})) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(a.n_chr) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(a.n_sym) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(a.n_chr) AS DOUBLE) / SUM(a.n_sym), 6) AS compression
+FROM doc_words d JOIN applied a ON d.word = a.word
+GROUP BY d.doc_id"""
+
+
+def build_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("w")
+    ).select("doc_id", F.lower("w").alias("word"))
+    words = doc_words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    merges = train_bpe_merges(words)
+    s = F.concat(
+        F.lit("||"),
+        F.array_join(F.split(F.concat(F.col("word"), F.lit(END_OF_WORD)), ""), "||"),
+        F.lit("||"),
+    )
+    for m in merges:  # greedy application via literal replace, rank order
+        s = F.replace(
+            s,
+            F.lit("|" + m["left"] + "||" + m["right"] + "|"),
+            F.lit("|" + m["merged"] + "|"),
+        )
+    applied = words.select(
+        "word",
+        F.size(
+            F.split(F.regexp_replace(s, r"^\|+|\|+$", ""), r"\|\|")
+        ).alias("n_sym"),
+        (F.length("word") + 1).alias("n_chr"),
+    )
+    return (
+        doc_words.join(applied, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chr").cast("long").alias("n_char_tokens"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chr").cast("double") / F.sum("n_sym"), 6
+            ).alias("compression"),
+        )
+    )
+
+
+register(
+    "bpe_apply_merges",
+    oracle=_apply_oracle(),
+    doc=f"Apply the trained {N_MERGES}-merge BPE table back to the corpus "
+    "(vocabulary-sized application via delimiter-exact greedy replace) "
+    "and report per-doc char-level vs BPE token counts — the train->apply "
+    "tokenizer round-trip, fully differential.",
+    tags=("text", "llm", "tokenizer"),
+)(build_bpe_apply_merges)
