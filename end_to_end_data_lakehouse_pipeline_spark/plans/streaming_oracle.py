@@ -844,13 +844,16 @@ register(
 # `events`) -> streaming bronze append via process_cdc_stream (>=3
 # micro-batches, S1/S4/S5) -> typed from_json envelope parse with delete
 # images (P5/ST7, batch_silver.py:60-82) -> silver last-write-wins MERGE
-# (S7/W1, batch_silver.py:107-159) -> gold daily aggregate (A3,
-# batch_gold.py). The oracle recomputes latest-state-per-key + the daily
-# rollup directly from `events`, so every seam of the composition
-# (envelope round-trip, bronze metadata, LWW ordering incl. same-ms
-# tie-breaks, delete filtering, exact cents sums) is value-checked at
-# data scale — the composition the medallion pytest only covers on a
-# 5-event fixture.
+# run PER MICRO-BATCH through the file-level ACID merge (S7/W1,
+# batch_silver.py:107-159 — TransactionLogTable.merge rewrites only the
+# files whose pk range intersects the batch's keys, the DeltaTable.merge
+# cost profile; VERDICT r7 task 1 replaced the O(table) LakehouseTable
+# full rewrite here) -> gold daily aggregate (A3, batch_gold.py). The
+# oracle recomputes latest-state-per-key + the daily rollup directly from
+# `events`, so every seam of the composition (envelope round-trip, bronze
+# metadata, cross-batch LWW ordering incl. same-ms tie-breaks, delete
+# filtering, exact cents sums) is value-checked at data scale — the
+# composition the medallion pytest only covers on a 5-event fixture.
 # ---------------------------------------------------------------------------
 
 MEDALLION_PAYLOAD = None  # built lazily (pyspark types import at module top)
@@ -883,7 +886,7 @@ def medallion_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import table as cat_table
     from ..sources.cdc import parse_cdc_envelope
-    from ..sources.lakehouse import LakehouseTable
+    from ..sources.txnlog import TransactionLogTable
     from ..streaming.bronze import process_cdc_stream
 
     payload = T.StructType(
@@ -954,8 +957,30 @@ def medallion_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("order_key"),
         "_deleted",
     )
-    silver = LakehouseTable(spark, os.path.join(ws, "silver"))
-    silver.merge(updates, pks=["user_id"], order_col="order_key")
+    # Silver runs the file-level ACID merge ONE MICRO-BATCH AT A TIME,
+    # mirroring the reference's per-run silver MERGE of new bronze rows
+    # (batch_silver.py:146-159): each merge rewrites only the files whose
+    # user_id stats range contains an update key, so per-batch cost is
+    # bounded by touched files, never table size (the 100 TB shape —
+    # tools/medallion_rehearsal.py measures the rewrite fraction at 100x).
+    # Batches are split on order_key ranges, which is exactly the order
+    # the bronze drain delivered them in (_stage_stream_files range-
+    # partitions the wire files on ts), so per-key events cross merge
+    # calls in time order and sequential LWW == one-shot LWW even through
+    # delete tombstones (a dropped key can only be re-inserted by a
+    # strictly LATER update).
+    silver = TransactionLogTable(
+        spark, os.path.join(ws, "silver"), stats_cols=("user_id",)
+    )
+    lo, hi = updates.agg(F.min("order_key"), F.max("order_key")).first()
+    step = (hi - lo) // _N_SPLITS + 1
+    for i in range(_N_SPLITS):
+        batch_updates = updates.filter(
+            (F.col("order_key") >= lo + i * step)
+            & (F.col("order_key") < lo + (i + 1) * step)
+        )
+        if not batch_updates.isEmpty():
+            silver.merge(batch_updates, pks=["user_id"], order_col="order_key")
     # gold: daily rollup over the silver latest state, exact cents sums
     return (
         silver.read()
