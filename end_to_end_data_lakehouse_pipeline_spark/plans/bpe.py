@@ -20,8 +20,10 @@ adjacent symbol pair. The distributed formulation:
 
 Greedy left-to-right non-overlapping application matches the reference
 BPE semantics (tests verify against a pure-Python implementation).
-Iterative + driver-mediated -> registered rows-only (no SQL oracle);
-the pytest reference model is the correctness story.
+Fully oracled despite being iterative + driver-mediated: ``_bpe_oracle``
+unrolls the merge rounds as DuckDB CTEs (greedy pair merge == string
+replace over a double-delimited symbol encoding), and ``bpe_apply_merges``
+round-trips the trained table back over the corpus under the same oracle.
 """
 
 from __future__ import annotations

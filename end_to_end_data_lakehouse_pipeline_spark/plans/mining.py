@@ -335,14 +335,20 @@ register(
 
 # ---------------------------------------------------------------------------
 # pagerank_copurchase — power-iteration PageRank on the support-bounded
-# co-purchase graph (iterative; rows-only check like kmeans_embeddings).
+# co-purchase graph. Iterative, but FULLY ORACLED (VERDICT r7 task 2):
+# ranks live on an exact integer grid (total mass = PR_SCALE, every
+# update is integer multiply/floor-divide/sum — the quality_logit_fit
+# bit-determinism discipline), so the 10 power iterations unroll as
+# DuckDB CTEs with cross-engine-identical values; the double `rank`
+# output is derived from the same integer on both sides.
 # ---------------------------------------------------------------------------
 
 PR_SUPPORT = 2
-PR_DAMPING = 0.85
+PR_DAMPING = 0.85  # applied as exact integer 85/100 — keep in sync below
 PR_ITERATIONS = 10
 PR_TOP = 20
 PR_PARTITIONS = 8  # iteration-loop width: arc set is support-bounded
+PR_SCALE = 10**16  # integer rank grid; 85*PR_SCALE stays well inside int64
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +372,16 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Power iteration: rank' = (1-d)/N + d * sum(rank/degree over in-arcs).
+    """Power iteration: rank' = (1-d)/N + d * sum(rank/degree over in-arcs),
+    run entirely on an exact integer grid (total mass = PR_SCALE):
+
+    - rank0 = PR_SCALE div N; contribution = rank div deg (integer floor
+      division, identical in Spark `div` and DuckDB `//` for positive
+      operands); damping = (85 * inbound) div 100. Every quantity is an
+      exact int64 sum — bit-deterministic, partition-order invariant, and
+      reproducible verbatim by the unrolled DuckDB oracle. Quantization
+      loss is <= deg*1e-16 mass per node per round — PageRank semantics
+      to 15+ significant digits.
 
     Every node has degree >= 1 (edges are symmetrized), so there is no
     dangling mass. Each iteration is one join + one aggregate on the
@@ -393,15 +408,16 @@ def build_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     n_nodes = nodes.count()  # K-row driver scalar (S12 shape); warms the cache
+    base = (15 * PR_SCALE) // (100 * n_nodes)  # exact (1-d)/N on the grid
     ranks = nodes.select(
-        "node", "deg", F.lit(1.0 / n_nodes).alias("rank")
+        "node", "deg", F.lit(PR_SCALE // n_nodes).cast("long").alias("rank")
     ).localCheckpoint()
     for _ in range(PR_ITERATIONS):
         contribs = (
             arcs.join(
                 ranks.select(
                     F.col("node").alias("src"),
-                    (F.col("rank") / F.col("deg")).alias("w"),
+                    F.expr("rank div deg").alias("w"),
                 ),
                 "src",
             )
@@ -415,25 +431,86 @@ def build_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 "deg",
                 (
-                    F.lit((1.0 - PR_DAMPING) / n_nodes)
-                    + PR_DAMPING * F.coalesce(F.col("inbound"), F.lit(0.0))
+                    F.lit(base).cast("long")
+                    + F.expr("(85 * coalesce(inbound, 0L)) div 100")
                 ).alias("rank"),
             )
             .localCheckpoint()  # eager: plan truncation keeps rounds O(1)
         )
         free_checkpoint(superseded)  # <=2 rank tables ever live (r3 leak)
+    # top-k selected on the EXACT integer rank (ties broken by key), then
+    # presented as the probability it encodes — the int -> double
+    # conversion and the division by the exactly-representable PR_SCALE
+    # are IEEE-identical across engines
     return (
-        ranks.select(F.col("node").alias("p_partkey"), F.round("rank", 6).alias("rank"))
-        .orderBy(F.desc("rank"), "p_partkey")
+        ranks.orderBy(F.desc("rank"), "node")
         .limit(PR_TOP)
+        .select(
+            F.col("node").alias("p_partkey"),
+            (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+        )
     )
+
+
+def _pagerank_oracle(n_iter: int = PR_ITERATIONS) -> str:
+    """DuckDB twin: the power iterations unrolled as CTEs (the
+    bpe_train_merges / label_propagation unrolling pattern). All rank
+    arithmetic is integer (`//` floor division == Spark `div` on
+    positive operands), so every round's values are exactly equal."""
+    rounds = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        rounds.append(
+            f"""r{k} AS (
+    SELECT d.node, d.deg,
+           CAST((SELECT base FROM consts)
+                + (85 * COALESCE(c.inbound, 0)) // 100 AS BIGINT) AS rank
+    FROM deg d LEFT JOIN (
+        SELECT a.dst AS node, SUM(r.rank // r.deg) AS inbound
+        FROM arcs a JOIN {prev} r ON a.src = r.node
+        GROUP BY a.dst
+    ) c ON d.node = c.node
+)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (
+    SELECT src, dst FROM pairs GROUP BY src, dst
+    HAVING COUNT(*) >= {PR_SUPPORT}
+),
+arcs AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM arcs GROUP BY src),
+consts AS (
+    SELECT CAST({PR_SCALE} // COUNT(*) AS BIGINT) AS r0val,
+           CAST({15 * PR_SCALE} // (100 * COUNT(*)) AS BIGINT) AS base
+    FROM deg
+),
+r0 AS (
+    SELECT node, deg, (SELECT r0val FROM consts) AS rank FROM deg
+),
+{chain}
+SELECT p_partkey, CAST(rank_i AS DOUBLE) / {float(PR_SCALE)} AS rank
+FROM (
+    SELECT node AS p_partkey, rank AS rank_i
+    FROM {prev} ORDER BY rank DESC, node LIMIT {PR_TOP}
+) t
+"""
 
 
 register(
     "pagerank_copurchase",
-    oracle=None,  # iterative — rows-only driver check; pytest asserts invariants
+    oracle=_pagerank_oracle(),
     doc=f"PageRank (d={PR_DAMPING}, {PR_ITERATIONS} iterations) on the "
-    "support-bounded symmetric co-purchase graph; per-round localCheckpoint "
-    "+ free_checkpoint keeps at most two rank tables cached.",
+    "support-bounded symmetric co-purchase graph, on an exact integer "
+    "rank grid (mass = 1e16) so the unrolled-CTE DuckDB oracle matches "
+    "bit-for-bit; per-round localCheckpoint + free_checkpoint keeps at "
+    "most two rank tables cached.",
     tags=("graph", "iterative"),
 )(build_pagerank_copurchase)
