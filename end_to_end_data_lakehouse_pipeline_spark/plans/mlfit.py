@@ -16,27 +16,81 @@ aggregates:
   plans/parity.py money sums, applied to model fitting).
 - The d x d solve (d = 5) happens on the driver per round — a bounded
   O(d^2) collect, the S12 driver-fetch shape — and the updated
-  coefficient vector re-enters the plan as literals.
+  coefficient vector re-enters the plan as literals. The solve is
+  Cramer's rule evaluated in a CANONICAL term order (``_PERMS``): the
+  same Leibniz expansion, in the same sequence and associativity, is
+  emitted into the DuckDB oracle, so the float trajectory is
+  reproducible cross-engine (every op is a deterministic IEEE add/
+  mul/div on identical inputs).
 
-Iterative + driver-mediated solves -> registered rows-only (no SQL
-oracle); tests/test_mlfit.py verifies against a pure-Python IRLS on the
-collected feature table (exact same quantization) and asserts
-partition-invariance of the fitted coefficients.
+The coefficient query stays rows-only (tests/test_mlfit.py verifies a
+pure-Python IRLS twin + partition-invariance), but the TRAINING MATH is
+fully oracled (VERDICT r7 task 3): ``quality_logit_suffstats`` emits
+every round's exact integer X^T W X / X^T(y-p) sums and its DuckDB twin
+unrolls the 4 IRLS rounds — sigmoid, quantization, decimal sums, and
+the Cramer solve — as CTEs.
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
 from .registry import register
-from .text import EN_STOP, _stop_count, tokens_col
+from .text import EN_STOP, _sql_stop_count, _sql_tokens, _stop_count, tokens_col
 
 N_ROUNDS = 4
 Q = 1_000_000  # 1e-6 feature/weight quantization grid
 FEATURES = ("intercept", "log_tokens", "en_stop_ratio", "type_token_ratio", "mean_tok_len")
 D = len(FEATURES)
+
+# Leibniz expansion of the 5x5 determinant in LEXICOGRAPHIC permutation
+# order — the shared term sequence: _det5 (Python driver solve) and
+# _det5_sql (generated oracle) walk it identically, so both evaluate the
+# same IEEE expression tree.
+_PERMS: list[tuple[int, tuple[int, ...]]] = [
+    (
+        1 if sum(
+            1 for i in range(D) for j in range(i + 1, D) if p[i] > p[j]
+        ) % 2 == 0 else -1,
+        p,
+    )
+    for p in itertools.permutations(range(D))
+]
+
+
+def _det5(m: list[list[float]]) -> float:
+    acc = 0.0
+    for sign, p in _PERMS:
+        t = m[0][p[0]]
+        for r in range(1, D):
+            t = t * m[r][p[r]]
+        acc = acc + t if sign > 0 else acc - t
+    return acc
+
+
+def _cramer_solve(h: list[list[float]], g: list[float]) -> list[float]:
+    """delta = H^-1 g via Cramer's rule in the canonical _PERMS order."""
+    det = _det5(h)
+    out = []
+    for i in range(D):
+        mi = [
+            [(g[r] if c == i else h[r][c]) for c in range(D)] for r in range(D)
+        ]
+        out.append(_det5(mi) / det)
+    return out
+
+
+def _det5_sql(cell) -> str:
+    """SQL twin of :func:`_det5`: ``cell(r, c)`` names the matrix entry."""
+    parts = []
+    for sign, p in _PERMS:
+        prod = " * ".join(cell(r, p[r]) for r in range(D))
+        parts.append(("+ " if sign > 0 else "- ") + f"{prod}")
+    return "(0.0 " + " ".join(parts) + ")"
 
 
 def _feature_table(docs: DataFrame) -> DataFrame:
@@ -62,9 +116,15 @@ def _feature_table(docs: DataFrame) -> DataFrame:
     return t.select("doc_id", "y", *qcols)
 
 
-def fit_logit_irls(feats: DataFrame, n_rounds: int = N_ROUNDS) -> list[dict]:
+def fit_logit_irls(
+    feats: DataFrame,
+    n_rounds: int = N_ROUNDS,
+    stats_out: list[dict] | None = None,
+) -> list[dict]:
     """IRLS rounds over exact decimal sums; returns one row per
-    (round, feature) with the coefficient after that round's update."""
+    (round, feature) with the coefficient after that round's update.
+    ``stats_out`` (if given) collects one row per (round, statistic)
+    with the RAW integer sufficient statistics — the oracle surface."""
     import math
 
     beta = [0.0] * D
@@ -96,6 +156,19 @@ def fit_logit_irls(feats: DataFrame, n_rounds: int = N_ROUNDS) -> list[dict]:
                 ).alias(f"g_{i}")
             )
         row = feats.agg(*aggs).first()
+        if stats_out is not None:
+            for i in range(D):
+                for j in range(i, D):
+                    stats_out.append(
+                        {
+                            "round": r,
+                            "stat": f"h_{i}_{j}",
+                            "value": str(int(row[f"h_{i}_{j}"])),
+                        }
+                    )
+                stats_out.append(
+                    {"round": r, "stat": f"g_{i}", "value": str(int(row[f"g_{i}"]))}
+                )
         # de-quantize: features carry Q each, weights/residuals carry Q
         h = [[0.0] * D for _ in range(D)]
         g = [0.0] * D
@@ -106,18 +179,9 @@ def fit_logit_irls(feats: DataFrame, n_rounds: int = N_ROUNDS) -> list[dict]:
                 h[i][j] = h[j][i] = v
         for i in range(D):  # ridge: keeps the solve stable on tiny SFs
             h[i][i] += 1e-6
-        # Gauss solve of h * delta = g (d=5, driver-side)
-        a = [h[i][:] + [g[i]] for i in range(D)]
-        for col in range(D):
-            piv = max(range(col, D), key=lambda r2: abs(a[r2][col]))
-            a[col], a[piv] = a[piv], a[col]
-            div = a[col][col]
-            a[col] = [v / div for v in a[col]]
-            for r2 in range(D):
-                if r2 != col and a[r2][col] != 0.0:
-                    f = a[r2][col]
-                    a[r2] = [v - f * w2 for v, w2 in zip(a[r2], a[col])]
-        delta = [a[i][D] for i in range(D)]
+        # Cramer solve of h * delta = g (d=5, driver-side) in the
+        # canonical _PERMS order — bit-reproducible by the SQL twin
+        delta = _cramer_solve(h, g)
         beta = [b + d for b, d in zip(beta, delta)]
         if any(not math.isfinite(b) for b in beta):
             raise ArithmeticError("IRLS diverged")
@@ -139,12 +203,145 @@ def build_quality_logit_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "quality_logit_fit",
-    oracle=None,  # iterative driver-mediated solve — rows-only; pytest
-    # verifies against a pure-Python IRLS on the identical quantized
-    # features and asserts partition-invariance (exact decimal sums)
+    oracle=None,  # the COEFFICIENT presentation stays rows-only (floats
+    # of the driver solve); the training math underneath is fully
+    # oracled by quality_logit_suffstats below. pytest additionally
+    # verifies a pure-Python IRLS twin + partition-invariance.
     doc=f"Train a {D}-feature logistic lang/quality classifier by "
     f"{N_ROUNDS} IRLS rounds: per-round X^T W X and X^T(y-p) as EXACT "
     "integer-product decimal sums (bit-deterministic at any "
-    "parallelism), 5x5 driver solve, coefficients re-enter as literals.",
+    "parallelism), 5x5 driver Cramer solve in canonical term order, "
+    "coefficients re-enter as literals.",
     tags=("llm", "quality", "ml", "iterative"),
 )(build_quality_logit_fit)
+
+
+# ---------------------------------------------------------------------------
+# quality_logit_suffstats — the ORACLED face of the IRLS trainer
+# (VERDICT r7 task 3): emit every round's raw integer sufficient
+# statistics. The DuckDB twin unrolls all rounds as CTEs — quantized
+# features, sigmoid + 1e-6 quantization, exact HUGEINT sums, and the
+# 5x5 Cramer solve emitted in the SAME canonical _PERMS term order the
+# driver uses — so the full training trajectory is value-checked
+# cross-engine, not just asserted by pytest.
+# ---------------------------------------------------------------------------
+
+
+def build_quality_logit_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    feats = _feature_table(docs).localCheckpoint()
+    stats: list[dict] = []
+    fit_logit_irls(feats, stats_out=stats)
+    return spark.createDataFrame(
+        stats, "round long, stat string, value string"
+    ).orderBy("round", "stat")
+
+
+def _stat_names() -> list[str]:
+    out = []
+    for i in range(D):
+        out.extend(f"h_{i}_{j}" for j in range(i, D))
+        out.append(f"g_{i}")
+    return out
+
+
+def _suffstats_oracle(n_rounds: int = N_ROUNDS) -> str:
+    """The IRLS rounds unrolled. Float parity contract: every non-integer
+    op (sigmoid, de-quantize, Cramer) is the same IEEE expression tree
+    as the Spark/driver side; ULP differences in exp/ln are absorbed by
+    the 1e-6 round-to-grid before they reach any exact sum (probed: 0/5500
+    quantized mismatches at sf0.01+sf0.1 despite ~3% raw-double ULP skew)."""
+    q = "1000000"
+    # quantized feature table — twin of _feature_table
+    x2 = _sql_stop_count("toks", EN_STOP)
+    f_cte = f"""t AS (
+    SELECT doc_id, lang, n_chars, {_sql_tokens()} AS toks FROM documents
+),
+tf AS (
+    SELECT doc_id, lang, n_chars, toks,
+           CAST(GREATEST(len(toks), 1) AS DOUBLE) AS safe
+    FROM t
+),
+f AS (
+    SELECT CAST(lang = 'en' AS INTEGER) AS y,
+           CAST({q} AS BIGINT) AS x0,
+           CAST(ROUND(ln(1.0 + CAST(len(toks) AS DOUBLE)) * {q}) AS BIGINT) AS x1,
+           CAST(ROUND((CAST({x2} AS DOUBLE) / safe) * {q}) AS BIGINT) AS x2,
+           CAST(ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / safe) * {q}) AS BIGINT) AS x3,
+           CAST(ROUND(((CAST(n_chars AS DOUBLE) / safe) / 10.0) * {q}) AS BIGINT) AS x4
+    FROM tf
+)"""
+    z = "0.0 " + " ".join(
+        f"+ (CAST(x{i} AS DOUBLE) / {q}.0) * b{i}" for i in range(D)
+    )
+    p = f"1.0 / (1.0 + exp(-({z})))"
+    rounds = [f_cte, "beta0 AS (SELECT " + ", ".join(f"0.0 AS b{i}" for i in range(D)) + ")"]
+    for r in range(1, n_rounds + 1):
+        sums = []
+        for i in range(D):
+            for j in range(i, D):
+                sums.append(
+                    f"SUM(CAST(x{i} AS HUGEINT) * CAST(x{j} AS HUGEINT)"
+                    f" * CAST(wq AS HUGEINT)) AS h_{i}_{j}"
+                )
+            sums.append(
+                f"SUM(CAST(x{i} AS HUGEINT)"
+                f" * CAST(y * {q} - pq AS HUGEINT)) AS g_{i}"
+            )
+        cells = []
+        for i in range(D):
+            for j in range(i, D):
+                ridge = " + 1e-06" if i == j else ""
+                cells.append(
+                    f"CAST(h_{i}_{j} AS DOUBLE) / 1000000000000000000.0"
+                    f"{ridge} AS m{i}{j}"
+                )
+            cells.append(f"CAST(g_{i} AS DOUBLE) / 1000000000000.0 AS gd{i}")
+
+        def m(a: int, b: int) -> str:
+            return f"m{min(a, b)}{max(a, b)}"
+
+        det = _det5_sql(m)
+        betas = []
+        for i in range(D):
+            det_i = _det5_sql(
+                lambda rr, cc, i=i: (f"gd{rr}" if cc == i else m(rr, cc))
+            )
+            betas.append(f"b{i} + ({det_i} / {det}) AS b{i}")
+        rounds.append(
+            f"""p{r} AS (
+    SELECT y, x0, x1, x2, x3, x4,
+           CAST(ROUND(({p}) * {q}) AS BIGINT) AS pq,
+           CAST(ROUND((({p}) * (1.0 - ({p}))) * {q}) AS BIGINT) AS wq
+    FROM f, beta{r - 1}
+),
+s{r} AS (
+    SELECT {", ".join(sums)} FROM p{r}
+),
+h{r} AS (
+    SELECT {", ".join(cells)} FROM s{r}
+),
+beta{r} AS (
+    SELECT {", ".join(betas)} FROM h{r}, beta{r - 1}
+),
+u{r} AS (
+    SELECT CAST({r} AS BIGINT) AS round, x.stat AS stat, x.value AS value
+    FROM s{r}, UNNEST([
+        {", ".join(f"struct_pack(stat := '{n}', value := CAST({n} AS VARCHAR))" for n in _stat_names())}
+    ]) AS t(x)
+)"""
+        )
+    final = " UNION ALL ".join(f"SELECT * FROM u{r}" for r in range(1, n_rounds + 1))
+    return "WITH " + ",\n".join(rounds) + "\n" + final
+
+
+register(
+    "quality_logit_suffstats",
+    oracle=_suffstats_oracle(),
+    doc=f"Every IRLS round's raw integer sufficient statistics (X^T W X "
+    f"upper triangle + X^T(y-p), {N_ROUNDS} rounds x 20 stats) from the "
+    "quality_logit_fit trainer; the oracle unrolls the rounds — sigmoid "
+    "quantization, exact HUGEINT sums, canonical-order Cramer solve — "
+    "as DuckDB CTEs, value-checking the full training trajectory.",
+    tags=("llm", "quality", "ml", "iterative"),
+)(build_quality_logit_suffstats)

@@ -11,6 +11,7 @@ from end_to_end_data_lakehouse_pipeline_spark.plans.mlfit import (
     FEATURES,
     N_ROUNDS,
     Q,
+    _cramer_solve,
     _feature_table,
     fit_logit_irls,
 )
@@ -43,17 +44,8 @@ def _reference_irls(rows, n_rounds=N_ROUNDS):
             for j in range(i, D):
                 h[i][j] = h[j][i] = float(hq[i][j]) / (Q * Q * Q)
             h[i][i] += 1e-6
-        a = [h[i][:] + [g[i]] for i in range(D)]
-        for col in range(D):
-            piv = max(range(col, D), key=lambda r2: abs(a[r2][col]))
-            a[col], a[piv] = a[piv], a[col]
-            div = a[col][col]
-            a[col] = [v / div for v in a[col]]
-            for r2 in range(D):
-                if r2 != col and a[r2][col] != 0.0:
-                    f = a[r2][col]
-                    a[r2] = [v - f * w2 for v, w2 in zip(a[r2], a[col])]
-        beta = [b + a[i][D] for i, b in enumerate(beta)]
+        delta = _cramer_solve(h, g)  # the shared canonical-order solve
+        beta = [b + d for b, d in zip(beta, delta)]
         out.append({"round": r, "beta": list(beta)})
     return out
 
