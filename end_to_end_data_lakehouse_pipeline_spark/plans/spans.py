@@ -24,6 +24,17 @@ position explode and per-doc distinct. No driver state, no caps — at
 The oracle reproduces the whole pipeline in DuckDB (positional grams ->
 cross-doc counts -> window union) — exact integer counts, one final
 bit-stable division.
+
+Shuffle width (VERDICT r7 task 8): the raw gram STRING (K tokens, ~300
+bytes at prod K=50) never travels through a shuffle — every gram is
+fingerprinted to a 16-hex-char md5 prefix (``gram_id_col``) right after
+the explode, before any groupBy/join. 64-bit fingerprints are the
+standard exact-substring-dedup practice (Lee et al. pipelines hash
+grams); at ~1e11 grams the birthday estimate is a few hundred spurious
+gram merges corpus-wide — noise against the dedup signal — and the
+oracle applies the identical md5 prefix, so cross-engine equality is
+unaffected. span_top_repeats keeps the raw gram: the report's OUTPUT is
+the gram text.
 """
 
 from __future__ import annotations
@@ -62,6 +73,16 @@ def _sql_pos_grams(toks: str, k: int = SPAN_K) -> str:
     )
 
 
+def gram_id_col(gram: Column) -> Column:
+    """16-hex-char (64-bit) md5 prefix of a gram — the value that is
+    allowed into shuffles in place of the K-token string."""
+    return F.substring(F.md5(gram), 1, 16)
+
+
+def _sql_gram_id(gram: str) -> str:
+    return f"substr(md5({gram}), 1, 16)"
+
+
 DUPLICATE_SPAN_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, {_sql_tokens()} AS toks FROM documents
@@ -69,16 +90,17 @@ WITH t AS (
 g AS (
     SELECT doc_id,
            unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos,
-           unnest({_sql_pos_grams('toks')}) AS gram
+           unnest(list_transform({_sql_pos_grams('toks')},
+                                 x -> {_sql_gram_id('x')})) AS gid
     FROM t WHERE len(toks) >= {SPAN_K}
 ),
 rep AS (
-    SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    SELECT gid FROM g GROUP BY gid HAVING COUNT(DISTINCT doc_id) >= 2
 ),
 cov AS (
     SELECT DISTINCT doc_id, cp FROM (
         SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + {SPAN_K - 1})) AS cp
-        FROM g JOIN rep ON g.gram = rep.gram
+        FROM g JOIN rep ON g.gid = rep.gid
     )
 ),
 covn AS (
@@ -99,15 +121,15 @@ def build_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     base = docs.select("doc_id", tokens_col().alias("toks"))
     g = base.select(
         "doc_id", F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram")
-    )
+    ).select("doc_id", "pos0", gram_id_col(F.col("gram")).alias("gid"))
     rep = (
-        g.groupBy("gram")
+        g.groupBy("gid")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("gid")
     )
     cov = (
-        g.join(rep, "gram")
+        g.join(rep, "gid")
         .select(
             "doc_id",
             F.explode(
@@ -314,14 +336,15 @@ WITH t AS (
 g AS (
     SELECT doc_id,
            unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos,
-           unnest({_sql_pos_grams('toks')}) AS gram
+           unnest(list_transform({_sql_pos_grams('toks')},
+                                 x -> {_sql_gram_id('x')})) AS gid
     FROM t WHERE len(toks) >= {SPAN_K}
 ),
 inst AS (
-    SELECT doc_id, pos, gram,
-           COUNT(*) OVER (PARTITION BY gram) AS n_inst,
+    SELECT doc_id, pos, gid,
+           COUNT(*) OVER (PARTITION BY gid) AS n_inst,
            ROW_NUMBER() OVER (
-               PARTITION BY gram ORDER BY doc_id, pos
+               PARTITION BY gid ORDER BY doc_id, pos
            ) AS rk
     FROM g
 ),
@@ -370,17 +393,21 @@ def build_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", tokens_col().alias("toks"))
     g = base.select(
         "doc_id", F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        gram_id_col(F.col("gram")).alias("gid"),
+    )
     # per-gram instance count + canonical first occurrence as ONE
     # map-side-combinable aggregate (no per-gram window: a degenerate
     # hyper-repeated gram — a billion-instance stopword run at corpus
     # scale — would funnel through a single row_number reducer; min on a
     # (doc_id, pos) struct combines in O(1) state per gram per task)
-    grams = g.groupBy("gram").agg(
+    grams = g.groupBy("gid").agg(
         F.count(F.lit(1)).alias("n_inst"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
     )
-    rep = g.join(grams.filter(F.col("n_inst") >= 2), "gram")
+    rep = g.join(grams.filter(F.col("n_inst") >= 2), "gid")
     span_positions = F.explode(
         F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
     ).alias("cp")
