@@ -1737,26 +1737,51 @@ FROM ranked WHERE rk = 1 AND jaccard >= {CONTAM_MINHASH_JACCARD}
 """
 
 
+def _contam_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, source, shingles, band keys) signature table,
+    PERSISTED WITH THE CORPUS (VERDICT r7 task 6): the first run against
+    a corpus writes it next to the session's store, every repeat run —
+    recurring decontamination against each new benchmark drop is the
+    production cadence — reads it back instead of re-scanning and
+    re-hashing the corpus (the dominant cost at 100x). Deterministic
+    content (hash-based MinHash), so stored-vs-fresh is value-identical
+    and the oracle is unaffected."""
+    import hashlib
+    import os as _os
+
+    from .dedup import N_BANDS, _band_col, minhash_table
+    from .workspace import session_store
+
+    store = session_store(
+        "contam_sig_" + hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
+    path = _os.path.join(store, "signatures.parquet")
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        docs = spread(table(spark, sf_dir, "documents"), spark)
+        s = docs.select(
+            "doc_id", "source", shingles_col(tokens_col()).alias("sh")
+        ).filter(F.size("sh") > 0)
+        mh = minhash_table(s)
+        (
+            s.join(mh, "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                "sh",
+                *[_band_col(j).alias(f"band_{j}") for j in range(N_BANDS)],
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def build_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .dedup import N_BANDS, _band_col, minhash_table
+    from .dedup import N_BANDS
 
-    docs = spread(table(spark, sf_dir, "documents"), spark)
-    s = docs.select(
-        "doc_id", "source", shingles_col(tokens_col()).alias("sh")
-    ).filter(F.size("sh") > 0)
-    mh = minhash_table(s)
-    sig = (
-        s.join(mh, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "sh",
-            *[_band_col(j).alias(f"band_{j}") for j in range(N_BANDS)],
-        )
-        .persist()
-    )
+    sig = _contam_signatures(spark, sf_dir).persist()
     sig.count()  # materialize once; feeds both band sides + the verify
     bands = sig.select(
         "doc_id",

@@ -43,3 +43,23 @@ def session_dir(tag: str) -> str:
     os.makedirs(d)
     _LIVE[tag] = d
     return d
+
+
+def session_store(tag: str) -> str:
+    """A KEPT directory for ``tag``: unlike :func:`session_dir`,
+    re-requesting the same tag returns the SAME path (created once,
+    removed only at interpreter exit). The persist-with-corpus pattern
+    (VERDICT r7 task 6, proven by the r4 dedup admission index): an
+    expensive corpus-derived index — e.g. the decontamination MinHash
+    signature table — is built on first use and READ by every repeat
+    run against the same corpus, so recurring jobs pay the signature
+    scan once per corpus, not once per run. Contract: the corpus under
+    a given tag is immutable for the session (true for testdata and for
+    any production corpus addressed by an immutable snapshot path)."""
+    if not _ROOT:
+        root = tempfile.mkdtemp(prefix="engine_ws_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _ROOT.append(root)
+    d = os.path.join(_ROOT[0], f"store_{tag}")
+    os.makedirs(d, exist_ok=True)
+    return d
