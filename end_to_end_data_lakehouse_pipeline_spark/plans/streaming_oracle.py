@@ -948,6 +948,9 @@ def medallion_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_cdc_envelope(
         bronze.select(F.col("_raw_value").alias("value")), payload
     )
+    # materialize the parsed updates ONCE: the per-batch range filters
+    # below would otherwise re-run the full-corpus JSON envelope parse
+    # per micro-batch (measured 4.2x at 100x before this checkpoint)
     updates = parsed.select(
         "user_id",
         "status",
@@ -956,7 +959,7 @@ def medallion_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("_event_ts") * F.lit(1048576) + F.col("_source_lsn"))
         .alias("order_key"),
         "_deleted",
-    )
+    ).localCheckpoint()
     # Silver runs the file-level ACID merge ONE MICRO-BATCH AT A TIME,
     # mirroring the reference's per-run silver MERGE of new bronze rows
     # (batch_silver.py:146-159): each merge rewrites only the files whose
