@@ -715,13 +715,66 @@ register(
 # update collected to the driver (K rows over the wire — the standard
 # Spark ML loop shape; the corpus is never collected). Deterministic:
 # min-vec_id seeds, exact integer centroid floors, (dist, cluster)
-# tie-break. Rows-only driver check by design (iterative refinement is
-# not economically SQL-expressible); the pytest pins determinism and
-# assignment sanity instead.
+# tie-break — and therefore FULLY ORACLED (round 8, the pagerank
+# unrolling discipline): every quantity in a Lloyd round is an exact
+# integer (squared distances, argmin with total-order tie-break) or a
+# floor of an int/int division whose double evaluation is
+# boundary-safe at these magnitudes, so the rounds unroll as DuckDB
+# CTEs (_kmeans_ctes, shared with the SemDeDup oracle).
 # ---------------------------------------------------------------------------
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+
+
+def _kmeans_ctes(n_iters: int = KMEANS_ITERS) -> tuple[str, str]:
+    """(CTE chain, final-assignment CTE name) shared by the kmeans and
+    dedup_semantic_clusters oracles: min-vec_id seeds -> ``n_iters``
+    unrolled Lloyd rounds (assign, per-dim floor(sum/count) centroid
+    update, empty clusters keep their previous centroid) -> one final
+    assignment against the converged centroids."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> (q.qa[i] - c.ca[i]) * (q.qa[i] - c.ca[i])))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_sql_quantized()} AS qa FROM embeddings)",
+        f"seeds AS (SELECT vec_id, qa FROM q ORDER BY vec_id LIMIT {KMEANS_K})",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
+        "qa AS ca FROM seeds)",
+    ]
+    for r in range(1, n_iters + 2):  # n_iters updates + the final assign
+        parts.append(
+            f"""a{r} AS (
+    SELECT vec_id, qa, cluster, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM (SELECT q.vec_id, q.qa, c.cluster, {dist} AS dist FROM q, c{r - 1} c)
+)"""
+        )
+        if r <= n_iters:
+            parts.append(
+                f"""u{r} AS (
+    SELECT cluster, i,
+           CAST(floor(CAST(SUM(qa[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM a{r} CROSS JOIN UNNEST(generate_series(1, {DIM})) AS t(i)
+    WHERE rn = 1 GROUP BY cluster, i
+),
+uu{r} AS (SELECT cluster, list(c ORDER BY i) AS ca FROM u{r} GROUP BY cluster),
+c{r} AS (
+    SELECT p.cluster, COALESCE(n.ca, p.ca) AS ca
+    FROM c{r - 1} p LEFT JOIN uu{r} n ON p.cluster = n.cluster
+)"""
+            )
+    return ",\n".join(parts), f"a{n_iters + 1}"
+
+
+def _kmeans_oracle() -> str:
+    ctes, final = _kmeans_ctes()
+    return f"""
+WITH {ctes}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist_sq
+FROM {final} WHERE rn = 1
+"""
 
 
 def build_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,10 +834,11 @@ def build_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "kmeans_embeddings",
-    oracle=None,
+    oracle=_kmeans_oracle(),
     doc=f"Lloyd k-means (K={KMEANS_K}, {KMEANS_ITERS} iters) over embeddings: "
     "broadcast assign + driver-side centroid update per iteration; "
-    "deterministic seeds/tie-breaks; rows-only check (iterative).",
+    "min-vec_id seeds, exact integer distances, floor centroid grid — "
+    "fully oracled via unrolled Lloyd-round CTEs.",
     tags=("similarity", "llm", "iterative"),
 )(build_kmeans_embeddings)
 
@@ -1330,10 +1384,90 @@ register(
     "embedding_pca_variance",
     oracle=None,
     doc="PCA spectrum of the embedding space: exact int64 covariance "
-    "partials via mapInPandas, driver eigh of the DxD matrix; rows-only "
-    "(eigendecomposition is not SQL-expressible).",
+    "partials via mapInPandas, driver eigh of the DxD matrix; the "
+    "eigendecomposition presentation stays rows-only — the distributed "
+    "math underneath is fully oracled by embedding_covariance_suffstats.",
     tags=("similarity", "llm", "pca"),
 )(build_embedding_pca_variance)
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance_suffstats — the ORACLED face of the PCA plan
+# (round 8, the quality_logit_suffstats pattern): everything the cluster
+# actually computes for PCA — n, the per-dimension sums, and the full
+# upper-triangle second-moment matrix, all EXACT integers — emitted as a
+# tall table and value-checked against a DuckDB twin. Only the O(D^3)
+# driver eigh (numpy, no cluster data) remains outside the oracle.
+# ---------------------------------------------------------------------------
+
+
+def build_embedding_covariance_suffstats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(table(spark, sf_dir, "embeddings"), spark)
+    q = emb.select(quantized().alias("qa"))
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["qa"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    stats = q.mapInPandas(
+        partials, schema="n long, s array<long>, ss array<long>"
+    ).collect()  # one row per non-empty partition — bounded, S12 shape
+    n = sum(r["n"] for r in stats)
+    d = len(stats[0]["s"])
+    s = [sum(r["s"][i] for r in stats) for i in range(d)]
+    ss = [sum(r["ss"][i] for r in stats) for i in range(d * d)]
+    rows = [("n", 0, 0, str(n))]
+    rows += [("s", i + 1, 0, str(s[i])) for i in range(d)]
+    rows += [
+        ("ss", i + 1, j + 1, str(ss[i * d + j]))
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return spark.createDataFrame(
+        rows, "stat string, i int, j int, value string"
+    ).orderBy("stat", "i", "j")
+
+
+EMB_COV_SUFFSTATS_ORACLE = f"""
+WITH q AS (SELECT {_sql_quantized()} AS qa FROM embeddings)
+SELECT 'n' AS stat, 0 AS i, 0 AS j, CAST(COUNT(*) AS VARCHAR) AS value FROM q
+UNION ALL
+SELECT 's', i, 0, CAST(SUM(qa[i]) AS VARCHAR)
+FROM q CROSS JOIN UNNEST(generate_series(1, {DIM})) t(i) GROUP BY i
+UNION ALL
+SELECT 'ss', p.i, p.j, CAST(SUM(qa[p.i] * qa[p.j]) AS VARCHAR)
+FROM q CROSS JOIN (
+    SELECT a.i, b.j
+    FROM UNNEST(generate_series(1, {DIM})) a(i),
+         UNNEST(generate_series(1, {DIM})) b(j)
+    WHERE a.i <= b.j
+) p GROUP BY p.i, p.j
+"""
+
+
+register(
+    "embedding_covariance_suffstats",
+    oracle=EMB_COV_SUFFSTATS_ORACLE,
+    doc=f"PCA's exact integer sufficient statistics (n, per-dim sums, "
+    f"{DIM}x{DIM} upper-triangle second moments) as a tall table — the "
+    "entire distributed portion of embedding_pca_variance value-checked "
+    "cross-engine; only the driver-side numpy eigh stays outside.",
+    tags=("similarity", "llm", "pca"),
+)(build_embedding_covariance_suffstats)
 
 
 # ---------------------------------------------------------------------------
@@ -1347,12 +1481,13 @@ register(
 #
 # Scale shape: the k-means assignment is the broadcast-centroid pass
 # (corpus never collected); within-cluster comparison is O(sum c_i^2),
-# so clusters are deterministically SUB-SPLIT (hash of vec_id) above
-# CLUSTER_PAIR_CAP members — the same population-cap discipline as every
-# other dedup family here (bounded work per cell, documented recall
-# trade; in production scale K with n so mean cluster size stays fixed).
-# Rows-only registration: the clustering is iterative (no SQL oracle);
-# the pytest pins determinism and the no-dup-survivor invariant.
+# so clusters are deterministically SUB-SPLIT (md5 bucket of vec_id —
+# the engine's cross-engine hash) above CLUSTER_PAIR_CAP members — the
+# same population-cap discipline as every other dedup family here
+# (bounded work per cell, documented recall trade; in production scale
+# K with n so mean cluster size stays fixed). Fully oracled (round 8):
+# the clustering rides the unrolled _kmeans_ctes and the sub-split +
+# pair compare are SQL-expressible on top.
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = PAIR_THRESHOLD  # share the family's near-dup bar
@@ -1368,15 +1503,20 @@ def build_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
         "ssq", ssq(F.col("qa"))
     )
     m = assigned.join(n, "vec_id")
-    # deterministic sub-split of oversized clusters: bounded pair work
+    # deterministic sub-split of oversized clusters: bounded pair work.
+    # md5-bucket hash (not xxhash64): the engine's single cross-engine
+    # hash primitive, so the oracle reproduces the exact cell layout.
     sizes = W.partitionBy("cluster")
+    hash8 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
     m = m.withColumn(
         "cell",
         F.concat_ws(
             "_",
             F.col("cluster"),
             F.pmod(
-                F.xxhash64(F.col("vec_id")),
+                hash8,
                 F.ceil(
                     F.count(F.lit(1)).over(sizes) / F.lit(CLUSTER_PAIR_CAP)
                 ).cast("long"),
@@ -1414,12 +1554,42 @@ def build_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _semdedup_oracle() -> str:
+    from .dedup import _hex8_sql
+
+    ctes, final = _kmeans_ctes()
+    h8 = _hex8_sql("md5(CAST(m0.vec_id AS VARCHAR))", 1)
+    return f"""
+WITH {ctes},
+asg AS (SELECT vec_id, cluster FROM {final} WHERE rn = 1),
+nn AS (SELECT vec_id, qa, {_sql_ssq('qa')} AS ssq FROM q),
+m AS (
+    SELECT m0.vec_id, m0.cluster, nn.qa, nn.ssq,
+           CAST(m0.cluster AS VARCHAR) || '_' || CAST(
+               {h8} % CAST(ceil(
+                   CAST(COUNT(*) OVER (PARTITION BY m0.cluster) AS DOUBLE)
+                   / {CLUSTER_PAIR_CAP}) AS BIGINT) AS VARCHAR) AS cell
+    FROM asg m0 JOIN nn ON m0.vec_id = nn.vec_id
+),
+drops AS (
+    SELECT DISTINCT b.vec_id
+    FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine(_sql_int_dot('a.qa', 'b.qa'), 'a.ssq', 'b.ssq')}
+          >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       vec_id IN (SELECT vec_id FROM drops) AS is_dup
+FROM m
+"""
+
+
 register(
     "dedup_semantic_clusters",
-    oracle=None,
+    oracle=_semdedup_oracle(),
     doc=f"SemDeDup: k-means clusters + within-cluster cosine dedup "
-    f"(threshold {SEMDEDUP_THRESHOLD}, sub-split above {CLUSTER_PAIR_CAP} "
-    "members); rows-only (iterative clustering).",
+    f"(threshold {SEMDEDUP_THRESHOLD}, md5-bucket sub-split above "
+    f"{CLUSTER_PAIR_CAP} members); fully oracled on the unrolled "
+    "Lloyd-round CTEs.",
     tags=("similarity", "llm", "dedup", "iterative"),
 )(build_dedup_semantic_clusters)
 
