@@ -1880,8 +1880,7 @@ def _sql_bigrams(toks: str) -> str:
     )
 
 
-DSIR_ORACLE = f"""
-WITH t AS (
+_DSIR_W_CTES = f"""t AS (
     SELECT doc_id, source, {_sql_bigrams(_sql_tokens())} AS bg FROM documents
 ),
 e AS (
@@ -1912,7 +1911,10 @@ w AS (
            CAST(SUM(n) AS BIGINT) AS n_bigrams,
            SUM(n * lr_q) AS wq
     FROM doc_b JOIN lr USING (b) GROUP BY doc_id
-)
+)"""
+
+DSIR_ORACLE = f"""
+WITH {_DSIR_W_CTES}
 SELECT doc_id, n_bigrams,
        CAST(wq AS DOUBLE) / {_DSIR_Q} AS logweight,
        wq > 0 AS selected
@@ -1920,7 +1922,7 @@ FROM w
 """
 
 
-def build_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
     e = docs.select(
         "doc_id",
@@ -1966,7 +1968,7 @@ def build_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = (
+    return (
         doc_b.join(F.broadcast(lr), "b")  # lr is DSIR_BUCKETS-bounded
         .groupBy("doc_id")
         .agg(
@@ -1974,6 +1976,10 @@ def build_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("n") * F.col("lr_q")).alias("wq"),
         )
     )
+
+
+def build_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _dsir_weights(spark, sf_dir)
     return w.select(
         "doc_id",
         "n_bigrams",
@@ -1991,3 +1997,84 @@ register(
     "quantized to 1e-6 before the exact-integer per-doc sum.",
     tags=("llm", "sampling", "importance", "pipeline"),
 )(build_dsir_importance_weights)
+
+
+# ---------------------------------------------------------------------------
+# dsir_gumbel_resample — the SELECTION step that completes the DSIR
+# pipeline (Xie et al. 2023 resample importance-weighted docs WITHOUT
+# replacement): Gumbel-top-k over the log-weights. key_i = logweight_i
+# + Gumbel(0,1)_i with the Gumbel noise derived DETERMINISTICALLY from
+# md5(doc_id) — u is a dyadic rational ((hex8 + 0.5) / 2^32, exact in
+# both engines), so the only float seams are the two ln calls (ULP-class,
+# absorbed unless two keys collide to ~1e-16 — the established gamble).
+# One weight aggregate + one global top-k; no per-doc state, no
+# replacement bookkeeping — the exact shape that scales.
+# ---------------------------------------------------------------------------
+
+DSIR_SAMPLE_K = 100
+
+
+def build_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = _dsir_weights(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    logweight = F.col("wq").cast("double") / _DSIR_Q
+    key = logweight + -F.log(-F.log(u))
+    top = (
+        w.select(
+            "doc_id",
+            "n_bigrams",
+            logweight.alias("logweight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), "doc_id")
+        .limit(DSIR_SAMPLE_K)
+    )
+    # rank over the K selected rows only — bounded window, not data-sized.
+    # The PRESENTED key is rounded to 1e-6: the raw double carries the ln
+    # calls' cross-engine ULP skew (~1e-15), which must not reach output.
+    return top.withColumn(
+        "sel_rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("_key"), F.asc("doc_id")))
+        .cast("long"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "logweight",
+        F.round("_key", 6).alias("gumbel_key"),
+        "sel_rank",
+    )
+
+
+DSIR_RESAMPLE_ORACLE = f"""
+WITH {_DSIR_W_CTES},
+smp AS (
+    SELECT doc_id, n_bigrams,
+           CAST(wq AS DOUBLE) / {_DSIR_Q} AS logweight,
+           CAST(wq AS DOUBLE) / {_DSIR_Q}
+           + (- ln(- ln((CAST({_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)}
+                          AS DOUBLE) + 0.5) / 4294967296.0))) AS _key
+    FROM w
+)
+SELECT doc_id, n_bigrams, logweight, ROUND(_key, 6) AS gumbel_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY _key DESC, doc_id) AS BIGINT)
+           AS sel_rank
+FROM smp ORDER BY _key DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+register(
+    "dsir_gumbel_resample",
+    oracle=DSIR_RESAMPLE_ORACLE,
+    doc=f"DSIR's resampling step (Xie et al. 2023): Gumbel-top-{DSIR_SAMPLE_K} "
+    "over the importance log-weights = sampling without replacement with "
+    "probability proportional to exp(logweight); Gumbel noise derived "
+    "deterministically from md5(doc_id), one global top-k.",
+    tags=("llm", "sampling", "importance", "pipeline"),
+)(build_dsir_gumbel_resample)
