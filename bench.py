@@ -117,6 +117,11 @@ HEADLINE = [
     "pareto_frontier_parts",   # skyline via distributed exclusive cummax
     "medallion_e2e_drain",     # full bronze->silver->gold composition, oracled
     "interval_join_attribution",  # grid-bucketed point-in-interval range join
+    # round-8 additions
+    "dsir_gumbel_resample",    # Gumbel-top-k importance selection
+    "embedding_covariance_suffstats",  # exact PCA second moments, tall
+    "kmeans_embeddings",       # 3 Lloyd rounds, broadcast assign (oracled)
+    "dedup_semantic_clusters",  # SemDeDup on the kmeans assignment
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
@@ -141,6 +146,8 @@ HEAVY = [
     "bpe_train_merges",        # iterative tokenizer training (10 rounds)
     "bpe_apply_merges",        # train->apply tokenizer round-trip
     "quality_logit_fit",       # IRLS logistic trainer (4 driver rounds)
+    # round-8 additions
+    "quality_logit_suffstats",  # the trainer's oracled statistics face
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x

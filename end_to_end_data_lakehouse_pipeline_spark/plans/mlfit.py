@@ -288,15 +288,23 @@ f AS (
                 f"SUM(CAST(x{i} AS HUGEINT)"
                 f" * CAST(y * {q} - pq AS HUGEINT)) AS g_{i}"
             )
+        # HUGEINT -> VARCHAR -> DOUBLE, NOT a direct double cast: DuckDB's
+        # HUGEINT->DOUBLE conversion is not correctly rounded (observed 1
+        # ULP off Python's float(int) on a ~1e20 Hessian cell, which then
+        # flipped quantized sigmoids two rounds later); the string parse
+        # is correctly rounded in both engines.
         cells = []
         for i in range(D):
             for j in range(i, D):
                 ridge = " + 1e-06" if i == j else ""
                 cells.append(
-                    f"CAST(h_{i}_{j} AS DOUBLE) / 1000000000000000000.0"
-                    f"{ridge} AS m{i}{j}"
+                    f"CAST(CAST(h_{i}_{j} AS VARCHAR) AS DOUBLE)"
+                    f" / 1000000000000000000.0{ridge} AS m{i}{j}"
                 )
-            cells.append(f"CAST(g_{i} AS DOUBLE) / 1000000000000.0 AS gd{i}")
+            cells.append(
+                f"CAST(CAST(g_{i} AS VARCHAR) AS DOUBLE)"
+                f" / 1000000000000.0 AS gd{i}"
+            )
 
         def m(a: int, b: int) -> str:
             return f"m{min(a, b)}{max(a, b)}"
