@@ -122,6 +122,7 @@ HEADLINE = [
     "embedding_covariance_suffstats",  # exact PCA second moments, tall
     "kmeans_embeddings",       # 3 Lloyd rounds, broadcast assign (oracled)
     "dedup_semantic_clusters",  # SemDeDup on the kmeans assignment
+    "bucketed_order_revenue",  # co-bucketed fact-fact join, zero exchanges
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -3504,3 +3504,79 @@ register(
     "nested-loop at any scale.",
     tags=("join", "range", "relational", "scale"),
 )(build_interval_join_attribution)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_order_revenue — the 100 TB fact-fact join strategy DRIVEN, not
+# just pytest-pinned (tests/test_bucketing.py holds the plan property):
+# lineitem and orders are written as co-bucketed catalog tables on the
+# join key, then joined AND aggregated on that key — the whole pipeline
+# after the bucketed write runs WITHOUT A SINGLE EXCHANGE (bucket-aware
+# scan feeds both the SortMergeJoin and the groupBy). At 100 TB the
+# lineitem-orders shuffle is the dominant cluster cost; bucketing at
+# write time removes it from EVERY downstream join/agg on the key. The
+# write here is per-call (the demonstration must be hermetic per
+# corpus); production writes once and joins forever.
+# ---------------------------------------------------------------------------
+
+BUCKETS = 16
+MIN_ITEMS = 6
+
+BUCKETED_REVENUE_ORACLE = f"""
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {o_sum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue')}
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+HAVING COUNT(*) >= {MIN_ITEMS}
+"""
+
+
+def build_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+
+    from ..sources.lakehouse import write_bucketed
+    from .workspace import session_store
+
+    h = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    store = session_store(f"bjoin_{h}")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t_li, t_ord = f"bjoin_li_{h}", f"bjoin_ord_{h}"
+    write_bucketed(
+        li, t_li, BUCKETS, ["l_orderkey"], sort_cols=["l_orderkey"],
+        path=_os.path.join(store, "li"),
+    )
+    write_bucketed(
+        orders, t_ord, BUCKETS, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=_os.path.join(store, "ord"),
+    )
+    j = spark.table(t_ord).join(
+        spark.table(t_li),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            exact_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .filter(F.col("n_items") >= MIN_ITEMS)
+    )
+
+
+register(
+    "bucketed_order_revenue",
+    oracle=BUCKETED_REVENUE_ORACLE,
+    doc=f"Co-bucketed ({BUCKETS} buckets) lineitem-orders catalog tables "
+    "joined and aggregated on the bucket key — zero exchanges after the "
+    "write (the plan property tests/test_bucketing.py pins); per-order "
+    "exact revenue for orders with >= 6 items.",
+    tags=("join", "bucketing", "relational", "scale"),
+)(build_bucketed_order_revenue)

@@ -90,15 +90,20 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     sort_cols: Sequence[str] = (),
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Bucketed catalog table: co-locates join/agg keys at write time so a
     later join of two tables bucketed the same way needs NO exchange —
     the 100 TB fact-fact join strategy (SURVEY.md §7: 'bucketing for
     co-located joins'). Requires saveAsTable (bucket metadata lives in
-    the catalog, not the files)."""
+    the catalog, not the files). ``path`` pins the file location (external
+    table) so callers control where data lands instead of the session's
+    warehouse default."""
     w = df.write.format(fmt).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.mode("overwrite").saveAsTable(table_name)
 
 

@@ -36,3 +36,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_bucketed_order_revenue_plan_is_exchange_free(spark, sf_dir):
+    """The REGISTERED query (not just the primitive): join + groupBy on
+    the bucket key must plan with ZERO exchanges after the bucketed
+    writes — the property that deletes the dominant 100 TB shuffle."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.relational import (
+        build_bucketed_order_revenue,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = build_bucketed_order_revenue(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
