@@ -3516,7 +3516,10 @@ register(
 # lineitem-orders shuffle is the dominant cluster cost; bucketing at
 # write time removes it from EVERY downstream join/agg on the key. The
 # write here is per-call (the demonstration must be hermetic per
-# corpus); production writes once and joins forever.
+# corpus); production writes once and joins forever. Known tradeoff:
+# a bucketed SortMergeJoin bypasses AQE's skew-join splitting (there is
+# no exchange to re-plan) — bucket PK-ish keys like orderkey, and route
+# genuinely skewed keys through operators/skew.py's salted join instead.
 # ---------------------------------------------------------------------------
 
 BUCKETS = 16
