@@ -123,6 +123,7 @@ HEADLINE = [
     "kmeans_embeddings",       # 3 Lloyd rounds, broadcast assign (oracled)
     "dedup_semantic_clusters",  # SemDeDup on the kmeans assignment
     "bucketed_order_revenue",  # co-bucketed fact-fact join, zero exchanges
+    "mixture_token_waterfill",  # closed-form token-budget allocation plan
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

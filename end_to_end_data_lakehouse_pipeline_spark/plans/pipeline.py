@@ -2078,3 +2078,152 @@ register(
     "deterministically from md5(doc_id), one global top-k.",
     tags=("llm", "sampling", "importance", "pipeline"),
 )(build_dsir_gumbel_resample)
+
+
+# ---------------------------------------------------------------------------
+# mixture_token_waterfill — the token-budget ALLOCATION PLAN a training-mix
+# planner actually executes (round 8): given per-source available tokens
+# and a total training budget T (here T = total//2), allocate T across
+# sources as evenly as capacity allows — the classic capacitated
+# waterfilling: small sources are taken whole (capped), the rest share the
+# remainder at a common waterline. Closed form, NO iteration: sort sources
+# by availability, a capped source is exactly one where even granting its
+# full size to every remaining source would not exhaust the budget
+# (cum_{k-1} + avail_k * (n-k+1) <= T — the capped set is a prefix of the
+# sort), then base = (T - capped_sum) div n_uncapped with the remainder
+# given to the first uncapped sources in sort order. Every quantity is an
+# exact integer (allocations provably never exceed capacity), the windows
+# run over #sources rows (tiny at any corpus scale — the per-doc token
+# count is the only data-sized pass, a map-side agg), and both engines
+# evaluate the identical arithmetic.
+# ---------------------------------------------------------------------------
+
+WATERFILL_NUM, WATERFILL_DEN = 1, 2  # budget T = total_tokens * 1/2
+
+
+def build_mixture_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    avail = (
+        docs.select("source", F.size(tokens_col()).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("avail_tokens"))
+    )
+    # windows over #sources rows only — bounded, never data-sized
+    w_all = W.partitionBy(F.lit(1))
+    w_ord = W.partitionBy(F.lit(1)).orderBy("avail_tokens", "source")
+    a = avail.select(
+        "source",
+        "avail_tokens",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("avail_tokens")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.expr(
+            f"(sum(avail_tokens) over () * {WATERFILL_NUM})"
+            f" div {WATERFILL_DEN}"
+        ).alias("t_budget"),
+    )
+    a = a.withColumn(
+        "capped",
+        (F.col("cum") - F.col("avail_tokens"))
+        + F.col("avail_tokens") * (F.col("n") - F.col("k") + 1)
+        <= F.col("t_budget"),
+    )
+    a = a.select(
+        "*",
+        F.sum(F.when(F.col("capped"), F.col("avail_tokens")).otherwise(0))
+        .over(w_all)
+        .alias("capped_sum"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(w_all).alias("m"),
+    )
+    alloc = F.when(F.col("capped"), F.col("avail_tokens")).otherwise(
+        F.expr("(t_budget - capped_sum) div (n - m)")
+        + F.when(
+            F.col("k") - F.col("m")
+            <= F.expr("(t_budget - capped_sum) % (n - m)"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return a.select(
+        "source",
+        "avail_tokens",
+        alloc.cast("long").alias("allocated_tokens"),
+        "capped",
+        F.expr(
+            "CASE WHEN avail_tokens > 0 THEN "
+            "(CASE WHEN capped THEN avail_tokens ELSE "
+            "(t_budget - capped_sum) div (n - m) + (CASE WHEN k - m <= "
+            "(t_budget - capped_sum) % (n - m) THEN 1 ELSE 0 END) END) "
+            "* 1000 div avail_tokens ELSE 0 END"
+        )
+        .cast("long")
+        .alias("fill_per_mille"),
+    )
+
+
+WATERFILL_ORACLE = f"""
+WITH t AS (
+    SELECT source, CAST(len({_sql_tokens()}) AS BIGINT) AS n_tok FROM documents
+),
+avail AS (
+    SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail_tokens
+    FROM t GROUP BY source
+),
+a AS (
+    SELECT source, avail_tokens,
+           ROW_NUMBER() OVER (ORDER BY avail_tokens, source) AS k,
+           CAST(SUM(avail_tokens) OVER (
+               ORDER BY avail_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum,
+           COUNT(*) OVER () AS n,
+           CAST((SUM(avail_tokens) OVER () * {WATERFILL_NUM})
+                // {WATERFILL_DEN} AS BIGINT) AS t_budget
+    FROM avail
+),
+b AS (
+    SELECT *,
+           (cum - avail_tokens) + avail_tokens * (n - k + 1) <= t_budget
+               AS capped
+    FROM a
+),
+c AS (
+    SELECT *,
+           CAST(SUM(CASE WHEN capped THEN avail_tokens ELSE 0 END)
+                OVER () AS BIGINT) AS capped_sum,
+           CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+               AS m
+    FROM b
+),
+d AS (
+    SELECT *,
+           CASE WHEN capped THEN avail_tokens
+                ELSE (t_budget - capped_sum) // (n - m)
+                     + (CASE WHEN k - m <=
+                          (t_budget - capped_sum) % (n - m)
+                        THEN 1 ELSE 0 END)
+           END AS alloc
+    FROM c
+)
+SELECT source, avail_tokens, CAST(alloc AS BIGINT) AS allocated_tokens,
+       capped,
+       CAST(CASE WHEN avail_tokens > 0
+                 THEN alloc * 1000 // avail_tokens ELSE 0 END AS BIGINT)
+           AS fill_per_mille
+FROM d
+"""
+
+
+register(
+    "mixture_token_waterfill",
+    oracle=WATERFILL_ORACLE,
+    doc=f"Capacitated token-budget waterfilling (T = total * "
+    f"{WATERFILL_NUM}/{WATERFILL_DEN}): small sources taken whole, the "
+    "rest share a common waterline — closed form on sorted availability "
+    "(no iteration), exact integer arithmetic, windows bounded by "
+    "#sources; the allocation plan a training-mix builder executes.",
+    tags=("llm", "sampling", "mixture", "pipeline"),
+)(build_mixture_token_waterfill)
