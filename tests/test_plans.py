@@ -171,3 +171,28 @@ def test_csv_bulk_write_roundtrip(spark, tmp_path):
             df.select("pk", "bucket", "name")
         ).count() == 0
     )
+
+
+def test_gumbel_resample_uses_take_ordered(spark):
+    """The top-k selection must plan as TakeOrderedAndProject (per-
+    partition top-k + K-row merge), never a global Sort of the corpus."""
+    plan = _plan(spark, "dsir_gumbel_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "lr_q" not in plan or "BroadcastExchange" in plan  # bucket table broadcast
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The Lloyd assignment must broadcast the K-row centroid table —
+    a shuffled join here would shuffle the corpus once per iteration."""
+    plan = _plan(spark, "kmeans_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waterfill_scan_is_aggregated_before_windows(spark):
+    """The only data-sized pass is the per-source token aggregate; the
+    waterfill windows run on the post-agg source table (partial agg
+    phase present; no window directly over the document scan)."""
+    plan = _plan(spark, "mixture_token_waterfill")
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
