@@ -124,6 +124,7 @@ HEADLINE = [
     "dedup_semantic_clusters",  # SemDeDup on the kmeans assignment
     "bucketed_order_revenue",  # co-bucketed fact-fact join, zero exchanges
     "mixture_token_waterfill",  # closed-form token-budget allocation plan
+    "orc_roundtrip_scan",      # ORC format round-trip + pushed predicate
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -3583,3 +3583,68 @@ register(
     "exact revenue for orders with >= 6 items.",
     tags=("join", "bucketing", "relational", "scale"),
 )(build_bucketed_order_revenue)
+
+
+# ---------------------------------------------------------------------------
+# orc_roundtrip_scan — the ORC source format driven end-to-end (round 8):
+# sources/readers.py's ORC reader/writer were pytest-only; this writes the
+# lineitem projection as ORC once per corpus (session-store, like the
+# bucketed tables), then aggregates FROM THE ORC SCAN under a pushed
+# numeric predicate — format round-trip fidelity (doubles, strings) and
+# ORC's own pushdown/pruning path value-checked against the parquet
+# oracle. Spark's vectorized ORC reader has the same scan economics as
+# parquet; a lakehouse ingesting ORC-producing upstreams (Hive/Trino
+# estates) runs this exact path.
+# ---------------------------------------------------------------------------
+
+ORC_MIN_QTY = 25
+
+ORC_ROUNDTRIP_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {o_sum('l_extendedprice * (1.0 - l_discount)', 'revenue')}
+FROM lineitem
+WHERE l_quantity >= {ORC_MIN_QTY}
+GROUP BY l_returnflag
+"""
+
+
+def build_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+
+    from ..sources.readers import read_orc, write_orc
+    from .workspace import session_store
+
+    h = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    store = session_store(f"orc_{h}")
+    path = _os.path.join(store, "lineitem_orc")
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        write_orc(
+            table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+            ),
+            path,
+            n_files=4,
+        )
+    li = read_orc(spark, path).filter(F.col("l_quantity") >= ORC_MIN_QTY)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        exact_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+        ),
+    )
+
+
+register(
+    "orc_roundtrip_scan",
+    oracle=ORC_ROUNDTRIP_ORACLE,
+    doc=f"ORC source format end-to-end: lineitem written as ORC once per "
+    f"corpus, aggregated from the ORC scan under a pushed l_quantity >= "
+    f"{ORC_MIN_QTY} predicate — round-trip fidelity + ORC pushdown "
+    "value-checked against the parquet oracle.",
+    tags=("source", "orc", "relational"),
+)(build_orc_roundtrip_scan)
