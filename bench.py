@@ -125,6 +125,7 @@ HEADLINE = [
     "bucketed_order_revenue",  # co-bucketed fact-fact join, zero exchanges
     "mixture_token_waterfill",  # closed-form token-budget allocation plan
     "orc_roundtrip_scan",      # ORC format round-trip + pushed predicate
+    "lake_catalog_optimize_vacuum",  # OPTIMIZE bin-pack + VACUUM via SQL
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -801,3 +801,72 @@ register(
     "(reference streaming_bronze.py:102; 03_fact_tables.sql:53).",
     tags=("lakehouse", "txnlog", "partition", "pruning"),
 )(build_txnlog_partitioned_prune)
+
+
+# ---------------------------------------------------------------------------
+# lake_catalog_optimize_vacuum — OPTIMIZE + VACUUM driven end-to-end
+# through the SQL surface (round 8; both statements were pytest-only):
+# six small appends build the small-file debris a streaming sink
+# accumulates, `OPTIMIZE` bin-packs them under one ACID commit, `VACUUM
+# RETAIN 0 HOURS` physically deletes the superseded files, and the final
+# read must still be value-exact — the maintenance loop every production
+# lakehouse runs nightly. The compaction/vacuum EFFECTS are asserted as
+# output booleans (file count strictly drops; >=1 orphan deleted) and
+# the data by the oracle.
+# ---------------------------------------------------------------------------
+
+OPT_VAC_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS revenue,
+       TRUE AS compacted,
+       TRUE AS vacuumed
+FROM events
+"""
+
+
+def build_lake_catalog_optimize_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.lake_catalog import LakeCatalog
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 6).alias("slice"),
+    )
+    ws = session_dir("lake_opt_vac")
+    cat = LakeCatalog(spark, os.path.join(ws, "lake"))
+    t = cat.create(
+        "facts", ev.filter(F.col("slice") == 0).drop("slice"),
+        stats_cols=("k",),
+    )
+    for s in range(1, 6):  # small-file debris: 5 more tiny commits
+        t.append(
+            ev.filter(F.col("slice") == s).drop("slice"),
+            sort_by=["k"], n_files=2,
+        )
+    files_before = len(t.snapshot())
+    cat.sql("OPTIMIZE facts")
+    removed = cat.sql("VACUUM facts RETAIN 0 HOURS")
+    files_after = len(t.snapshot())
+    return cat.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue FROM facts"
+    ).select(
+        "n_rows",
+        "revenue",
+        F.lit(files_after < files_before).alias("compacted"),
+        F.lit(int(removed) >= 1).alias("vacuumed"),
+    )
+
+
+register(
+    "lake_catalog_optimize_vacuum",
+    oracle=OPT_VAC_ORACLE,
+    doc="The nightly maintenance loop through catalog SQL: small-file "
+    "debris from six commits, OPTIMIZE bin-packing under one ACID "
+    "commit, VACUUM RETAIN 0 HOURS physical deletion — file count "
+    "strictly drops, >=1 orphan deleted, data value-exact after both.",
+    tags=("lakehouse", "txnlog", "optimize", "vacuum", "sql"),
+)(build_lake_catalog_optimize_vacuum)
