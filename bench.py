@@ -126,6 +126,7 @@ HEADLINE = [
     "mixture_token_waterfill",  # closed-form token-budget allocation plan
     "orc_roundtrip_scan",      # ORC format round-trip + pushed predicate
     "lake_catalog_optimize_vacuum",  # OPTIMIZE bin-pack + VACUUM via SQL
+    "streaming_left_join_drain",  # outer stream-stream join, null emission
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -622,6 +622,89 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# streaming_left_join_drain — the OUTER stream-stream class (round 8):
+# same symmetric-hash-join state machine, plus the null-padded emission
+# path the inner drain never exercises — an unmatched view is emitted
+# with NULL purchase columns once the event-time watermark proves no
+# match can still arrive (view_ts + within falls behind the watermark;
+# state evicted). With a finite availableNow drain the emitted set is
+# exactly: ALL matched pairs, plus null rows for match-less views whose
+# expiry precedes the final watermark maxts - 2h — views newer than
+# that are still buffered at drain end, so the oracle excludes them.
+# ---------------------------------------------------------------------------
+
+STREAM_LEFT_JOIN_ORACLE = """
+WITH v AS (
+    SELECT event_id AS view_event_id, user_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (SELECT MAX(ts) AS maxts FROM events)
+SELECT v.view_event_id, p.purchase_event_id, v.user_id,
+       v.view_ts, p.purchase_ts
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.view_event_id, CAST(NULL AS BIGINT), v.user_id,
+       v.view_ts, CAST(NULL AS TIMESTAMP)
+FROM v, m
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.purchase_ts >= v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      )
+  AND v.view_ts + INTERVAL 1 HOUR < maxts - INTERVAL 2 HOUR
+"""
+
+
+def streaming_left_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.aggregates import streaming_orders_with_payments
+
+    ws = session_dir("left_join_drain")
+    base = _events_stream_split(spark, sf_dir, ws)
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = streaming_orders_with_payments(
+        views,
+        purchases,
+        key="user_id",
+        orders_ts="view_ts",
+        payments_ts="purchase_ts",
+        within="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    ).select(
+        "view_event_id", "purchase_event_id", "user_id", "view_ts", "purchase_ts"
+    )
+    return _drain_to_parquet(joined, "left_join_drain", min_batches=_N_SPLITS)
+
+
+register(
+    "streaming_left_join_drain",
+    oracle=STREAM_LEFT_JOIN_ORACLE,
+    doc="Watermarked stream-stream LEFT OUTER join via availableNow "
+    "drain: all matched pairs plus null-padded rows for match-less "
+    "views whose state expired before the final watermark — the outer "
+    "emission path of the symmetric hash join, value-checked.",
+    tags=("streaming", "join", "drain", "outer"),
+)(streaming_left_join_drain)
+
+
+# ---------------------------------------------------------------------------
 # streaming_session_window_drain — the BUILT-IN F.session_window operator
 # (dynamic-gap event-time sessions in the state store), as distinct from
 # streaming_sessionize_drain's applyInPandasWithState custom operator.

@@ -149,20 +149,31 @@ def streaming_orders_with_payments(
     payments_ts: str = "payment_ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time bound: a payment
-    matches its order only within ``within`` of the order timestamp.
-    Both sides carry watermarks so the state store can drop buffered rows
-    once no more matches can arrive — bounded state at any scale (the
-    capability the reference's 8 isolated topic streams never exercise)."""
+    """Stream-stream join with an event-time bound: a payment matches its
+    order only within ``within`` of the order timestamp. Both sides carry
+    watermarks so the state store can drop buffered rows once no more
+    matches can arrive — bounded state at any scale (the capability the
+    reference's 8 isolated topic streams never exercise).
+
+    ``how="left_outer"`` adds the null-padded emission class: an order
+    whose state expires with no matching payment is emitted once the
+    watermark proves no match can still arrive — Spark buffers it until
+    ``orders_ts + within`` falls behind the event-time watermark."""
     o = orders.withWatermark(orders_ts, watermark)
-    p = payments.withWatermark(payments_ts, watermark)
+    # rename the payments-side key BEFORE the join: dropping the right
+    # instance post-join resolved to the WRONG column under left_outer
+    # (the surviving key was the null-padded right one)
+    p = payments.withWatermark(payments_ts, watermark).withColumnRenamed(
+        key, "__right_key"
+    )
     cond = (
-        (o[key] == p[key])
+        (o[key] == p["__right_key"])
         & (p[payments_ts] >= o[orders_ts])
         & (p[payments_ts] <= o[orders_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return o.join(p, cond, "inner").drop(p[key])
+    return o.join(p, cond, how).drop("__right_key")
 
 
 def silver_merge_sink(
