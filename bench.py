@@ -126,7 +126,6 @@ HEADLINE = [
     "mixture_token_waterfill",  # closed-form token-budget allocation plan
     "orc_roundtrip_scan",      # ORC format round-trip + pushed predicate
     "lake_catalog_optimize_vacuum",  # OPTIMIZE bin-pack + VACUUM via SQL
-    "streaming_left_join_drain",  # outer stream-stream join, null emission
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
@@ -153,6 +152,7 @@ HEAVY = [
     "quality_logit_fit",       # IRLS logistic trainer (4 driver rounds)
     # round-8 additions
     "quality_logit_suffstats",  # the trainer's oracled statistics face
+    "streaming_left_join_drain",  # outer stream-stream join: eviction flush batches make it the costliest drain
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
