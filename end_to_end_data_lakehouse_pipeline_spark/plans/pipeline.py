@@ -1745,15 +1745,17 @@ def _contam_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     production cadence — reads it back instead of re-scanning and
     re-hashing the corpus (the dominant cost at 100x). Deterministic
     content (hash-based MinHash), so stored-vs-fresh is value-identical
-    and the oracle is unaffected."""
-    import hashlib
+    and the oracle is unaffected. The store tag carries a content
+    fingerprint (size/mtime over the corpus files), not just the path:
+    a regenerated corpus at the same path gets a fresh store instead of
+    silently-served stale signatures."""
     import os as _os
 
     from .dedup import N_BANDS, _band_col, minhash_table
-    from .workspace import session_store
+    from .workspace import corpus_fingerprint, session_store
 
     store = session_store(
-        "contam_sig_" + hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        "contam_sig_" + corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
     )
     path = _os.path.join(store, "signatures.parquet")
     if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):

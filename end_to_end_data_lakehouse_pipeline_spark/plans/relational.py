@@ -3535,28 +3535,52 @@ HAVING COUNT(*) >= {MIN_ITEMS}
 """
 
 
-def build_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+def _bucketed_pair(
+    spark: SparkSession, sf_dir: str, ensure_only: bool = False
+) -> tuple[str, str]:
+    """Write (or, with ``ensure_only``, reuse) the co-bucketed
+    lineitem/orders catalog tables for ``sf_dir``; returns
+    ``(t_ord, t_li)``. The store tag is a CONTENT fingerprint of both
+    parquet inputs (workspace.corpus_fingerprint), so a regenerated
+    corpus at the same path can never hit a stale bucketed copy —
+    and the write-once consumer (`bucketed_order_profile`) is keyed to
+    the same bytes the per-call writer (`bucketed_order_revenue`) wrote."""
     import os as _os
 
     from ..sources.lakehouse import write_bucketed
-    from .workspace import session_store
+    from .workspace import corpus_fingerprint, session_store
 
-    h = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    h = corpus_fingerprint(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        _os.path.join(sf_dir, "orders.parquet"),
+    )[:8]
     store = session_store(f"bjoin_{h}")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     t_li, t_ord = f"bjoin_li_{h}", f"bjoin_ord_{h}"
-    write_bucketed(
-        li, t_li, BUCKETS, ["l_orderkey"], sort_cols=["l_orderkey"],
-        path=_os.path.join(store, "li"),
+    done = all(
+        spark.catalog.tableExists(t) for t in (t_li, t_ord)
+    ) and all(
+        _os.path.isfile(_os.path.join(store, d, "_SUCCESS")) for d in ("li", "ord")
     )
-    write_bucketed(
-        orders, t_ord, BUCKETS, ["o_orderkey"], sort_cols=["o_orderkey"],
-        path=_os.path.join(store, "ord"),
-    )
+    if not (ensure_only and done):
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_bucketed(
+            li, t_li, BUCKETS, ["l_orderkey"], sort_cols=["l_orderkey"],
+            path=_os.path.join(store, "li"),
+        )
+        write_bucketed(
+            orders, t_ord, BUCKETS, ["o_orderkey"], sort_cols=["o_orderkey"],
+            path=_os.path.join(store, "ord"),
+        )
+    return t_ord, t_li
+
+
+def build_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_ord, t_li = _bucketed_pair(spark, sf_dir)  # pays the write per call
     j = spark.table(t_ord).join(
         spark.table(t_li),
         F.col("o_orderkey") == F.col("l_orderkey"),
@@ -3586,6 +3610,66 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# bucketed_order_profile — the WRITE-ONCE consumer of the bucketed pair
+# (VERDICT r8 task 5): bucketed_order_revenue times write+join together
+# (the hermetic demo); this query reads the ALREADY-written bucketed
+# tables (ensure-only: it writes only if no fingerprint-matched copy
+# exists) and runs a DIFFERENT join+agg on the same bucket key — still
+# zero exchanges (pinned by tests/test_bucketing.py). Together the two
+# bench rows separate the one-time bucketed-write cost from the
+# join-forever cost, which is the whole economics of bucketing at 100 TB:
+# every additional key-aligned join/agg on the tables is shuffle-free.
+# ---------------------------------------------------------------------------
+
+PROFILE_MIN_QTY = 120
+
+BUCKETED_PROFILE_ORACLE = f"""
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       MAX(l.l_extendedprice) AS max_item_price,
+       CAST(SUM(CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           AS disc_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+HAVING SUM(CAST(l.l_quantity AS BIGINT)) >= {PROFILE_MIN_QTY}
+"""
+
+
+def build_bucketed_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_ord, t_li = _bucketed_pair(spark, sf_dir, ensure_only=True)
+    j = spark.table(t_ord).join(
+        spark.table(t_li),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.max("l_extendedprice").alias("max_item_price"),
+            F.sum(F.round(F.col("l_discount") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("disc_cents"),
+        )
+        .filter(F.col("sum_qty") >= PROFILE_MIN_QTY)
+    )
+
+
+register(
+    "bucketed_order_profile",
+    oracle=BUCKETED_PROFILE_ORACLE,
+    doc="Second consumer of the co-bucketed lineitem/orders tables: "
+    "reads the fingerprint-matched bucketed copy WITHOUT rewriting it "
+    "and runs a different key-aligned join+agg (qty/price/discount "
+    "profile of heavy orders) with zero exchanges — the write-once/"
+    "join-forever half of the bucketing economics, separated from the "
+    "write cost bucketed_order_revenue times.",
+    tags=("join", "bucketing", "relational", "scale"),
+)(build_bucketed_order_profile)
+
+
+# ---------------------------------------------------------------------------
 # orc_roundtrip_scan — the ORC source format driven end-to-end (round 8):
 # sources/readers.py's ORC reader/writer were pytest-only; this writes the
 # lineitem projection as ORC once per corpus (session-store, like the
@@ -3611,13 +3695,14 @@ GROUP BY l_returnflag
 
 
 def build_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os as _os
 
     from ..sources.readers import read_orc, write_orc
-    from .workspace import session_store
+    from .workspace import corpus_fingerprint, session_store
 
-    h = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # content-fingerprinted store key: a regenerated corpus at the same
+    # path misses the cache instead of serving a stale ORC copy
+    h = corpus_fingerprint(_os.path.join(sf_dir, "lineitem.parquet"))[:8]
     store = session_store(f"orc_{h}")
     path = _os.path.join(store, "lineitem_orc")
     if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):

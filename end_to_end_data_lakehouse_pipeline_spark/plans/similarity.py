@@ -1415,17 +1415,35 @@ def build_embedding_covariance_suffstats(
             if not len(pdf):
                 continue
             x = np.stack(pdf["qa"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "ss": [(x.T @ x).reshape(-1).tolist()],
-                }
-            )
+            # int64-overflow guard (ADVICE r8): the per-chunk second
+            # moment is bounded by rows * max|q|^2, so cap the chunk at
+            # 2^62 / max|q|^2 rows and emit one partial per chunk — the
+            # driver re-sums in Python ints (arbitrary precision). With
+            # the 1e6 grid this only splits batches past ~4.6e6 rows,
+            # but it makes the "exact integer sufficient statistics"
+            # contract hold at ANY batch size / quantization, instead of
+            # silently wrapping past ~9e6 rows.
+            m = int(np.abs(x).max()) or 1
+            step = max(1, min(len(x), (1 << 62) // (m * m)))
+            for lo in range(0, len(x), step):
+                c = x[lo : lo + step]
+                yield pd.DataFrame(
+                    {
+                        "n": [len(c)],
+                        "s": [c.sum(axis=0).tolist()],
+                        "ss": [(c.T @ c).reshape(-1).tolist()],
+                    }
+                )
 
     stats = q.mapInPandas(
         partials, schema="n long, s array<long>, ss array<long>"
-    ).collect()  # one row per non-empty partition — bounded, S12 shape
+    ).collect()  # one row per non-empty chunk — bounded, S12 shape
+    if not stats:
+        # empty corpus: the DuckDB twin's GROUP BY legs return no s/ss
+        # rows, only the COUNT leg — mirror that exactly
+        return spark.createDataFrame(
+            [("n", 0, 0, "0")], "stat string, i int, j int, value string"
+        )
     n = sum(r["n"] for r in stats)
     d = len(stats[0]["s"])
     s = [sum(r["s"][i] for r in stats) for i in range(d)]

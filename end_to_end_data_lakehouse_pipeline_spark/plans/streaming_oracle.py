@@ -221,22 +221,49 @@ def _drain_to_memory(
     return spark.table(name)
 
 
-def _drain_to_parquet(df: DataFrame, tag: str, min_batches: int = 1) -> DataFrame:
+def _drain_to_parquet(
+    df: DataFrame, tag: str, min_batches: int = 1, state_partitions: int | None = None
+) -> DataFrame:
     """availableNow drain of an APPEND-mode stream into a session-scoped
     parquet sink; returns the path-backed DISTRIBUTED scan (no driver
-    localization — the join/sessionize outputs are data-sized)."""
+    localization — the join/sessionize outputs are data-sized).
+
+    ``state_partitions`` sets spark.sql.shuffle.partitions for THIS
+    stream's first run only — the value is baked into the fresh
+    checkpoint, so it pins the state-store partition count. Stateful
+    drains whose cost is per-partition flush machinery (the stream-stream
+    joins: two state stores x partitions x micro-batches of RocksDB/HDFS
+    file churn) set it low; throughput-bound stages don't care because
+    the drain input is micro-batch-sized, not table-sized.
+
+    noDataMicroBatches is PINNED on for every drain: the outer-join /
+    watermark-expiry oracles assume a final no-data batch advances the
+    watermark to max(ts) - delay and flushes expired state (ADVICE r8) —
+    with the conf off, rows expiring in the last batch's watermark lag
+    would be in the oracle but not the sink."""
     spark = df.sparkSession
     ws = session_dir(f"{tag}_sink")
     out_dir, ckpt = os.path.join(ws, "out"), os.path.join(ws, "ckpt")
-    q = (
-        df.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    q.awaitTermination()
+    try:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_ndmb)
     _assert_multibatch(ckpt, min_batches)
     if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
         return spark.createDataFrame([], df.schema)  # zero-row drain
@@ -690,7 +717,14 @@ def streaming_left_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "view_event_id", "purchase_event_id", "user_id", "view_ts", "purchase_ts"
     )
-    return _drain_to_parquet(joined, "left_join_drain", min_batches=_N_SPLITS)
+    # 8 state partitions (VERDICT r8 task 3): the drain's cost is the
+    # per-partition state-store flush machinery (2 stores x partitions x
+    # batches), not data volume — 8 cuts the fixed cost ~4x at sf0.1 and
+    # amortizes away as volume grows; semantics unchanged (the join key
+    # is hash-partitioned either way).
+    return _drain_to_parquet(
+        joined, "left_join_drain", min_batches=_N_SPLITS, state_partitions=8
+    )
 
 
 register(
@@ -1059,6 +1093,15 @@ def medallion_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(ws, "silver"), stats_cols=("user_id",)
     )
     lo, hi = updates.agg(F.min("order_key"), F.max("order_key")).first()
+    if lo is None:  # empty CDC feed: (None, None) would TypeError below
+        return (
+            updates.limit(0)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+        )
     step = (hi - lo) // _N_SPLITS + 1
     for i in range(_N_SPLITS):
         batch_updates = updates.filter(

@@ -63,3 +63,34 @@ def session_store(tag: str) -> str:
     d = os.path.join(_ROOT[0], f"store_{tag}")
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def corpus_fingerprint(*paths: str) -> str:
+    """Cheap content stamp for :func:`session_store` cache keys: md5 of
+    (relative name, size, mtime_ns) over every data file under ``paths``
+    (file or directory). The session_store immutability contract used to
+    be documented-but-unverified — if a corpus path was regenerated
+    mid-session (the /tmp scaled-dir pattern reuses fixed paths), stale
+    cached derivatives were served silently. Folding this stamp into the
+    store tag makes regeneration produce a DIFFERENT store, so the cache
+    can only ever hit on byte-stable input. Stat-only (no reads): O(files)
+    driver-side metadata, negligible at any corpus size."""
+    import hashlib
+
+    h = hashlib.md5()
+    for path in paths:
+        p = os.path.abspath(path)
+        h.update(p.encode())
+        if os.path.isfile(p):
+            st = os.stat(p)
+            h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+            continue
+        for dirpath, dirnames, filenames in os.walk(p):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if name.startswith((".", "_")):  # _SUCCESS, .crc sidecars
+                    continue
+                st = os.stat(os.path.join(dirpath, name))
+                rel = os.path.relpath(os.path.join(dirpath, name), p)
+                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
