@@ -59,3 +59,57 @@ def test_bucketed_order_revenue_plan_is_exchange_free(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_order_profile_reuses_tables_exchange_free(spark, sf_dir):
+    """The write-once consumer: ensure-only must NOT rewrite a
+    fingerprint-matched bucketed pair, and its different join+agg on the
+    bucket key must still plan with zero exchanges."""
+    import os
+
+    from end_to_end_data_lakehouse_pipeline_spark.plans.relational import (
+        _bucketed_pair,
+        build_bucketed_order_profile,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t_ord, t_li = _bucketed_pair(spark, sf_dir)  # simulate the writer ran
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t_li}")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+        ).replace("file:", "")
+        before = os.stat(os.path.join(loc, "_SUCCESS")).st_mtime_ns
+
+        df = build_bucketed_order_profile(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert df.count() > 0
+        after = os.stat(os.path.join(loc, "_SUCCESS")).st_mtime_ns
+        assert after == before, "ensure-only consumer rewrote the bucketed pair"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_corpus_fingerprint_tracks_content(tmp_path):
+    """A regenerated corpus at the SAME path must change the store key
+    (the ADVICE r8 stale-cache hazard)."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.workspace import (
+        corpus_fingerprint,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"aaaa")
+    f1 = corpus_fingerprint(str(d))
+    assert corpus_fingerprint(str(d)) == f1  # stable while untouched
+    (d / "part-0.parquet").write_bytes(b"bbbbbb")  # regenerate in place
+    assert corpus_fingerprint(str(d)) != f1
+    (d / "_SUCCESS").write_bytes(b"")  # sidecars don't count
+    assert corpus_fingerprint(str(d)) == corpus_fingerprint(str(d))

@@ -47,3 +47,32 @@ def test_partitioning_invariance(spark, sf_dir):
     one = pca_spectrum(q.repartition(1), spark).collect()
     many = pca_spectrum(q.repartition(13, "qa"), spark).collect()
     assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_suffstats_empty_corpus_and_chunk_invariance(spark, sf_dir, tmp_path):
+    """ADVICE r8: (a) an empty embeddings table returns the oracle-shaped
+    n=0 row instead of IndexError; (b) the int64-overflow chunking emits
+    values identical to the unchunked path (driver re-sums exactly)."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import (
+        build_embedding_covariance_suffstats,
+    )
+
+    # (a) empty corpus under a synthetic sf_dir
+    empty_dir = tmp_path / "sf_empty"
+    empty_dir.mkdir()
+    table(spark, sf_dir, "embeddings").limit(0).write.parquet(
+        str(empty_dir / "embeddings.parquet")
+    )
+    rows = build_embedding_covariance_suffstats(spark, str(empty_dir)).collect()
+    assert [tuple(r) for r in rows] == [("n", 0, 0, "0")]
+
+    # (b) chunking is value-invariant: force tiny Arrow batches so every
+    # partition splits, and compare against the one-batch run
+    base = build_embedding_covariance_suffstats(spark, sf_dir).collect()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        chunked = build_embedding_covariance_suffstats(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert [tuple(r) for r in base] == [tuple(r) for r in chunked]
