@@ -325,31 +325,78 @@ register(
 
 # ---------------------------------------------------------------------------
 # mv_daily_sales_approx — the 100 TB variant of mv_daily_sales: HLL
-# approx_count_distinct replaces the exact distincts, removing the Expand
-# (3x row inflation) and the per-key distinct state. No oracle: HLL sketch
-# values are implementation-specific (DuckDB's HLL differs), so the driver
-# records the weaker rows-only check — row count (= distinct ship dates)
-# and the exact columns still pin correctness.
+# approx_count_distinct replaces the exact distincts in the serving path,
+# removing the Expand (3x row inflation) and the per-key distinct state.
+# Oracled as a CONTRACT CHECK (VERDICT r8 task 1, the hll_vocab_report
+# pattern): the engine-specific sketch value never enters the output —
+# instead the query emits the exact distincts (the audit side) and a
+# tolerance boolean per sketch, which is deterministically TRUE (the 10%
+# tolerance is >5 sigma for rsd=0.02), so DuckDB can verify every
+# column. At 100 TB production serves the HLL side; this registered
+# report IS the validation query that certifies it.
 # ---------------------------------------------------------------------------
+
+_MV_HLL_RSD = 0.02
+_MV_HLL_TOL = 0.10
+_MV_HLL_ABS = 5.0
 
 
 def build_mv_daily_sales_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(table(spark, sf_dir, "lineitem"), spark)
-    return li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
+    agg = li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=_MV_HLL_RSD).alias("ao"),
+        F.approx_count_distinct("l_partkey", rsd=_MV_HLL_RSD).alias("ap"),
         F.sum("l_quantity").alias("total_qty"),
         exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )
 
+    def within(approx, exact):
+        # combined bound: relative for large groups, absolute floor for
+        # tiny ones (Spark's HLL++ has no exact sparse mode — a ~20-
+        # distinct day can be off by 2-3 registers, breaching a pure 10%;
+        # probed margins at sf0.001/0.01/0.1: worst abs err 3 vs floor 5,
+        # worst large-group err well under 10%)
+        return F.abs(F.col(approx) - F.col(exact)) <= F.greatest(
+            F.col(exact) * F.lit(_MV_HLL_TOL), F.lit(_MV_HLL_ABS)
+        )
+
+    return agg.select(
+        "ship_date",
+        "n_items",
+        "exact_orders",
+        "exact_parts",
+        within("ao", "exact_orders").alias("orders_within_tol"),
+        within("ap", "exact_parts").alias("parts_within_tol"),
+        "total_qty",
+        "revenue",
+    )
+
+
+MV_DAILY_APPROX_ORACLE = f"""
+SELECT
+    CAST(l_shipdate AS DATE) AS ship_date,
+    COUNT(*) AS n_items,
+    COUNT(DISTINCT l_orderkey) AS exact_orders,
+    COUNT(DISTINCT l_partkey) AS exact_parts,
+    TRUE AS orders_within_tol,
+    TRUE AS parts_within_tol,
+    SUM(l_quantity) AS total_qty,
+    {o_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+GROUP BY 1
+"""
+
 
 register(
     "mv_daily_sales_approx",
-    oracle=None,
-    doc="mv_daily_sales with HLL approx_count_distinct — the no-Expand "
-    "scale variant; rows-only check by design (sketches are engine-"
-    "specific).",
+    oracle=MV_DAILY_APPROX_ORACLE,
+    doc="mv_daily_sales with HLL approx_count_distinct (rsd=0.02) — the "
+    "no-Expand scale variant, oracled as a contract check: exact "
+    "distincts + a max(10%, abs 5)-tolerance boolean per sketch "
+    "(deterministically TRUE) instead of the engine-specific estimate.",
     tags=("mv", "agg", "approx"),
 )(build_mv_daily_sales_approx)
 

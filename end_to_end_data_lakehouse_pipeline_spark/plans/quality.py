@@ -175,44 +175,68 @@ register(
 # accuracy (same family as ann_recall_* and minhash_error_report): for
 # each metric column and quantile, compute approx_percentile (the
 # KLL-style sketch every 100 TB pipeline must use — exact percentile is
-# a full sort) AND the exact percentile, then the TRUE rank error of the
+# a full sort) AND the exact quantile, then the TRUE rank error of the
 # sketch answer, checked against the sketch's accuracy contract
 # (rank error <= n / accuracy).
 #
-# Plan shape: pass 1 = one aggregate producing approx+exact per column
-# (the exact side is the expensive full-distribution percentile — this
-# report is a VALIDATION query, run at sampled scale; production serves
-# the approx path); pass 2 = one conditional aggregate counting rows at
-# or below each sketch answer (rank lookup), driven by the K collected
-# scalars (S12 shape). Rows-only registration: approx_percentile's
-# sketch state is engine-specific, so no cross-engine oracle exists by
-# design — the pytest property pins the error bound instead.
+# Oracled as a CONTRACT CHECK (VERDICT r8 task 1, the hll_vocab_report
+# pattern): the engine-specific sketch value never enters the output —
+# the report carries n, the exact quantile, the contract bound, and a
+# within_bound boolean that the sketch contract makes deterministically
+# TRUE, all of which DuckDB recomputes. The exact quantile is the
+# DISCRETE one (the value at sorted rank ceil(q*n)) — an actual data
+# value, so cross-engine parity needs no interpolation-arithmetic
+# matching at all.
+#
+# Plan shape: per column, one count + one distinct-value cumulative rank
+# (the exact side is a full-distribution quantile — this report is a
+# VALIDATION query, run at sampled scale; production serves the approx
+# path), then ONE conditional aggregate rank-checking the K collected
+# sketch answers (S12 shape).
 # ---------------------------------------------------------------------------
 
 _AQ_ACCURACY = 1000
 _AQ_QS = [0.5, 0.9, 0.99]
+_AQ_TARGETS = [
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_extendedprice"),
+    ("events", "value"),
+]
 
 
 def build_approx_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    targets = [
-        ("orders", "o_totalprice"),
-        ("lineitem", "l_extendedprice"),
-        ("events", "value"),
-    ]
+    import math
+
+    from pyspark.sql import Window
+
     out_rows = []
-    for tbl_name, col in targets:
+    for tbl_name, col in _AQ_TARGETS:
         df = table(spark, sf_dir, tbl_name)
-        agg = df.agg(
-            F.count(col).alias("n"),
-            F.percentile_approx(col, _AQ_QS, _AQ_ACCURACY).alias("approx"),
-            F.percentile(col, _AQ_QS).alias("exact"),
+        n = df.filter(F.col(col).isNotNull()).count()
+        ks = [max(1, math.ceil(q * n)) for q in _AQ_QS]
+        # discrete quantiles from ONE cumulative rank over the distinct
+        # values (the window is value-domain-sized, not row-sized)
+        vc = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vc.select("v", F.sum("c").over(w).alias("cum"))
+        exact = cum.agg(
+            *[
+                F.min(F.when(F.col("cum") >= F.lit(k), F.col("v"))).alias(f"e{i}")
+                for i, k in enumerate(ks)
+            ]
         ).first()
-        n = agg["n"]
-        # rank lookup for all q in ONE conditional aggregate
+        approx = df.agg(
+            F.percentile_approx(col, _AQ_QS, _AQ_ACCURACY).alias("approx")
+        ).first()["approx"]
+        # rank lookup for all sketch answers in ONE conditional aggregate
         ranks = df.agg(
             *[
                 F.count(F.when(F.col(col) <= F.lit(av), 1)).alias(f"r{i}")
-                for i, av in enumerate(agg["approx"])
+                for i, av in enumerate(approx)
             ]
         ).first()
         for i, q in enumerate(_AQ_QS):
@@ -223,27 +247,47 @@ def build_approx_quantile_error_report(spark: SparkSession, sf_dir: str) -> Data
                     tbl_name,
                     col,
                     q,
-                    float(agg["exact"][i]),
-                    float(agg["approx"][i]),
-                    float(rank_err),
+                    n,
+                    float(exact[f"e{i}"]),
                     float(bound),
                     bool(rank_err <= bound),
                 )
             )
     return spark.createDataFrame(
         out_rows,
-        "table_name string, column_name string, q double, exact_value double, "
-        "approx_value double, rank_error double, rank_error_bound double, "
-        "within_bound boolean",
+        "table_name string, column_name string, q double, n long, "
+        "exact_value double, rank_error_bound double, within_bound boolean",
     )
+
+
+def _aq_oracle() -> str:
+    legs = []
+    for tbl_name, col in _AQ_TARGETS:
+        for q in _AQ_QS:
+            legs.append(
+                f"""SELECT '{tbl_name}' AS table_name, '{col}' AS column_name,
+       CAST({q} AS DOUBLE) AS q, n.c AS n,
+       (SELECT v FROM (
+            SELECT {col} AS v,
+                   row_number() OVER (ORDER BY {col}) AS rn
+            FROM {tbl_name} WHERE {col} IS NOT NULL
+        ) WHERE rn = GREATEST(1, CAST(CEIL({q} * n.c) AS BIGINT))
+       ) AS exact_value,
+       CAST(n.c AS DOUBLE) / {_AQ_ACCURACY} + 1 AS rank_error_bound,
+       TRUE AS within_bound
+FROM (SELECT CAST(COUNT({col}) AS BIGINT) AS c FROM {tbl_name}) n"""
+            )
+    return "\nUNION ALL\n".join(legs)
 
 
 register(
     "approx_quantile_error_report",
-    oracle=None,
-    doc="Sketch-accuracy self-measurement: approx_percentile vs exact "
-    "percentile with true rank error against the n/accuracy contract; "
-    "rows-only (sketch state is engine-specific by design).",
+    oracle=_aq_oracle(),
+    doc="Sketch-accuracy contract check: approx_percentile's true rank "
+    "error verified against the n/accuracy contract; the output carries "
+    "n, the exact DISCRETE quantile (value at rank ceil(q*n)) and a "
+    "deterministically-TRUE within-bound boolean — all DuckDB-"
+    "recomputable; the engine-specific sketch value stays internal.",
     tags=("quality", "sketch", "self-measurement"),
 )(build_approx_quantile_error_report)
 

@@ -9,9 +9,10 @@ def test_approx_quantile_error_within_contract(spark, sf_dir):
     assert len(rows) == 9  # 3 tables x 3 quantiles
     for r in rows:
         assert r.within_bound, (
-            f"{r.table_name}.{r.column_name} q={r.q}: rank_error "
-            f"{r.rank_error} > bound {r.rank_error_bound}"
+            f"{r.table_name}.{r.column_name} q={r.q}: rank error over "
+            f"bound {r.rank_error_bound}"
         )
-        # sanity: approx is a real element from the column, so it cannot
-        # stray far from exact in value either on this data
-        assert r.approx_value <= r.exact_value * 1.5 + 1
+        # the exact side is now the DISCRETE quantile (value at rank
+        # ceil(q*n)) — present in the column and positive on this data
+        assert r.exact_value > 0
+        assert r.n > 0 and r.rank_error_bound == r.n / 1000 + 1
