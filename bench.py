@@ -126,6 +126,8 @@ HEADLINE = [
     "mixture_token_waterfill",  # closed-form token-budget allocation plan
     "orc_roundtrip_scan",      # ORC format round-trip + pushed predicate
     "lake_catalog_optimize_vacuum",  # OPTIMIZE bin-pack + VACUUM via SQL
+    # round-9 additions
+    "bucketed_order_profile",  # write-once consumer of the bucketed pair
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the
@@ -182,14 +184,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Heavy tier defaults to one shot (keeps the per-round driver bench
+    # bounded); close/adjudication runs set SPARK_GRAFT_BENCH_HEAVY_REPEATS=3
+    # and get the per-query MEDIAN — the same-tree spread on this host is
+    # 1.45x (BASELINE r8 note), so single-shot heavy numbers are not
+    # attributable; medians are the round-over-round signal (VERDICT r8
+    # task 4).
+    heavy_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "1"))
     heavy_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
+        import statistics
+
         for name in HEAVY:
             if name not in qs:
                 continue
-            t0 = time.perf_counter()
-            _force(qs[name](spark, SF_DIR))
-            heavy_timings[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(max(heavy_repeats, 1)):
+                t0 = time.perf_counter()
+                _force(qs[name](spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+            heavy_timings[name] = round(statistics.median(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
