@@ -128,6 +128,9 @@ HEADLINE = [
     "lake_catalog_optimize_vacuum",  # OPTIMIZE bin-pack + VACUUM via SQL
     # round-9 additions
     "bucketed_order_profile",  # write-once consumer of the bucketed pair
+    "bm25_bench_retrieval",    # DF-capped inverted-index BM25 top-k
+    "packing_padding_waste",   # seq-len packing efficiency report
+    "txnlog_merge_schema_evolution",  # ACID MERGE with union-schema evolution
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -1844,6 +1844,250 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# bm25_bench_retrieval — lexical retrieval (round 9): Okapi BM25
+# (Robertson & Zaragoza 2009, §3.3) of every benchmark doc against the
+# corpus, top-k per query. The retrieval modality the engine lacked:
+# tfidf_top_terms characterizes single documents; this SCORES
+# query-vs-corpus pairs — the production shape behind dataset search,
+# retrieval-augmented eval, and decontamination triage (rank the best
+# lexical matches before the expensive verifier).
+#
+# Scale shape: the pair space is candidate-bounded by the inverted-index
+# join on DF-capped terms (a term in more than BM25_DF_CAP docs carries
+# ~no idf and would fan out the join — the SHINGLE_DF_CAP discipline);
+# the per-query window is bounded by the candidate count. Nothing is
+# corpus x benchmark.
+#
+# Exactness: the only floats are per-(doc,term) contributions
+# idf*saturation — computed on identical IEEE expression trees both
+# engines and quantized to a 1e-6 integer grid BEFORE the per-pair sum
+# (the dsir_importance_weights recipe), so the score sum is exact and
+# order-independent, and the final ranking is total-ordered by
+# (score, doc_id).
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 3
+BM25_DF_CAP = 1000
+
+BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source, lower(unnest({_sql_tokens()})) AS term
+    FROM documents
+),
+ctf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE source <> '{BENCH_SOURCE}' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY doc_id),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM dl
+),
+dft AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM ctf GROUP BY term HAVING COUNT(*) <= {BM25_DF_CAP}
+),
+post AS (
+    SELECT c.doc_id, c.term,
+           CAST(ROUND(
+               ln(1.0 + ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                         / (CAST(d.df AS DOUBLE) + 0.5)))
+               * ((CAST(c.tf AS DOUBLE) * 2.2)
+                  / (CAST(c.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+               * 1000000.0) AS BIGINT) AS c
+    FROM ctf c JOIN dft d USING (term) JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+),
+bench AS (
+    SELECT DISTINCT doc_id AS bench_doc_id, term
+    FROM tok WHERE source = '{BENCH_SOURCE}'
+),
+pairs AS (
+    SELECT b.bench_doc_id, p.doc_id,
+           CAST(SUM(p.c) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+    FROM post p JOIN bench b USING (term)
+    GROUP BY b.bench_doc_id, p.doc_id
+),
+ranked AS (
+    SELECT bench_doc_id, doc_id, n_shared_terms, s,
+           row_number() OVER (
+               PARTITION BY bench_doc_id ORDER BY s DESC, doc_id ASC
+           ) AS rnk
+    FROM pairs
+)
+SELECT bench_doc_id, doc_id, CAST(rnk AS INTEGER) AS rank, n_shared_terms,
+       CAST(s AS DOUBLE) / 1000000.0 AS bm25_score
+FROM ranked WHERE rnk <= {BM25_TOPK}
+"""
+
+
+def build_bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens_col()).alias("t")
+    ).select("doc_id", "source", F.lower("t").alias("term"))
+    ctf = (
+        tok.filter(F.col("source") != BENCH_SOURCE)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = ctf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dft = (
+        ctf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= BM25_DF_CAP)
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+    )
+    sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+    )
+    post = (
+        ctf.join(dft, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row totals
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * sat * F.lit(1000000.0), 0).cast("long").alias("c"),
+        )
+    )
+    bench = (
+        tok.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.col("doc_id").alias("bench_doc_id"), "term")
+        .distinct()
+    )
+    pairs = post.join(bench, "term").groupBy("bench_doc_id", "doc_id").agg(
+        F.sum("c").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+    )
+    w = Window.partitionBy("bench_doc_id").orderBy(
+        F.desc("s"), F.asc("doc_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "bench_doc_id",
+            "doc_id",
+            "rank",
+            "n_shared_terms",
+            (F.col("s").cast("double") / F.lit(1000000.0)).alias("bm25_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# packing_padding_waste — sequence-packing efficiency report (round 9):
+# for each candidate training sequence length, how many tokens the
+# corpus actually fills vs the padded capacity if every document is
+# chunked to ceil(tokens/L) sequences of length L (the no-cross-doc-
+# packing baseline that document_chunking / corpus_pack_chunks improve
+# on). The report every training-infra team runs before fixing seq_len:
+# all-integer math (chunk counts, padded capacity), one map-side explode
+# of a 4-element literal — a single pass over token counts at any scale.
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LENS = (512, 1024, 2048, 4096)
+
+PADDING_WASTE_ORACLE = f"""
+WITH d AS (
+    SELECT source, CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE len({_sql_tokens()}) > 0
+)
+SELECT source, seq_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+       CAST(SUM((n_tokens + seq_len - 1) // seq_len) AS BIGINT) AS n_chunks,
+       CAST(SUM((n_tokens + seq_len - 1) // seq_len) * seq_len AS BIGINT)
+           AS padded_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE)
+           / CAST(SUM((n_tokens + seq_len - 1) // seq_len) * seq_len AS DOUBLE)
+           AS utilization
+FROM d CROSS JOIN (
+    SELECT CAST(unnest([{", ".join(str(n) for n in PACK_SEQ_LENS)}]) AS BIGINT)
+        AS seq_len
+) s
+GROUP BY source, seq_len
+"""
+
+
+def build_packing_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    d = docs.select(
+        "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    lens = F.explode(
+        F.array(*[F.lit(n).cast("long") for n in PACK_SEQ_LENS])
+    ).alias("seq_len")
+    chunks = (F.col("n_tokens") + F.col("seq_len") - F.lit(1)) / F.col("seq_len")
+    per = d.select("source", "n_tokens", lens).withColumn(
+        "n_chunks", F.floor(chunks).cast("long")
+    )
+    agg = per.groupBy("source", "seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("corpus_tokens"),
+        F.sum("n_chunks").alias("n_chunks"),
+    )
+    return agg.select(
+        "source",
+        "seq_len",
+        "n_docs",
+        "corpus_tokens",
+        "n_chunks",
+        (F.col("n_chunks") * F.col("seq_len")).alias("padded_tokens"),
+        (
+            F.col("corpus_tokens").cast("double")
+            / (F.col("n_chunks") * F.col("seq_len")).cast("double")
+        ).alias("utilization"),
+    )
+
+
+register(
+    "packing_padding_waste",
+    oracle=PADDING_WASTE_ORACLE,
+    doc=f"Sequence-packing efficiency per (source, seq_len in "
+    f"{PACK_SEQ_LENS}): exact chunk counts and padded capacity for the "
+    "ceil(tokens/L) no-packing baseline, with utilization = corpus "
+    "tokens / padded tokens — the report that sizes seq_len before "
+    "training.",
+    tags=("llm", "pipeline", "chunking", "report"),
+)(build_packing_padding_waste)
+
+
+register(
+    "bm25_bench_retrieval",
+    oracle=BM25_ORACLE,
+    doc=f"Okapi BM25 (k1={BM25_K1}, b={BM25_B}) of every benchmark doc "
+    f"against the corpus via a DF-capped (<= {BM25_DF_CAP}) inverted-"
+    f"index join; top-{BM25_TOPK} per query with per-term contributions "
+    "quantized to an exact 1e-6 integer grid before the order-"
+    "independent score sum.",
+    tags=("llm", "text", "retrieval", "topk", "join"),
+)(build_bm25_bench_retrieval)
+
+
+# ---------------------------------------------------------------------------
 # dsir_importance_weights — Data Selection via Importance Resampling
 # (Xie et al. 2023, public): score every raw-corpus document by the
 # log-likelihood ratio of a hashed-bigram unigram model fit on the

@@ -560,13 +560,23 @@ def streaming_dedup_admission_drain(spark: SparkSession, sf_dir: str) -> DataFra
     )
     corpus = os.path.join(ws, "corpus")
     ckpt = os.path.join(ws, "ckpt")
-    q = incremental_dedup_sink(
-        docs,
-        corpus_path=corpus,
-        matches_path=os.path.join(ws, "matches"),
-        checkpoint=ckpt,
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions for the drain (round 9, same rationale as the
+    # stream-stream joins): the gate's per-batch joins are micro-batch-
+    # sized, so 32-partition shuffles x batches x stages are pure task
+    # overhead locally; the gate itself is partition-count-agnostic
+    # (foreachBatch, no state store — the corpus index is the state).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = incremental_dedup_sink(
+            docs,
+            corpus_path=corpus,
+            matches_path=os.path.join(ws, "matches"),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _assert_multibatch(ckpt)
     return (
         spark.read.option("recursiveFileLookup", "true")

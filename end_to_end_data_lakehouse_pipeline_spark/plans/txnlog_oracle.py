@@ -870,3 +870,93 @@ register(
     "strictly drops, >=1 orphan deleted, data value-exact after both.",
     tags=("lakehouse", "txnlog", "optimize", "vacuum", "sql"),
 )(build_lake_catalog_optimize_vacuum)
+
+
+# ---------------------------------------------------------------------------
+# txnlog_merge_schema_evolution — MERGE with an EVOLVING schema (round 9,
+# the Delta `mergeSchema` semantics; reference anchor streaming_bronze.py:
+# 101's mergeSchema-on-append extended to the upsert path): a CDC batch
+# arrives carrying a column the stored table has never seen. The merged
+# schema is the union — stored rows back-fill NULL for the new column,
+# only key-touched files are rewritten (untouched files keep the old
+# physical schema; the snapshot read reconciles via mergeSchema). This is
+# how production tables grow columns without a table rewrite: the
+# alternative — block the pipeline until a full-table migration — is not
+# an option at 100 TB.
+# ---------------------------------------------------------------------------
+
+MERGE_EVOLUTION_ORACLE = """
+WITH base AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           o_orderstatus AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(NULL AS VARCHAR) AS channel,
+           CAST(1 AS BIGINT) AS updated_at
+    FROM orders WHERE o_orderkey % 2 = 1
+),
+upd AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           'X' AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1 AS price_cents,
+           CASE WHEN o_orderkey % 14 = 7 THEN 'web' ELSE 'app' END AS channel,
+           CAST(2 AS BIGINT) AS updated_at
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+united AS (
+    SELECT * FROM base UNION ALL SELECT * FROM upd
+),
+latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY updated_at DESC
+    ) AS rn
+    FROM united
+)
+SELECT status, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_cents) AS BIGINT) AS cents
+FROM latest WHERE rn = 1
+GROUP BY status, channel
+"""
+
+
+def build_txnlog_merge_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = orders.filter(F.col("k") % 2 == 1).withColumn(
+        "updated_at", F.lit(1).cast("long")
+    )
+    updates = orders.filter(F.col("k") % 7 == 0).select(
+        "k",
+        F.lit("X").alias("status"),
+        (F.col("price_cents") + 1).alias("price_cents"),
+        F.when(F.col("k") % 14 == 7, F.lit("web"))
+        .otherwise(F.lit("app"))
+        .alias("channel"),  # the column the stored table has never seen
+        F.lit(2).cast("long").alias("updated_at"),
+    )
+    ws = session_dir("txnlog_evolve")
+    t = TransactionLogTable(spark, os.path.join(ws, "t"), stats_cols=("k",))
+    t.append(base, sort_by=["k"])
+    t.merge(updates, pks=["k"], order_col="updated_at")
+    snap = t.read(merge_schema=True)  # old files reconcile channel=NULL
+    return snap.groupBy("status", "channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("cents"),
+    )
+
+
+register(
+    "txnlog_merge_schema_evolution",
+    oracle=MERGE_EVOLUTION_ORACLE,
+    doc="File-level ACID MERGE with schema evolution: the CDC batch "
+    "carries a new `channel` column — merged schema is the union, "
+    "stored rows back-fill NULL, only key-touched files rewrite, and "
+    "the mergeSchema snapshot read reconciles old/new physical schemas; "
+    "final state value-checked against the SQL LWW replay.",
+    tags=("lakehouse", "txnlog", "merge", "cdc", "sql"),
+)(build_txnlog_merge_schema_evolution)

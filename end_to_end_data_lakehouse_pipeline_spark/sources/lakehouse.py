@@ -74,8 +74,26 @@ def merge_upsert(
             # a stored table written before any delete arrived has no
             # soft-delete column; its rows are by definition live
             current = current.withColumn(deleted_col, F.lit(False))
-        cur = current.select(*updates.columns).withColumn("_src_rank", F.lit(0))
-        upd = cur.unionByName(upd)
+        # schema evolution (Delta mergeSchema semantics, round 9): the
+        # merged schema is the UNION of both sides — a column only the
+        # updates carry back-fills NULL on stored rows, a column the
+        # updates dropped keeps its stored values and NULL-fills update
+        # rows. Types come from whichever side has the column.
+        upd_types = dict(zip(updates.schema.names, updates.schema.fields))
+        cur_types = dict(zip(current.schema.names, current.schema.fields))
+        for name, field in upd_types.items():
+            if name not in cur_types:
+                current = current.withColumn(
+                    name, F.lit(None).cast(field.dataType)
+                )
+        for name, field in cur_types.items():
+            if name not in upd_types:
+                upd = upd.withColumn(name, F.lit(None).cast(field.dataType))
+        out_cols = list(updates.columns) + [
+            c for c in current.columns if c not in set(updates.columns)
+        ]
+        cur = current.select(*out_cols).withColumn("_src_rank", F.lit(0))
+        upd = cur.unionByName(upd.select(*out_cols, "_src_rank"))
     merged = latest_per_key(upd, pks, order_col, tiebreak=["_src_rank", *tiebreak])
     out = merged.drop("_src_rank")
     if deleted_col in out.columns:

@@ -244,3 +244,62 @@ def test_txnlog_merge_equals_fold_model(spark, tmp_path_factory, events, split):
     if len(batches) == 2:
         v1 = {r.pk: (r.ts, r.payload) for r in tbl.read(version=1).collect()}
         assert v1 == _fold_model(batches[:1])
+
+
+def test_merge_upsert_schema_evolution_both_directions(spark):
+    """Round 9: the merged schema is the UNION of stored + update
+    columns — a new update-side column back-fills NULL on stored rows;
+    a column the updates dropped keeps stored values and NULL-fills
+    update rows."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_lakehouse_pipeline_spark.sources.lakehouse import (
+        merge_upsert,
+    )
+
+    current = spark.createDataFrame(
+        [(1, "a", 10, "keepme"), (2, "b", 10, "old2")],
+        "pk int, val string, ver int, legacy string",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 20, "web"), (3, "c", 20, "app")],
+        "pk int, val string, ver int, channel string",
+    )
+    out = {
+        r["pk"]: r.asDict()
+        for r in merge_upsert(current, updates, ["pk"], "ver").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert set(out[1]) == {"pk", "val", "ver", "legacy", "channel"}
+    assert out[1]["channel"] is None and out[1]["legacy"] == "keepme"
+    assert out[2]["channel"] == "web" and out[2]["legacy"] is None  # LWW
+    assert out[3]["channel"] == "app" and out[3]["legacy"] is None
+
+
+def test_txnlog_merge_schema_evolution_rewrites_only_touched(spark, tmp_path):
+    """The evolving merge keeps the file-level cost profile: untouched
+    files survive byte-identical (old physical schema), and the
+    mergeSchema snapshot reconciles them with NULL for the new column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_lakehouse_pipeline_spark.sources.txnlog import (
+        TransactionLogTable,
+    )
+
+    t = TransactionLogTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("ver")
+    )
+    t.append(base.repartition(4, "k"), sort_by=["k"], n_files=4)
+    files_v1 = {f: os.path.getmtime(os.path.join(t.path, f)) for f in t.snapshot()}
+    upd = spark.createDataFrame(
+        [(7, 2, "web")], "k long, ver long, channel string"
+    )
+    t.merge(upd, pks=["k"], order_col="ver")
+    snap = t.read(merge_schema=True)
+    assert snap.count() == 100
+    assert snap.filter(F.col("channel").isNotNull()).count() == 1
+    survivors = [f for f in t.snapshot() if f in files_v1]
+    assert len(survivors) == 3  # only the file holding k=7 was rewritten

@@ -59,6 +59,9 @@ ALLOWED_BROADCAST_ARGS = {
     "cent_df",
     "lut",
     "coeffs",
+    # bm25_bench_retrieval: `stats` is the 1-row (n_docs, sum_dl)
+    # corpus-totals aggregate — bounded at any volume
+    "stats",
     "lsh",
     "ivf",
     "pq",
