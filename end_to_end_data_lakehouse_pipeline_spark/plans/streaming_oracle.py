@@ -560,23 +560,19 @@ def streaming_dedup_admission_drain(spark: SparkSession, sf_dir: str) -> DataFra
     )
     corpus = os.path.join(ws, "corpus")
     ckpt = os.path.join(ws, "ckpt")
-    # 8 shuffle partitions for the drain (round 9, same rationale as the
-    # stream-stream joins): the gate's per-batch joins are micro-batch-
-    # sized, so 32-partition shuffles x batches x stages are pure task
-    # overhead locally; the gate itself is partition-count-agnostic
-    # (foreachBatch, no state store — the corpus index is the state).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = incremental_dedup_sink(
-            docs,
-            corpus_path=corpus,
-            matches_path=os.path.join(ws, "matches"),
-            checkpoint=ckpt,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # Probed r9: pinning the gate's shuffles to 8 partitions (the
+    # stream-stream-join fix) changed nothing here — median 17.3 s vs
+    # 16.9 s at 32 — because foreachBatch batches run with AQE partition
+    # coalescing already on; the cost is the per-batch parquet
+    # write/read + shingle verify, not shuffle task overhead. Left at
+    # session defaults.
+    q = incremental_dedup_sink(
+        docs,
+        corpus_path=corpus,
+        matches_path=os.path.join(ws, "matches"),
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
     _assert_multibatch(ckpt)
     return (
         spark.read.option("recursiveFileLookup", "true")
