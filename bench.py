@@ -131,6 +131,7 @@ HEADLINE = [
     "bm25_bench_retrieval",    # DF-capped inverted-index BM25 top-k
     "packing_padding_waste",   # seq-len packing efficiency report
     "txnlog_merge_schema_evolution",  # ACID MERGE with union-schema evolution
+    "dpp_partitioned_month_join",  # join-driven dynamic partition pruning
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

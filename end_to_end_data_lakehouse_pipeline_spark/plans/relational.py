@@ -3733,3 +3733,116 @@ register(
     "value-checked against the parquet oracle.",
     tags=("source", "orc", "relational"),
 )(build_orc_roundtrip_scan)
+
+
+# ---------------------------------------------------------------------------
+# dpp_partitioned_month_join — dynamic partition pruning driven end-to-end
+# (round 9). Static pruning (txnlog_partitioned_prune) skips partitions a
+# LITERAL predicate names; at 100 TB the bigger win is the join-driven
+# skip: the months worth scanning are decided by ANOTHER table at
+# runtime (here: the top-5 revenue months of `orders`), so no literal
+# filter exists to push down. Spark's DPP closes this: the broadcast
+# dim's join keys become a runtime PartitionFilter
+# (dynamicpruningexpression) on the month-partitioned lineitem scan —
+# only the 5 winning month directories are read out of 83. The
+# partitioned copy is written once per corpus (content-fingerprinted
+# session store, same as the bucketed pair); the plan property is
+# pytest-pinned (tests/test_plan_properties.py).
+# ---------------------------------------------------------------------------
+
+DPP_TOP_MONTHS = 5
+
+DPP_MONTH_JOIN_ORACLE = f"""
+WITH li AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS month,
+           l_extendedprice, l_discount
+    FROM lineitem
+),
+m AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+top AS (
+    SELECT month FROM (
+        SELECT month, row_number() OVER (ORDER BY rev DESC, month ASC) AS rn
+        FROM m
+    ) WHERE rn <= {DPP_TOP_MONTHS}
+)
+SELECT li.month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {o_sum('li.l_extendedprice * (1.0 - li.l_discount)', 'revenue')}
+FROM li JOIN top USING (month)
+GROUP BY li.month
+"""
+
+
+def _dpp_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Month-partitioned lineitem copy, written once per corpus content."""
+    import os as _os
+
+    from .workspace import corpus_fingerprint, session_store
+
+    h = corpus_fingerprint(_os.path.join(sf_dir, "lineitem.parquet"))[:8]
+    store = session_store(f"dpp_li_{h}")
+    path = _os.path.join(store, "lineitem_by_month")
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select(
+                F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+                "l_extendedprice",
+                "l_discount",
+            )
+            .repartition("month")  # one writer task per partition dir
+            .write.partitionBy("month")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def build_dpp_partitioned_month_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    path = _dpp_partitioned_lineitem(spark, sf_dir)
+    li = spark.read.parquet(path)
+    months = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    top = (
+        months.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("rev"), F.asc("month"))
+            ),  # month-domain-sized window (bounded)
+        )
+        .filter(F.col("rn") <= DPP_TOP_MONTHS)
+        .select("month")
+    )
+    j = li.join(F.broadcast(top), "month")
+    return j.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        exact_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+        ),
+    )
+
+
+register(
+    "dpp_partitioned_month_join",
+    oracle=DPP_MONTH_JOIN_ORACLE,
+    doc=f"Dynamic partition pruning end-to-end: month-partitioned "
+    f"lineitem joined to the runtime top-{DPP_TOP_MONTHS} revenue months "
+    "of orders — the broadcast dim becomes a dynamicpruningexpression "
+    "PartitionFilter on the fact scan, reading 5 of ~83 month "
+    "directories (plan pinned by pytest).",
+    tags=("join", "partition", "pruning", "relational", "scale"),
+)(build_dpp_partitioned_month_join)

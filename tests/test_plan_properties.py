@@ -62,6 +62,10 @@ ALLOWED_BROADCAST_ARGS = {
     # bm25_bench_retrieval: `stats` is the 1-row (n_docs, sum_dl)
     # corpus-totals aggregate — bounded at any volume
     "stats",
+    # dpp_partitioned_month_join: `top` is the top-DPP_TOP_MONTHS (5)
+    # month rows — K-row by construction, and the broadcast IS the DPP
+    # pruning source
+    "top",
     "lsh",
     "ivf",
     "pq",
@@ -321,3 +325,21 @@ def test_round3_wave3_shuffle_budget(spark, sf_dir, name, max_exchanges):
     plan = _initial_plan(plans.queries()[name](spark, sf_dir))
     got = plan.count("Exchange")
     assert got <= max_exchanges, f"{name}: {got} Exchanges\n{plan}"
+
+
+def test_dpp_month_join_prunes_partitions(spark, sf_dir):
+    """dpp_partitioned_month_join's fact scan must carry a
+    dynamicpruningexpression PartitionFilter — the join-driven partition
+    skip is the query's entire reason to exist."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.relational import (
+        build_dpp_partitioned_month_join,
+    )
+
+    df = build_dpp_partitioned_month_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in plan, plan
+    assert df.count() > 0
