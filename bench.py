@@ -159,6 +159,8 @@ HEAVY = [
     # round-8 additions
     "quality_logit_suffstats",  # the trainer's oracled statistics face
     "streaming_left_join_drain",  # outer stream-stream join: eviction flush batches make it the costliest drain
+    # round-9 additions
+    "streaming_full_join_drain",  # both null-padded expiry classes, min-policy watermark
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x

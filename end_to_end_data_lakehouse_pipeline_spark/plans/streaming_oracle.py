@@ -662,8 +662,10 @@ register(
 # match can still arrive (view_ts + within falls behind the watermark;
 # state evicted). With a finite availableNow drain the emitted set is
 # exactly: ALL matched pairs, plus null rows for match-less views whose
-# expiry precedes the final watermark maxts - 2h — views newer than
-# that are still buffered at drain end, so the oracle excludes them.
+# expiry precedes the FINAL GLOBAL WATERMARK — which under the default
+# multiple-watermark MIN policy is min(max view_ts, max purchase_ts),
+# ms-truncated, minus the 2h delay (corrected r9; see the full-join
+# header) — views newer than that are still buffered at drain end.
 # ---------------------------------------------------------------------------
 
 STREAM_LEFT_JOIN_ORACLE = """
@@ -675,7 +677,12 @@ p AS (
     SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
     FROM events WHERE event_type = 'purchase'
 ),
-m AS (SELECT MAX(ts) AS maxts FROM events)
+m AS (
+    SELECT date_trunc('millisecond', LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+    )) - INTERVAL 2 HOUR AS wm
+)
 SELECT v.view_event_id, p.purchase_event_id, v.user_id,
        v.view_ts, p.purchase_ts
 FROM v JOIN p
@@ -692,7 +699,7 @@ WHERE NOT EXISTS (
           AND p.purchase_ts >= v.view_ts
           AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
       )
-  AND v.view_ts + INTERVAL 1 HOUR < maxts - INTERVAL 2 HOUR
+  AND v.view_ts + INTERVAL 1 HOUR < m.wm
 """
 
 
@@ -742,6 +749,112 @@ register(
     "emission path of the symmetric hash join, value-checked.",
     tags=("streaming", "join", "drain", "outer"),
 )(streaming_left_join_drain)
+
+
+# ---------------------------------------------------------------------------
+# streaming_full_join_drain — FULL OUTER completes the stream-stream join
+# family (inner r7, left outer r8): both null-padded emission classes in
+# one query. Eviction boundaries differ per side because the event-time
+# bound is asymmetric: a view V can still be matched by purchases in
+# [V, V+1h], so its null row is final once V+1h falls behind the final
+# watermark; a purchase P matches only views at or before P, so its
+# null row is final once P itself falls behind it. The watermark both
+# boundaries compare against is the MIN-policy global watermark over
+# the two input streams — min(max view_ts, max purchase_ts),
+# millisecond-truncated, minus the 2h delay (read back from the drain
+# checkpoint's batchWatermarkMs and encoded exactly in the oracle's
+# `m` CTE; the r8 left-join oracle's plain max(ts)-2h was data-lucky:
+# whichever stream ends earlier drags the global watermark back).
+# ---------------------------------------------------------------------------
+
+STREAM_FULL_JOIN_ORACLE = """
+WITH v AS (
+    SELECT event_id AS view_event_id, user_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT date_trunc('millisecond', LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+    )) - INTERVAL 2 HOUR AS wm
+)
+SELECT v.view_event_id, p.purchase_event_id, v.user_id,
+       v.view_ts, p.purchase_ts
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.view_event_id, CAST(NULL AS BIGINT), v.user_id,
+       v.view_ts, CAST(NULL AS TIMESTAMP)
+FROM v, m
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.purchase_ts >= v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      )
+  AND v.view_ts + INTERVAL 1 HOUR < m.wm
+UNION ALL
+SELECT CAST(NULL AS BIGINT), p.purchase_event_id, p.user_id,
+       CAST(NULL AS TIMESTAMP), p.purchase_ts
+FROM p, m
+WHERE NOT EXISTS (
+        SELECT 1 FROM v
+        WHERE v.user_id = p.user_id
+          AND p.purchase_ts >= v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      )
+  AND p.purchase_ts < m.wm
+"""
+
+
+def streaming_full_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.aggregates import streaming_orders_with_payments
+
+    ws = session_dir("full_join_drain")
+    base = _events_stream_split(spark, sf_dir, ws)
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = streaming_orders_with_payments(
+        views,
+        purchases,
+        key="user_id",
+        orders_ts="view_ts",
+        payments_ts="purchase_ts",
+        within="1 hour",
+        watermark="2 hours",
+        how="full_outer",
+    ).select(
+        "view_event_id", "purchase_event_id", "user_id", "view_ts", "purchase_ts"
+    )
+    return _drain_to_parquet(
+        joined, "full_join_drain", min_batches=_N_SPLITS, state_partitions=8
+    )
+
+
+register(
+    "streaming_full_join_drain",
+    oracle=STREAM_FULL_JOIN_ORACLE,
+    doc="Watermarked stream-stream FULL OUTER join via availableNow "
+    "drain: matched pairs plus BOTH null-padded expiry classes "
+    "(match-less views past view_ts+1h, match-less purchases past "
+    "purchase_ts) against the final watermark — the complete outer "
+    "emission surface of the symmetric hash join, value-checked.",
+    tags=("streaming", "join", "drain", "outer"),
+)(streaming_full_join_drain)
 
 
 # ---------------------------------------------------------------------------

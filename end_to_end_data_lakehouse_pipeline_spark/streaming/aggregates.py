@@ -173,7 +173,12 @@ def streaming_orders_with_payments(
         & (p[payments_ts] >= o[orders_ts])
         & (p[payments_ts] <= o[orders_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return o.join(p, cond, how).drop("__right_key")
+    out = o.join(p, cond, how)
+    if how == "full_outer":
+        # right-only rows carry a NULL left key — surface the right key
+        # under the canonical name before dropping its alias
+        out = out.withColumn(key, F.coalesce(F.col(key), F.col("__right_key")))
+    return out.drop("__right_key")
 
 
 def silver_merge_sink(
