@@ -132,6 +132,7 @@ HEADLINE = [
     "packing_padding_waste",   # seq-len packing efficiency report
     "txnlog_merge_schema_evolution",  # ACID MERGE with union-schema evolution
     "dpp_partitioned_month_join",  # join-driven dynamic partition pruning
+    "mad_length_outliers",     # robust median+MAD per-source length gate
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -848,3 +848,114 @@ register(
     "domain-bounded weeks-x-bins aggregate).",
     tags=("quality", "drift", "timeseries", "stats"),
 )(build_weekly_value_psi)
+
+
+# ---------------------------------------------------------------------------
+# mad_length_outliers — robust per-source length outliers (round 9):
+# median + MAD (median absolute deviation) instead of mean + stddev, the
+# estimator that survives the heavy-tailed length distributions every
+# web corpus has (a handful of giant documents move a mean arbitrarily
+# far; they move a median not at all). Everything is INTEGER: token
+# counts, the discrete median (value at rank ceil(n/2), same definition
+# as approx_quantile_error_report's exact side), the MAD, and the
+# |x - med| > 3 * max(mad, 1) flag — zero float ops, so cross-engine
+# parity is structural. Two rank passes over per-source sorted token
+# counts; the window is per-source and this is a curation/validation
+# report, the same cost class as the percentile family.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3
+
+MAD_OUTLIERS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len({{tok}}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+r1 AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM d
+),
+med AS (
+    SELECT source, n_tokens AS med_tokens
+    FROM r1 WHERE rn = (cnt + 1) // 2
+),
+dev AS (
+    SELECT d.doc_id, d.source, d.n_tokens, m.med_tokens,
+           ABS(d.n_tokens - m.med_tokens) AS deviation
+    FROM d JOIN med m USING (source)
+),
+r2 AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY deviation
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM dev
+),
+mad AS (
+    SELECT source, deviation AS mad_tokens
+    FROM r2 WHERE rn = (cnt + 1) // 2
+)
+SELECT v.doc_id, v.source, v.n_tokens, v.med_tokens, a.mad_tokens,
+       v.deviation
+FROM dev v JOIN mad a USING (source)
+WHERE v.deviation > {MAD_K} * GREATEST(a.mad_tokens, 1)
+""".format(tok="{tok}")
+
+
+from .text import _sql_tokens  # noqa: E402  (oracle twin of tokens_col)
+
+
+def build_mad_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    docs = spread(table(spark, sf_dir, "documents"), spark)
+    d = docs.select(
+        "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+
+    # integer floor-division parity: (cnt+1)/2 on longs is double division
+    # in Spark — floor() lands on the same integer rank as DuckDB's //
+    def _per_source_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(col)
+        wc = Window.partitionBy("source")
+        r = df.select(
+            "source",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        return r.filter(
+            F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("int")
+        ).select("source", F.col(col).alias(out))
+
+    med = _per_source_median(d, "n_tokens", "med_tokens")
+    dev = d.join(med, "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "med_tokens",
+        F.abs(F.col("n_tokens") - F.col("med_tokens")).alias("deviation"),
+    )
+    mad = _per_source_median(dev, "deviation", "mad_tokens")
+    return dev.join(mad, "source").filter(
+        F.col("deviation") > MAD_K * F.greatest(F.col("mad_tokens"), F.lit(1))
+    ).select(
+        "doc_id", "source", "n_tokens", "med_tokens", "mad_tokens", "deviation"
+    )
+
+
+register(
+    "mad_length_outliers",
+    oracle=MAD_OUTLIERS_ORACLE.format(tok=_sql_tokens()),
+    doc=f"Robust per-source length outliers: integer discrete median + "
+    f"MAD over token counts, flagging |x - med| > {MAD_K} * max(MAD, 1) "
+    "— the heavy-tail-proof alternative to mean/stddev gates; all-"
+    "integer math, structurally exact cross-engine.",
+    tags=("quality", "robust", "llm", "stats"),
+)(build_mad_length_outliers)
