@@ -1934,10 +1934,16 @@ def build_bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(tokens_col()).alias("t")
     ).select("doc_id", "source", F.lower("t").alias("term"))
+    # materialize the term-frequency table ONCE: it feeds dl, df and the
+    # postings build, and Catalyst does not reuse the exchange across the
+    # three consumers (each prunes different columns — plan-audited r9:
+    # 5 corpus scans / 5 explodes without this). The checkpoint turns
+    # 4 corpus tokenizations into 1 — the dominant cost at any scale.
     ctf = (
         tok.filter(F.col("source") != BENCH_SOURCE)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dl = ctf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
