@@ -133,6 +133,7 @@ HEADLINE = [
     "txnlog_merge_schema_evolution",  # ACID MERGE with union-schema evolution
     "dpp_partitioned_month_join",  # join-driven dynamic partition pruning
     "mad_length_outliers",     # robust median+MAD per-source length gate
+    "jsonl_corpus_roundtrip",  # JSONL file source, schema-on-read
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

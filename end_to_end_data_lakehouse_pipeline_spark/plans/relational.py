@@ -3846,3 +3846,68 @@ register(
     "directories (plan pinned by pytest).",
     tags=("join", "partition", "pruning", "relational", "scale"),
 )(build_dpp_partitioned_month_join)
+
+
+# ---------------------------------------------------------------------------
+# jsonl_corpus_roundtrip — the JSON-lines FILE SOURCE driven end-to-end
+# (round 9; same shape as orc_roundtrip_scan). JSONL is the interchange
+# format LLM corpora actually arrive in (Common Crawl derivatives, HF
+# dataset dumps, annotation exports) — the reference's JSON surface is
+# Kafka-envelope from_json on a column (kafka_envelope_project); this
+# drives spark.read.json over FILES: escaping round-trip fidelity
+# (newlines, quotes, unicode in `text`) and schema-on-read (explicit
+# schema — at 100 TB you never let the JSON reader sample-infer). The
+# JSONL copy is written once per corpus (content-fingerprinted store);
+# the aggregate is all-integer so parity is structural.
+# ---------------------------------------------------------------------------
+
+JSONL_ROUNDTRIP_ORACLE = f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len({{tok}})) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY source, lang
+""".format(tok="{tok}")
+
+
+def build_jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .text import tokens_col
+    from .workspace import corpus_fingerprint, session_store
+
+    h = corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))[:8]
+    store = session_store(f"jsonl_{h}")
+    path = _os.path.join(store, "documents_jsonl")
+    docs = table(spark, sf_dir, "documents")
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        docs.repartition(4).write.mode("overwrite").json(path)
+    j = spark.read.schema(docs.schema).json(path)  # schema-on-read, no infer
+    return j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(tokens_col()).cast("long")).cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+def _jsonl_oracle() -> str:
+    from .text import _sql_tokens
+
+    return JSONL_ROUNDTRIP_ORACLE.format(tok=_sql_tokens())
+
+
+register(
+    "jsonl_corpus_roundtrip",
+    oracle=_jsonl_oracle(),
+    doc="JSON-lines file source end-to-end: documents written as JSONL "
+    "once per corpus, read back with an explicit schema (no sampling "
+    "inference), aggregated per (source, lang) with all-integer stats — "
+    "escaping round-trip fidelity value-checked against the parquet "
+    "oracle.",
+    tags=("source", "json", "llm", "relational"),
+)(build_jsonl_corpus_roundtrip)
