@@ -134,6 +134,7 @@ HEADLINE = [
     "dpp_partitioned_month_join",  # join-driven dynamic partition pruning
     "mad_length_outliers",     # robust median+MAD per-source length gate
     "jsonl_corpus_roundtrip",  # JSONL file source, schema-on-read
+    "variant_props_analytics",  # Spark 4 VARIANT parse-once/extract-many
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -3911,3 +3911,59 @@ register(
     "oracle.",
     tags=("source", "json", "llm", "relational"),
 )(build_jsonl_corpus_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# variant_props_analytics — the Spark 4 VARIANT type driven end-to-end
+# (round 9): semi-structured payloads parsed ONCE into the binary
+# variant encoding (parse_json), then path-extracted with variant_get /
+# try_variant_get. This is the modern engine's answer to the schema-
+# drift problem the typed from_json path (json_extract_events) can't
+# handle: from_json needs the full schema up front and silently nulls
+# anything that drifts, while VARIANT keeps every field and types at
+# EXTRACTION time — at 100 TB you parse the JSON text once at ingest,
+# store variant, and every downstream query reads paths without
+# re-parsing text. try_variant_get on an absent path returns NULL
+# (no schema declaration anywhere), which the report counts.
+# ---------------------------------------------------------------------------
+
+VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_max,
+       CAST(COUNT(CASE WHEN json_extract(props, '$.absent') IS NULL
+                       THEN 1 END) AS BIGINT) AS n_missing_path
+FROM events
+GROUP BY event_type
+"""
+
+
+def build_variant_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("v")  # text -> variant, once
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.variant_get("v", "$.k", "bigint")).cast("long").alias("k_sum"),
+        F.max(F.variant_get("v", "$.k", "bigint")).cast("long").alias("k_max"),
+        F.count(
+            F.when(F.try_variant_get("v", "$.absent", "string").isNull(), 1)
+        )
+        .cast("long")
+        .alias("n_missing_path"),
+    )
+
+
+register(
+    "variant_props_analytics",
+    oracle=VARIANT_PROPS_ORACLE,
+    doc="Spark 4 VARIANT end-to-end: events.props parsed once with "
+    "parse_json, paths typed at extraction with variant_get / "
+    "try_variant_get (absent paths null, counted) — the schema-drift-"
+    "proof semi-structured path next to the typed from_json parse.",
+    tags=("relational", "json", "variant", "scalar"),
+)(build_variant_props_analytics)
