@@ -164,6 +164,7 @@ HEAVY = [
     "streaming_left_join_drain",  # outer stream-stream join: eviction flush batches make it the costliest drain
     # round-9 additions
     "streaming_full_join_drain",  # both null-padded expiry classes, min-policy watermark
+    "streaming_watermark_dedup_drain",  # ST4 echo-drop through the state store
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
