@@ -166,6 +166,7 @@ HEAVY = [
     "streaming_full_join_drain",  # both null-padded expiry classes, min-policy watermark
     "streaming_watermark_dedup_drain",  # ST4 echo-drop through the state store
     "streaming_checkpoint_resume_drain",  # ST2 two-run resume, exactly-once sink
+    "streaming_fanout_drain",  # S2 per-topic independent bronze queries
 ]
 
 # Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x

@@ -1400,3 +1400,91 @@ register(
     "once — replay duplicates or lost offsets break the value compare.",
     tags=("streaming", "drain", "txnlog"),
 )(streaming_checkpoint_resume_drain)
+
+
+# ---------------------------------------------------------------------------
+# streaming_fanout_drain — S2's multi-topic fan-out driven end-to-end
+# (round 9; previously covered only by unit tests): ONE staged event
+# source feeds TWO independent bronze queries (engagement topics vs
+# transactional topics), each with its own checkpoint and its own
+# foreachBatch append sink partitioned by _source_table — the
+# reference's one-query-per-topic layout (streaming_bronze.py:130-144).
+# The drain reads both bronze trees back, re-parses the JSON envelope
+# (_raw_value), and aggregates per (topic, event_type) — routing,
+# envelope fidelity and per-topic isolation value-checked. The
+# nondeterministic bronze metadata (_ingested_at, null Kafka cols)
+# never reaches the output.
+# ---------------------------------------------------------------------------
+
+_FANOUT_TOPICS = {
+    "engagement": ("view", "click"),
+    "transactional": ("purchase", "signup", "error"),
+}
+
+FANOUT_ORACLE = """
+SELECT CASE WHEN event_type IN ('view', 'click') THEN 'engagement'
+            ELSE 'transactional' END AS topic,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_fanout_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.bronze import fan_out
+
+    ws = session_dir("fanout")
+    # rename `value`: bronze_projection treats a column of that name as
+    # the Kafka wire value (cast-to-string passthrough); renaming routes
+    # these file-source rows through the to_json envelope path instead
+    base = _events_stream_split(spark, sf_dir, ws).withColumnRenamed(
+        "value", "amount"
+    )
+    streams = [
+        (base.filter(F.col("event_type").isin(*types)), topic)
+        for topic, types in _FANOUT_TOPICS.items()
+    ]
+    bronze_root = os.path.join(ws, "bronze")
+    queries = fan_out(
+        streams, bronze_root, os.path.join(ws, "ckpt"), available_now=True
+    )
+    for q in queries:  # one independent query per topic
+        q.awaitTermination()
+    for topic in _FANOUT_TOPICS:
+        _assert_multibatch(os.path.join(ws, "ckpt", topic), _N_SPLITS)
+    # one read per topic tree (each is its own partitioned table;
+    # a single multi-path read trips partition discovery)
+    from functools import reduce
+
+    bronze = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(os.path.join(bronze_root, t)) for t in _FANOUT_TOPICS],
+    )
+    # parse just the needed fields: the envelope serializes ts as an ISO
+    # string (from the converted timestamp), so the staged parquet schema
+    # (long ts) would null the whole struct; from_json ignores extras
+    parsed = bronze.select(
+        F.col("_source_table").alias("topic"),
+        F.from_json("_raw_value", "event_type string, amount double").alias("e"),
+    )
+    return parsed.groupBy("topic", F.col("e.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("e.amount") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+register(
+    "streaming_fanout_drain",
+    oracle=FANOUT_ORACLE,
+    doc="S2 multi-topic fan-out end-to-end: one staged source split into "
+    "two independent bronze queries (own checkpoints, foreachBatch "
+    "appends partitioned by _source_table), drained, read back and "
+    "envelope-re-parsed — routing and fidelity value-checked per "
+    "(topic, event_type).",
+    tags=("streaming", "bronze", "drain", "kafka"),
+)(streaming_fanout_drain)
