@@ -1488,3 +1488,65 @@ register(
     "(topic, event_type).",
     tags=("streaming", "bronze", "drain", "kafka"),
 )(streaming_fanout_drain)
+
+
+# ---------------------------------------------------------------------------
+# overwrite_publish_scan — S6's atomic overwrite publish driven as a
+# registered query (round 9; previously pytest-only): the gold
+# full-refresh pattern — publish a PARTIAL aggregate (the stale serving
+# copy), then publish the full refresh OVER it via the staging-dir
+# rename swap, and read the table back. Leftover files from the first
+# publish would duplicate rows and break the value compare, so the
+# compare itself checks the overwrite's cleanup contract; the
+# crash-window atomicity tests stay in pytest (test_lakehouse).
+# ---------------------------------------------------------------------------
+
+OVERWRITE_PUBLISH_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(o_orderdate AS DATE) AS order_day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def overwrite_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table as _table
+    from ..sources.lakehouse import LakehouseTable
+
+    ws = session_dir("ow_publish")
+    serving = LakehouseTable(spark, os.path.join(ws, "daily_gold"))
+
+    def gold(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+
+    orders = _table(spark, sf_dir, "orders")
+    serving.overwrite(  # stale partial publish (yesterday's run)
+        gold(orders.filter(F.col("o_orderkey") % 2 == 0)),
+        partition_by=("status",),
+    )
+    serving.overwrite(  # full refresh replaces it wholesale
+        gold(orders), partition_by=("status",), sort_within_by=("order_day",)
+    )
+    return serving.read()
+
+
+register(
+    "overwrite_publish_scan",
+    oracle=OVERWRITE_PUBLISH_ORACLE,
+    doc="S6 atomic overwrite publish end-to-end: a stale partial gold "
+    "copy replaced wholesale by the full refresh (staging-dir rename "
+    "swap, partitioned by status); any leftover first-publish file "
+    "would duplicate rows and break the compare.",
+    tags=("lakehouse", "gold", "agg"),
+)(overwrite_publish_scan)
