@@ -135,6 +135,7 @@ HEADLINE = [
     "mad_length_outliers",     # robust median+MAD per-source length gate
     "jsonl_corpus_roundtrip",  # JSONL file source, schema-on-read
     "variant_props_analytics",  # Spark 4 VARIANT parse-once/extract-many
+    "csv_bulk_roundtrip",      # S10/S11 schema-first CSV load end-to-end
 ]
 
 # Heavy tier: the composed multi-stage reports too expensive for the

@@ -3967,3 +3967,63 @@ register(
     "proof semi-structured path next to the typed from_json parse.",
     tags=("relational", "json", "variant", "scalar"),
 )(build_variant_props_analytics)
+
+
+# ---------------------------------------------------------------------------
+# csv_bulk_roundtrip — the CSV bulk load/write path driven as a
+# registered query (round 9; S10/S11 were pytest-only): orders written
+# as headered multi-file CSV (the reference's 10 GB synthetic-CSV
+# interchange, distributed instead of single-process), read back
+# SCHEMA-FIRST (never inferSchema at scale — a second full pass), and
+# aggregated. Timestamps round-trip as ISO-8601 under the pinned UTC
+# session; doubles round-trip via shortest-repr. The copy is written
+# once per corpus (content-fingerprinted store).
+# ---------------------------------------------------------------------------
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(MIN(o_orderdate) AS DATE) AS first_day,
+       CAST(MAX(o_orderdate) AS DATE) AS last_day
+FROM orders
+GROUP BY 1
+"""
+
+
+def build_csv_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sources.readers import read_csv, write_csv_bulk
+    from .workspace import corpus_fingerprint, session_store
+
+    h = corpus_fingerprint(_os.path.join(sf_dir, "orders.parquet"))[:8]
+    store = session_store(f"csv_{h}")
+    path = _os.path.join(store, "orders_csv")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        write_csv_bulk(orders, path, n_files=4)
+    back = read_csv(spark, path, orders.schema)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_day"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+    )
+
+
+register(
+    "csv_bulk_roundtrip",
+    oracle=CSV_ROUNDTRIP_ORACLE,
+    doc="CSV bulk write + schema-first load end-to-end: orders written "
+    "as 4-file headered CSV once per corpus, read back with the "
+    "explicit schema (no inferSchema pass) and aggregated — type "
+    "round-trip fidelity (timestamps ISO-8601, shortest-repr doubles) "
+    "value-checked against the parquet oracle.",
+    tags=("source", "relational", "agg"),
+)(build_csv_bulk_roundtrip)
