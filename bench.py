@@ -171,8 +171,19 @@ HEAVY = [
     "overwrite_publish_scan",  # S6 staging-swap gold publish, cleanup-checked
 ]
 
-# Best-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
-# outliers on identical plans); N=2 keeps the whole run a few minutes.
+# Median-of-N per query damps single-JVM jitter (GC pauses showed 5-10x
+# outliers on identical plans; r9's driver single-shot ran 1.32x on
+# UNTOUCHED code — contended host). VERDICT r9 task 4: the headline tier
+# reports per-query MEDIANS like the heavy tier, so a noisy round is
+# adjudicable from the bench line alone. N=2's median is the midpoint of
+# the two runs (still damping one-sided GC spikes); close runs set
+# SPARK_GRAFT_BENCH_REPEATS=3 for a true median. NOTE (round-over-round):
+# r1-r9 headline numbers were best-of-N — the median switch shifts the
+# series up slightly; r10+ medians are the comparable sequence.
+# Plan-shape note (ADVICE r9): since r9, mv_daily_sales_approx also
+# computes two exact countDistinct contract legs — its timing measures
+# the validation query, not the no-Expand serving path, and is not
+# comparable with r1-r8 rounds.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
@@ -181,6 +192,8 @@ def _force(df) -> None:
 
 
 def main() -> None:
+    import statistics
+
     spark = session.get_spark("bench")
     qs = plans.queries()
     names = [n for n in HEADLINE if n in qs]
@@ -191,12 +204,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(max(REPEATS, 1)):
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     # Heavy tier defaults to one shot (keeps the per-round driver bench
     # bounded); close/adjudication runs set SPARK_GRAFT_BENCH_HEAVY_REPEATS=3
@@ -207,8 +220,6 @@ def main() -> None:
     heavy_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "1"))
     heavy_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
-        import statistics
-
         for name in HEAVY:
             if name not in qs:
                 continue

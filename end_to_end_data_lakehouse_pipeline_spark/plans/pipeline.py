@@ -1871,6 +1871,9 @@ BM25_B = 0.75
 BM25_TOPK = 3
 BM25_DF_CAP = 1000
 
+# ADVICE r9: every k1/b literal below derives from the two constants, so
+# editing them moves BOTH the Spark expression and the oracle in lockstep
+# (Python float repr round-trips exactly into the SQL double literal).
 BM25_ORACLE = f"""
 WITH tok AS (
     SELECT doc_id, source, lower(unnest({_sql_tokens()})) AS term
@@ -1895,9 +1898,9 @@ post AS (
            CAST(ROUND(
                ln(1.0 + ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
                          / (CAST(d.df AS DOUBLE) + 0.5)))
-               * ((CAST(c.tf AS DOUBLE) * 2.2)
+               * ((CAST(c.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
                   / (CAST(c.tf AS DOUBLE)
-                     + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                     + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * (CAST(l.dl AS DOUBLE)
                        / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
                * 1000000.0) AS BIGINT) AS c
     FROM ctf c JOIN dft d USING (term) JOIN dl l USING (doc_id)
@@ -1927,6 +1930,42 @@ FROM ranked WHERE rnk <= {BM25_TOPK}
 """
 
 
+def _bm25_ctf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency table (doc_id, term, tf), PERSISTED WITH THE
+    CORPUS (VERDICT r9 task 3, the contamination-signature pattern at
+    _contam_signatures): it feeds dl, df and the postings build, and
+    Catalyst does not reuse the exchange across the three consumers
+    (plan-audited r9: 5 corpus scans / 5 explodes without materializing).
+    r9 used localCheckpoint() — right locally, but it pins NON-REPLICATED
+    executor-local blocks (a lost executor truncates the lineage and
+    kills the query at cluster scale) and rebuilds every run. A content-
+    fingerprinted parquet store keeps the lineage replayable (plain scan)
+    and makes repeat retrievals — each new benchmark drop, the production
+    cadence — skip the tokenize+count entirely. Deterministic content, so
+    stored-vs-fresh is value-identical and the oracle is unaffected."""
+    import os as _os
+
+    from .workspace import corpus_fingerprint, session_store
+
+    store = session_store(
+        "bm25_ctf_"
+        + corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+    )
+    path = _os.path.join(store, "ctf.parquet")
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        docs = spread(table(spark, sf_dir, "documents"), spark)
+        (
+            docs.filter(F.col("source") != BENCH_SOURCE)
+            .select("doc_id", F.explode(tokens_col()).alias("t"))
+            .select("doc_id", F.lower("t").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def build_bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1934,17 +1973,7 @@ def build_bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(tokens_col()).alias("t")
     ).select("doc_id", "source", F.lower("t").alias("term"))
-    # materialize the term-frequency table ONCE: it feeds dl, df and the
-    # postings build, and Catalyst does not reuse the exchange across the
-    # three consumers (each prunes different columns — plan-audited r9:
-    # 5 corpus scans / 5 explodes without this). The checkpoint turns
-    # 4 corpus tokenizations into 1 — the dominant cost at any scale.
-    ctf = (
-        tok.filter(F.col("source") != BENCH_SOURCE)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
+    ctf = _bm25_ctf(spark, sf_dir)
     dl = ctf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -1962,10 +1991,10 @@ def build_bm25_bench_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("df").cast("double") + F.lit(0.5))
         )
     )
-    sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+    sat = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
         F.col("tf").cast("double")
-        + F.lit(1.2)
-        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
     )
     post = (
         ctf.join(dft, "term")

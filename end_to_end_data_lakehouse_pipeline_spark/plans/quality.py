@@ -859,9 +859,10 @@ register(
 # counts, the discrete median (value at rank ceil(n/2), same definition
 # as approx_quantile_error_report's exact side), the MAD, and the
 # |x - med| > 3 * max(mad, 1) flag — zero float ops, so cross-engine
-# parity is structural. Two rank passes over per-source sorted token
-# counts; the window is per-source and this is a curation/validation
-# report, the same cost class as the percentile family.
+# parity is structural. Two grouped rank passes (round 10): the data-
+# sized stage is a partial-aggregating groupBy(source, value); the only
+# windows run over the distinct (source, value) tallies — value-domain-
+# sized, never data-sized (the mannwhitney reduction).
 # ---------------------------------------------------------------------------
 
 MAD_K = 3
@@ -919,20 +920,40 @@ def build_mad_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
 
-    # integer floor-division parity: (cnt+1)/2 on longs is double division
-    # in Spark — floor() lands on the same integer rank as DuckDB's //
+    # VERDICT r9 task 1: the original per-source row_number window put
+    # EVERY row of a source through one sort task — the single-partition
+    # cliff at 100 TB. Value-domain reduction (the r5
+    # source_drift_mannwhitney precedent): the discrete median at rank
+    # (cnt+1)//2 is fully determined by per-(source, value) tallies, so
+    # the data-sized pass is a partial-aggregating groupBy (map-side
+    # combine, every shuffle partition busy) and the only window runs
+    # over the DISTINCT (source, value) rows — value-domain-sized, the
+    # same bounded class as approx_quantile_error_report's exact side.
+    # median = MIN value whose cumulative tally reaches the target rank,
+    # identical to row_number()=rank on sorted rows.
+    # Integer floor-division parity: (cnt+1)/2 on longs is double
+    # division in Spark — floor() lands on DuckDB's // rank.
     def _per_source_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("source").orderBy(col)
-        wc = Window.partitionBy("source")
-        r = df.select(
-            "source",
-            F.col(col),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("cnt"),
+        vc = df.groupBy("source", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
         )
-        return r.filter(
-            F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("int")
-        ).select("source", F.col(col).alias(out))
+        wcum = (
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy("source")
+        cum = vc.select(
+            "source",
+            "v",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wall).alias("cnt"),
+        )
+        return (
+            cum.filter(F.col("cum") >= F.floor((F.col("cnt") + 1) / 2))
+            .groupBy("source")
+            .agg(F.min("v").alias(out))
+        )
 
     med = _per_source_median(d, "n_tokens", "med_tokens")
     dev = d.join(med, "source").select(

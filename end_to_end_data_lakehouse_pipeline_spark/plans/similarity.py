@@ -1321,16 +1321,29 @@ register(
 # (S12 shape), O(D^3) driver eigh. At 100 TB this is the only sane plan;
 # no shuffle of row data at all.
 #
-# Rows-only registration: eigendecomposition is not expressible in SQL;
-# the pytest property suite pins trace preservation (sum of eigenvalues
-# == total variance), descending order, and ratio normalization.
+# Oracled as a CONTRACT CHECK (VERDICT r9 task 2, the
+# approx_quantile_error_report pattern): the eigendecomposition itself is
+# not expressible in SQL, but its defining invariants are deterministic —
+# the eigenvalue sum equals the covariance trace (exactly recomputable
+# from the integer sufficient statistics), eigenvalues come out sorted
+# and non-negative (PSD covariance), explained-variance ratios live in
+# [0, 1] and cumulate monotonically to 1 — all checked on a 1e-9 grid.
+# The registered query carries n, D, the EXACT integer trace numerator
+# sum_i (n*ss_ii - s_i^2) as a VARCHAR (HUGEINT-recomputable in DuckDB),
+# and the deterministically-TRUE booleans; the engine-specific float
+# eigenvalues stay internal (pca_spectrum keeps the presentation, pinned
+# by the pytest property suite).
 # ---------------------------------------------------------------------------
 
 
-def pca_spectrum(q, spark):
-    """Exact-covariance PCA spectrum of a DataFrame with one
-    ``qa: array<long>`` column (integer micro-units). Partition-count
-    invariant: int64 numpy partials summed as python ints."""
+def _cov_suffstats(q):
+    """Exact integer covariance sufficient statistics of a ``qa:
+    array<long>`` relation: ``(n, s[D], ss[D*D])`` with the partial rows
+    re-summed driver-side in Python ints (arbitrary precision — exact at
+    any partitioning). One distributed pass, one bounded collect (a row
+    per Arrow chunk — S12 shape). int64-overflow guard (ADVICE r8): each
+    batch's second moment is bounded by rows * max|q|^2, so batches are
+    chunked at 2^62 / max|q|^2 rows. Returns None on an empty relation."""
     import numpy as np
     import pandas as pd
 
@@ -1339,22 +1352,38 @@ def pca_spectrum(q, spark):
             if not len(pdf):
                 continue
             x = np.stack(pdf["qa"].to_numpy())  # (n, D) int64
-            yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "ss": [(x.T @ x).reshape(-1).tolist()],
-                }
-            )
+            m = int(np.abs(x).max()) or 1
+            step = max(1, min(len(x), (1 << 62) // (m * m)))
+            for lo in range(0, len(x), step):
+                c = x[lo : lo + step]
+                yield pd.DataFrame(
+                    {
+                        "n": [len(c)],
+                        "s": [c.sum(axis=0).tolist()],
+                        "ss": [(c.T @ c).reshape(-1).tolist()],
+                    }
+                )
 
     stats = q.mapInPandas(
         partials, schema="n long, s array<long>, ss array<long>"
-    ).collect()  # one row per non-empty partition — bounded, S12 shape
+    ).collect()  # one row per non-empty chunk — bounded, S12 shape
+    if not stats:
+        return None
     n = sum(r["n"] for r in stats)
     d = len(stats[0]["s"])
-    # python-int accumulation: exact regardless of partition count
     s = [sum(r["s"][i] for r in stats) for i in range(d)]
     ss = [sum(r["ss"][i] for r in stats) for i in range(d * d)]
+    return n, s, ss
+
+
+def pca_spectrum(q, spark):
+    """Exact-covariance PCA spectrum of a DataFrame with one
+    ``qa: array<long>`` column (integer micro-units). Partition-count
+    invariant: int64 numpy partials summed as python ints."""
+    import numpy as np
+
+    n, s, ss = _cov_suffstats(q)
+    d = len(s)
     sv = np.array(s, dtype=np.float64)
     ssm = np.array(ss, dtype=np.float64).reshape(d, d)
     cov = (ssm - np.outer(sv, sv) / n) / (n - 1) / 1e12  # micro-units^2 -> units^2
@@ -1375,18 +1404,102 @@ def pca_spectrum(q, spark):
     )
 
 
+_PCA_GRID = 1e-9
+
+_PCA_CONTRACT_SCHEMA = (
+    "component int, n long, dim int, trace_num string, "
+    "eig_sum_matches_trace boolean, eig_nonneg boolean, "
+    "eig_sorted_desc boolean, ratio_in_unit boolean, "
+    "cum_ratio_monotone boolean, ratios_sum_to_one boolean"
+)
+
+
 def build_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     emb = spread(table(spark, sf_dir, "embeddings"), spark)
-    return pca_spectrum(emb.select(quantized().alias("qa")), spark)
+    st = _cov_suffstats(emb.select(quantized().alias("qa")))
+    if st is None or st[0] < 2:
+        # degenerate corpus: mirror the oracle exactly — generate_series
+        # still emits D rows; the trace SUM over zero per-dim rows is NULL
+        n0 = 0 if st is None else st[0]
+        return spark.createDataFrame(
+            [(i + 1, n0, DIM, None, True, True, True, True, True, True)
+             for i in range(DIM)],
+            _PCA_CONTRACT_SCHEMA,
+        )
+    n, s, ss = st
+    d = DIM
+    # exact integer trace numerator sum_i (n*ss_ii - s_i^2), Python ints;
+    # the actual trace in units^2 is trace_num / (n*(n-1)) / 1e12
+    trace_num = sum(n * ss[i * d + i] - s[i] * s[i] for i in range(d))
+    trace = trace_num / (n * (n - 1)) / 1e12
+    sv = np.array(s, dtype=np.float64)
+    ssm = np.array(ss, dtype=np.float64).reshape(d, d)
+    cov = (ssm - np.outer(sv, sv) / n) / (n - 1) / 1e12
+    evals = np.linalg.eigvalsh(cov)[::-1]  # ascending, reversed
+    total = float(evals.sum())
+    ratios = [float(e / total) for e in evals]
+    cum = np.cumsum(ratios)
+    scale = max(abs(trace), 1.0)
+    sum_ok = bool(abs(total - trace) <= _PCA_GRID * scale)
+    ratios_ok = bool(abs(float(cum[-1]) - 1.0) <= _PCA_GRID)
+    rows = [
+        (
+            i + 1,
+            n,
+            d,
+            str(trace_num),
+            sum_ok,
+            bool(evals[i] >= -_PCA_GRID * scale),
+            bool(i == 0 or evals[i] <= evals[i - 1] + _PCA_GRID * scale),
+            bool(-_PCA_GRID <= ratios[i] <= 1.0 + _PCA_GRID),
+            bool(i == 0 or cum[i] >= cum[i - 1] - _PCA_GRID),
+            ratios_ok,
+        )
+        for i in range(d)
+    ]
+    return spark.createDataFrame(rows, _PCA_CONTRACT_SCHEMA)
+
+
+EMB_PCA_CONTRACT_ORACLE = f"""
+WITH q AS (SELECT {_sql_quantized()} AS qa FROM embeddings),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+per AS (
+    SELECT t.i,
+           SUM(CAST(qa[t.i] AS HUGEINT) * qa[t.i]) AS ssii,
+           SUM(CAST(qa[t.i] AS HUGEINT)) AS si
+    FROM q CROSS JOIN UNNEST(generate_series(1, {DIM})) t(i)
+    GROUP BY t.i
+),
+tr AS (
+    SELECT CAST(SUM(cnt.n * per.ssii - per.si * per.si) AS VARCHAR) AS trace_num
+    FROM per CROSS JOIN cnt
+)
+SELECT CAST(t.i AS INTEGER) AS component,
+       cnt.n AS n,
+       CAST({DIM} AS INTEGER) AS dim,
+       tr.trace_num AS trace_num,
+       TRUE AS eig_sum_matches_trace,
+       TRUE AS eig_nonneg,
+       TRUE AS eig_sorted_desc,
+       TRUE AS ratio_in_unit,
+       TRUE AS cum_ratio_monotone,
+       TRUE AS ratios_sum_to_one
+FROM UNNEST(generate_series(1, {DIM})) t(i) CROSS JOIN cnt CROSS JOIN tr
+"""
 
 
 register(
     "embedding_pca_variance",
-    oracle=None,
-    doc="PCA spectrum of the embedding space: exact int64 covariance "
-    "partials via mapInPandas, driver eigh of the DxD matrix; the "
-    "eigendecomposition presentation stays rows-only — the distributed "
-    "math underneath is fully oracled by embedding_covariance_suffstats.",
+    oracle=EMB_PCA_CONTRACT_ORACLE,
+    doc="PCA contract check (VERDICT r9 task 2): exact int64 covariance "
+    "partials via mapInPandas, driver eigh of the DxD matrix; the output "
+    "carries n, D, the EXACT integer trace numerator (DuckDB HUGEINT-"
+    "recomputable, VARCHAR-routed) and deterministically-TRUE eigh "
+    "invariants on a 1e-9 grid (eigensum==trace, sorted/non-negative "
+    "spectrum, ratios in [0,1] cumulating to 1); the float eigenvalues "
+    "stay internal — pca_spectrum keeps the presentation, pytest-pinned.",
     tags=("similarity", "llm", "pca"),
 )(build_embedding_pca_variance)
 
@@ -1404,50 +1517,16 @@ register(
 def build_embedding_covariance_suffstats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     emb = spread(table(spark, sf_dir, "embeddings"), spark)
-    q = emb.select(quantized().alias("qa"))
-
-    def partials(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["qa"].to_numpy())
-            # int64-overflow guard (ADVICE r8): the per-chunk second
-            # moment is bounded by rows * max|q|^2, so cap the chunk at
-            # 2^62 / max|q|^2 rows and emit one partial per chunk — the
-            # driver re-sums in Python ints (arbitrary precision). With
-            # the 1e6 grid this only splits batches past ~4.6e6 rows,
-            # but it makes the "exact integer sufficient statistics"
-            # contract hold at ANY batch size / quantization, instead of
-            # silently wrapping past ~9e6 rows.
-            m = int(np.abs(x).max()) or 1
-            step = max(1, min(len(x), (1 << 62) // (m * m)))
-            for lo in range(0, len(x), step):
-                c = x[lo : lo + step]
-                yield pd.DataFrame(
-                    {
-                        "n": [len(c)],
-                        "s": [c.sum(axis=0).tolist()],
-                        "ss": [(c.T @ c).reshape(-1).tolist()],
-                    }
-                )
-
-    stats = q.mapInPandas(
-        partials, schema="n long, s array<long>, ss array<long>"
-    ).collect()  # one row per non-empty chunk — bounded, S12 shape
-    if not stats:
+    st = _cov_suffstats(emb.select(quantized().alias("qa")))
+    if st is None:
         # empty corpus: the DuckDB twin's GROUP BY legs return no s/ss
         # rows, only the COUNT leg — mirror that exactly
         return spark.createDataFrame(
             [("n", 0, 0, "0")], "stat string, i int, j int, value string"
         )
-    n = sum(r["n"] for r in stats)
-    d = len(stats[0]["s"])
-    s = [sum(r["s"][i] for r in stats) for i in range(d)]
-    ss = [sum(r["ss"][i] for r in stats) for i in range(d * d)]
+    n, s, ss = st
+    d = len(s)
     rows = [("n", 0, 0, str(n))]
     rows += [("s", i + 1, 0, str(s[i])) for i in range(d)]
     rows += [

@@ -1395,9 +1395,11 @@ register(
     oracle=CKPT_RESUME_ORACLE,
     doc="Checkpoint resume + exactly-once sink as two runs over one "
     "checkpoint: run 1 drains two files, run 2 starts from the same "
-    "checkpoint after a third arrives and processes ONLY it (batch "
-    "count asserted 2 then 3); the sink must hold every event exactly "
-    "once — replay duplicates or lost offsets break the value compare.",
+    "checkpoint after a third arrives and processes ONLY it (asserted: "
+    "run-1 commits >= 2 batches and run 2 strictly advances the "
+    "checkpoint — no-data micro-batches make exact counts unreliable); "
+    "the sink must hold every event exactly once — replay duplicates or "
+    "lost offsets break the value compare.",
     tags=("streaming", "drain", "txnlog"),
 )(streaming_checkpoint_resume_drain)
 

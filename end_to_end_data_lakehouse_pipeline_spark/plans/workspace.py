@@ -67,30 +67,44 @@ def session_store(tag: str) -> str:
 
 def corpus_fingerprint(*paths: str) -> str:
     """Cheap content stamp for :func:`session_store` cache keys: md5 of
-    (relative name, size, mtime_ns) over every data file under ``paths``
-    (file or directory). The session_store immutability contract used to
-    be documented-but-unverified — if a corpus path was regenerated
+    (relative name, size, mtime_ns, first/last 64 content bytes) over
+    every data file under ``paths`` (file or directory). The
+    session_store immutability contract used to be
+    documented-but-unverified — if a corpus path was regenerated
     mid-session (the /tmp scaled-dir pattern reuses fixed paths), stale
     cached derivatives were served silently. Folding this stamp into the
     store tag makes regeneration produce a DIFFERENT store, so the cache
-    can only ever hit on byte-stable input. Stat-only (no reads): O(files)
-    driver-side metadata, negligible at any corpus size."""
+    can only ever hit on stable input. The content sample (ADVICE r9)
+    closes the stat-aliasing hole: a regeneration that preserves sizes
+    AND restores mtimes (``cp -p``, ``tar -x``) still changes the key —
+    parquet/ORC footers carry per-file statistics and row-group offsets,
+    so the tail bytes move with any content change. O(files) driver-side
+    metadata plus two tiny reads per file, negligible at any corpus
+    size."""
     import hashlib
 
     h = hashlib.md5()
+
+    def _file(fp: str, label: str) -> None:
+        st = os.stat(fp)
+        h.update(f"|{label}|{st.st_size}|{st.st_mtime_ns}|".encode())
+        with open(fp, "rb") as f:
+            h.update(f.read(64))
+            if st.st_size > 64:
+                f.seek(max(64, st.st_size - 64))
+                h.update(f.read(64))
+
     for path in paths:
         p = os.path.abspath(path)
         h.update(p.encode())
         if os.path.isfile(p):
-            st = os.stat(p)
-            h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+            _file(p, "")
             continue
         for dirpath, dirnames, filenames in os.walk(p):
             dirnames.sort()
             for name in sorted(filenames):
                 if name.startswith((".", "_")):  # _SUCCESS, .crc sidecars
                     continue
-                st = os.stat(os.path.join(dirpath, name))
-                rel = os.path.relpath(os.path.join(dirpath, name), p)
-                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+                fp = os.path.join(dirpath, name)
+                _file(fp, os.path.relpath(fp, p))
     return h.hexdigest()[:12]

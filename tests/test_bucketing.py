@@ -7,6 +7,8 @@ Exchange (only per-partition sorts)."""
 
 from __future__ import annotations
 
+import os
+
 from end_to_end_data_lakehouse_pipeline_spark.sources.lakehouse import write_bucketed
 
 
@@ -110,6 +112,13 @@ def test_corpus_fingerprint_tracks_content(tmp_path):
     f1 = corpus_fingerprint(str(d))
     assert corpus_fingerprint(str(d)) == f1  # stable while untouched
     (d / "part-0.parquet").write_bytes(b"bbbbbb")  # regenerate in place
-    assert corpus_fingerprint(str(d)) != f1
+    f2 = corpus_fingerprint(str(d))
+    assert f2 != f1
     (d / "_SUCCESS").write_bytes(b"")  # sidecars don't count
-    assert corpus_fingerprint(str(d)) == corpus_fingerprint(str(d))
+    assert corpus_fingerprint(str(d)) == f2
+    # same sizes + restored mtimes must STILL change the key (the cp -p /
+    # tar -x aliasing hazard) — the stamp samples content, not just stat
+    st = os.stat(d / "part-0.parquet")
+    (d / "part-0.parquet").write_bytes(b"cccccc")
+    os.utime(d / "part-0.parquet", ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert corpus_fingerprint(str(d)) != f2

@@ -1,29 +1,34 @@
 """embedding_pca_variance properties: trace preservation, ordering,
-partitioning-invariance (exact integer partials)."""
+partitioning-invariance (exact integer partials), and the oracled
+contract-check face (VERDICT r9 task 2)."""
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_data_lakehouse_pipeline_spark.plans.registry import queries
-from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import quantized
+from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import (
+    pca_spectrum,
+    quantized,
+)
 from end_to_end_data_lakehouse_pipeline_spark.catalog import table
 
 
 @pytest.fixture(scope="module")
-def pca_rows(spark, sf_dir):
-    return queries()["embedding_pca_variance"](spark, sf_dir).collect()
+def spectrum_rows(spark, sf_dir):
+    q = table(spark, sf_dir, "embeddings").select(quantized().alias("qa"))
+    return pca_spectrum(q, spark).collect()
 
 
-def test_spectrum_shape_and_order(pca_rows):
-    assert len(pca_rows) == 64
-    ev = [r.eigenvalue for r in pca_rows]
+def test_spectrum_shape_and_order(spectrum_rows):
+    assert len(spectrum_rows) == 64
+    ev = [r.eigenvalue for r in spectrum_rows]
     assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
     assert all(e >= -1e-9 for e in ev)  # covariance is PSD
-    assert pca_rows[-1].cum_ratio == pytest.approx(1.0, abs=1e-6)
+    assert spectrum_rows[-1].cum_ratio == pytest.approx(1.0, abs=1e-6)
 
 
-def test_trace_equals_total_variance(spark, sf_dir, pca_rows):
+def test_trace_equals_total_variance(spark, sf_dir, spectrum_rows):
     """Sum of eigenvalues == sum of per-dimension variances (trace
     preservation) — computed independently via a Catalyst aggregate."""
     emb = table(spark, sf_dir, "embeddings").select(quantized().alias("qa"))
@@ -35,14 +40,34 @@ def test_trace_equals_total_variance(spark, sf_dir, pca_rows):
         *[F.var_samp(f"x{i}").alias(f"v{i}") for i in range(d)]
     ).first()
     trace = sum(row[f"v{i}"] for i in range(d)) / 1e12
-    assert sum(r.eigenvalue for r in pca_rows) == pytest.approx(trace, rel=1e-6)
+    assert sum(r.eigenvalue for r in spectrum_rows) == pytest.approx(
+        trace, rel=1e-6
+    )
+
+
+def test_pca_contract_check(spark, sf_dir, spectrum_rows):
+    """The registered query is now a contract check: D rows, every eigh
+    invariant boolean deterministically TRUE, and the exact integer trace
+    numerator consistent with the spectrum's eigenvalue sum."""
+    rows = queries()["embedding_pca_variance"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert [r.component for r in rows] == list(range(1, 65))
+    for r in rows:
+        assert r.eig_sum_matches_trace and r.eig_nonneg and r.eig_sorted_desc
+        assert r.ratio_in_unit and r.cum_ratio_monotone and r.ratios_sum_to_one
+    n = rows[0].n
+    assert n == table(spark, sf_dir, "embeddings").count()
+    trace = int(rows[0].trace_num) / (n * (n - 1)) / 1e12
+    # spectrum eigenvalues are presented on a 1e-9 grid: 64 roundings
+    # bound the sum error at 3.2e-8 absolute
+    assert sum(r.eigenvalue for r in spectrum_rows) == pytest.approx(
+        trace, rel=1e-6
+    )
 
 
 def test_partitioning_invariance(spark, sf_dir):
     """Exact int64 partials: the spectrum is bit-identical no matter how
     the rows are partitioned (the property double partials would lose)."""
-    from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import pca_spectrum
-
     q = table(spark, sf_dir, "embeddings").select(quantized().alias("qa"))
     one = pca_spectrum(q.repartition(1), spark).collect()
     many = pca_spectrum(q.repartition(13, "qa"), spark).collect()
@@ -65,6 +90,12 @@ def test_suffstats_empty_corpus_and_chunk_invariance(spark, sf_dir, tmp_path):
     )
     rows = build_embedding_covariance_suffstats(spark, str(empty_dir)).collect()
     assert [tuple(r) for r in rows] == [("n", 0, 0, "0")]
+
+    # the contract query mirrors its oracle on the degenerate corpus:
+    # D rows, NULL trace, TRUE booleans
+    crows = queries()["embedding_pca_variance"](spark, str(empty_dir)).collect()
+    assert len(crows) == 64
+    assert crows[0].n == 0 and crows[0].trace_num is None
 
     # (b) chunking is value-invariant: force tiny Arrow batches so every
     # partition splits, and compare against the one-batch run

@@ -327,6 +327,29 @@ def test_round3_wave3_shuffle_budget(spark, sf_dir, name, max_exchanges):
     assert got <= max_exchanges, f"{name}: {got} Exchanges\n{plan}"
 
 
+def test_mad_median_windows_over_value_domain(spark, sf_dir):
+    """mad_length_outliers' discrete-median windows must consume the
+    grouped (source, value) tallies, never raw document rows (VERDICT r9
+    task 1): a per-source row-sized window is one task per source — tens
+    of TB through a single sort at 100 TB. The value-domain reduction
+    pins every Window node directly above an Aggregate in the optimized
+    plan, so the data-sized stage is always the partial-aggregating
+    groupBy."""
+    from end_to_end_data_lakehouse_pipeline_spark import plans
+
+    df = plans.queries()["mad_length_outliers"](spark, sf_dir)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    windows = [i for i, ln in enumerate(lines) if "Window [" in ln]
+    assert windows, "expected Window nodes in the median plan"
+    for i in windows:
+        # the cum/cnt pair stacks (Window over Window); the bottom of every
+        # stack must be the value-domain Aggregate, never the raw scan
+        assert "Aggregate" in lines[i + 1] or "Window" in lines[i + 1], (
+            f"Window at optimized-plan line {i} not fed by an Aggregate:\n"
+            + "\n".join(lines)
+        )
+
+
 def test_dpp_month_join_prunes_partitions(spark, sf_dir):
     """dpp_partitioned_month_join's fact scan must carry a
     dynamicpruningexpression PartitionFilter — the join-driven partition
