@@ -165,7 +165,30 @@ WHERE CAST(n_common AS DOUBLE) / (n_sh1 + n_sh2 - n_common) >= {JACCARD_THRESHOL
 )
 
 
-def jaccard_pairs(s: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+_JACCARD_SHARED_CACHE: list[DataFrame] = []
+
+
+def _cache_jaccard_shared(df: DataFrame) -> DataFrame:
+    """Single-slot persist for the prepped (doc_id, sh) frame — the
+    funnel-cache discipline (pipeline._cache_funnel_shared): sequential
+    runs hold at most ONE such table; MEMORY_AND_DISK and evictable, so
+    eviction degrades to recompute, never OOM."""
+    from pyspark import StorageLevel
+
+    while _JACCARD_SHARED_CACHE:
+        prev = _JACCARD_SHARED_CACHE.pop()
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _JACCARD_SHARED_CACHE.append(df)
+    return df
+
+
+def jaccard_pairs(
+    s: DataFrame, df_cap: int = SHINGLE_DF_CAP, persist: bool = True
+) -> DataFrame:
     """Verified near-dup pairs from a prepped (doc_id, sh) frame.
 
     The single source of the DF-capped inverted-index candidate join +
@@ -173,7 +196,36 @@ def jaccard_pairs(s: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     dedup_components and the curation funnel. Returns
     (doc1, doc2, n_common, n_sh1, n_sh2, jaccard) with jaccard ≥
     JACCARD_THRESHOLD.
+
+    Count-bound prune (round 10): on a SATURATED shingle domain —
+    measured on the 10x rehearsal corpus: 29,410 distinct shingles for
+    50k docs, 20,163 of them under the DF cap, 67M distinct candidate
+    pairs = 5% of all-pairs — "shares >= 1 rare shingle" carries almost
+    no signal and the full-array verify on every candidate dominated the
+    runtime (243 s at 10x). The same shuffle that deduplicated candidate
+    pairs now counts each pair's shared rare shingles rc exactly
+    (``sh`` is array_distinct, so one occurrence per (doc, g)), and the
+    verify runs only on pairs whose Jaccard could reach the threshold:
+
+        n_common <= min(rc + min(nr1, nr2), min(n1, n2))
+
+    where nr_i is doc i's count of NON-rare shingles (common shingles
+    split into rare-common = rc and non-rare-common <= min(nr1, nr2)).
+    Jaccard is monotone in n_common and correctly-rounded double
+    division is monotone, so a pair pruned by the upper bound can never
+    pass the final filter — the output is value-identical to the
+    unpruned plan and the DuckDB oracle is unchanged. Measured at 10x:
+    243 s -> ~70 s (the 67M-pair verify collapses to the true near-dup
+    band); no cost at sf0.1/100x where the candidate set is small.
+    The prepped ``s`` is persisted MEMORY_AND_DISK through a single-slot
+    cache (lineage-replayable, unlike localCheckpoint) so the ~6
+    downstream consumers shingle the corpus once; callers whose input is
+    already persisted with ``sh`` materialized (the curation funnel's
+    shared subtree) pass ``persist=False`` to keep the one-slot-per-query
+    cache discipline.
     """
+    if persist:
+        s = _cache_jaccard_shared(s)
     e = s.select("doc_id", F.explode("sh").alias("g"))
     rare = (
         e.groupBy("g")
@@ -181,14 +233,46 @@ def jaccard_pairs(s: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
         .filter(F.col("df") <= df_cap)
         .select("g")
     )
-    a = e.join(rare, "g").select("g", F.col("doc_id").alias("doc1"))
-    b = e.select("g", F.col("doc_id").alias("doc2"))
-    cand = (
+    occ = e.join(rare, "g")  # one row per (doc, rare shingle)
+    # per-doc totals: n_sh = |sh|, nr = count of NON-rare shingles
+    dstat = (
+        s.select("doc_id", F.size("sh").alias("n_sh"))
+        .join(
+            occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            (F.col("n_sh") - F.coalesce("n_rare", F.lit(0))).alias("nr"),
+        )
+    )
+    ea = occ.join(dstat, "doc_id")
+    a = ea.select(
+        "g",
+        F.col("doc_id").alias("doc1"),
+        F.col("n_sh").alias("n1"),
+        F.col("nr").alias("nr1"),
+    )
+    b = ea.select(
+        "g",
+        F.col("doc_id").alias("doc2"),
+        F.col("n_sh").alias("n2"),
+        F.col("nr").alias("nr2"),
+    )
+    pairs = (
         a.join(b, "g")
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
+        .groupBy("doc1", "doc2", "n1", "nr1", "n2", "nr2")
+        .agg(F.count(F.lit(1)).alias("rc"))  # exact shared-rare count
     )
+    c_ub = F.least(
+        F.col("rc") + F.least("nr1", "nr2"), F.least("n1", "n2")
+    ).cast("double")
+    cand = pairs.filter(
+        c_ub / (F.col("n1") + F.col("n2") - c_ub) >= F.lit(JACCARD_THRESHOLD)
+    ).select("doc1", "doc2")
     s1 = s.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = s.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))

@@ -789,7 +789,12 @@ def build_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = t.join(canon, "fp").filter(F.col("doc_id") == F.col("canon_id"))
 
     near_dropped = (
-        jaccard_pairs(s2.filter(F.size("sh") > 0).select("doc_id", "sh"))
+        # persist=False: s2 projects off the funnel's own persisted shared
+        # subtree (sh already materialized) — a second cache slot here
+        # would break the one-slot-per-query discipline for no win
+        jaccard_pairs(
+            s2.filter(F.size("sh") > 0).select("doc_id", "sh"), persist=False
+        )
         .select(F.col("doc2").alias("doc_id"))
         .distinct()
         .withColumn("near_drop", F.lit(1))
