@@ -839,13 +839,17 @@ def incremental_dedup_from(
     # Count-bound prune (round 10, the jaccard_pairs fix applied to the
     # batch-vs-corpus gate): the candidate-dedup shuffle counts each
     # pair's shared CORPUS-RARE shingles rc exactly; with R = the rare
-    # set, common shingles split into rc (in R) and the rest (outside
-    # R), so n_common <= min(rc + min(nrb, nrc), min(nb, nc)) where
-    # nr_x = |sh_x \ R|. The full-array verify runs only on pairs whose
-    # Jaccard upper bound reaches the threshold — value-identical
-    # output, oracle unchanged; on a saturated shingle domain (10x
-    # rehearsal: 67M candidates = 5% of all-pairs for jaccard_pairs)
-    # the verify collapses to the true near-dup band.
+    # set, common shingles split into rc (in R) and the rest, which is a
+    # subset of sh_b \ R, so n_common <= min(rc + nrb, nb, nc) where
+    # nrb = |sh_b \ R|. BATCH-SIDE-ONLY stats on purpose: a corpus-side
+    # nr would tighten the bound marginally but costs a corpus-sized
+    # groupBy + join PER MICRO-BATCH — the batch side is the small side
+    # by construction, so its stats are trigger-sized. The full-array
+    # verify runs only on pairs whose Jaccard upper bound reaches the
+    # threshold — value-identical output, oracle unchanged; measured on
+    # the saturated 10x rehearsal corpus the 3-batch admission drain
+    # drops 434 -> ~100 s (the all-candidates verify was 4.1x the whole
+    # query).
     bstat = (
         batch.select(F.col("doc_id").alias("batch_doc"), F.size("sh").alias("nb"))
         .join(
@@ -861,30 +865,22 @@ def incremental_dedup_from(
             (F.col("nb") - F.coalesce("b_rare", F.lit(0))).alias("nrb"),
         )
     )
-    cstat = (
-        corpus.select(F.col("doc_id").alias("corpus_doc"), F.size("sh").alias("nc"))
-        .join(
-            ce.join(rare, "g")
-            .groupBy("corpus_doc")
-            .agg(F.count(F.lit(1)).alias("c_rare")),
-            "corpus_doc",
-            "left",
-        )
-        .select(
-            "corpus_doc",
-            "nc",
-            (F.col("nc") - F.coalesce("c_rare", F.lit(0))).alias("nrc"),
-        )
-    )
     ba = be.join(rare, "g").join(bstat, "batch_doc")
-    ca = ce.join(rare, "g").join(cstat, "corpus_doc")
+    # nc rides the corpus explode for free (no corpus-side stat join)
+    ca = (
+        corpus.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.size("sh").alias("nc"),
+            F.explode("sh").alias("g"),
+        ).join(rare, "g")
+    )
     rc_pairs = (
         ba.join(ca, "g")
-        .groupBy("batch_doc", "corpus_doc", "nb", "nrb", "nc", "nrc")
+        .groupBy("batch_doc", "corpus_doc", "nb", "nrb", "nc")
         .agg(F.count(F.lit(1)).alias("rc"))
     )
     c_ub = F.least(
-        F.col("rc") + F.least("nrb", "nrc"), F.least("nb", "nc")
+        F.col("rc") + F.col("nrb"), F.least("nb", "nc")
     ).cast("double")
     cand = rc_pairs.filter(
         c_ub / (F.col("nb") + F.col("nc") - c_ub) >= F.lit(JACCARD_THRESHOLD)
