@@ -248,27 +248,30 @@ def jaccard_pairs(
             (F.col("n_sh") - F.coalesce("n_rare", F.lit(0))).alias("nr"),
         )
     )
-    ea = occ.join(dstat, "doc_id")
-    a = ea.select(
+    # one-sided stats (the batch-side-only slimming from the incremental
+    # gate applied to the self-join): only side a carries nr; side b's
+    # n2 rides its own explode for free. n_common <= min(rc + nr1, n1,
+    # n2) stays sound — non-rare commons are a subset of doc1's non-rare
+    # shingles — and side b skips the dstat join entirely.
+    a = occ.join(dstat, "doc_id").select(
         "g",
         F.col("doc_id").alias("doc1"),
         F.col("n_sh").alias("n1"),
         F.col("nr").alias("nr1"),
     )
-    b = ea.select(
-        "g",
-        F.col("doc_id").alias("doc2"),
-        F.col("n_sh").alias("n2"),
-        F.col("nr").alias("nr2"),
+    b = (
+        s.select("doc_id", F.size("sh").alias("n2"), F.explode("sh").alias("g"))
+        .join(rare, "g")
+        .select("g", F.col("doc_id").alias("doc2"), "n2")
     )
     pairs = (
         a.join(b, "g")
         .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2", "n1", "nr1", "n2", "nr2")
+        .groupBy("doc1", "doc2", "n1", "nr1", "n2")
         .agg(F.count(F.lit(1)).alias("rc"))  # exact shared-rare count
     )
     c_ub = F.least(
-        F.col("rc") + F.least("nr1", "nr2"), F.least("n1", "n2")
+        F.col("rc") + F.col("nr1"), F.least("n1", "n2")
     ).cast("double")
     cand = pairs.filter(
         c_ub / (F.col("n1") + F.col("n2") - c_ub) >= F.lit(JACCARD_THRESHOLD)
