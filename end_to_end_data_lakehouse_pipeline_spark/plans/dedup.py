@@ -166,6 +166,7 @@ WHERE CAST(n_common AS DOUBLE) / (n_sh1 + n_sh2 - n_common) >= {JACCARD_THRESHOL
 
 
 _JACCARD_SHARED_CACHE: list[DataFrame] = []
+_LSH_SIG_CACHE: list[DataFrame] = []
 
 
 def _cache_jaccard_shared(df: DataFrame) -> DataFrame:
@@ -492,6 +493,14 @@ def minhash_lsh_pairs_from(s: DataFrame) -> DataFrame:
     # the three branches of one job race to compute it before the cache
     # fills. At 100 TB you'd write this step to a table instead (that is
     # exactly what the `minhash_signatures` query produces).
+    # Single-slot (round 10): this persist previously never unpersisted —
+    # every LSH-family call leaked one doc-count-sized signature table
+    # (shingle arrays + 16 hashes + band keys, the heaviest per-doc row
+    # in the tree), so a median-of-3 bench run stacked a dozen copies and
+    # squeezed executor storage exactly when the pair shuffles needed it
+    # (the VERDICT r3 leak class, measured here as 56-183 s swings on
+    # dedup_method_agreement at 10x). The slot releases the previous
+    # call's table first; at most one lives at a time.
     mh = minhash_table(s)
     sig = s.join(mh, "doc_id").select(
         "doc_id",
@@ -499,7 +508,14 @@ def minhash_lsh_pairs_from(s: DataFrame) -> DataFrame:
         F.array(*[F.col(f"mh_{i}") for i in range(N_HASHES)]).alias("sig"),
         *[_band_col(j).alias(f"band_{j}") for j in range(N_BANDS)],
     )
+    while _LSH_SIG_CACHE:
+        prev = _LSH_SIG_CACHE.pop()
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     sig = sig.persist()
+    _LSH_SIG_CACHE.append(sig)
     sig.count()
     bands = sig.select(
         "doc_id",

@@ -742,6 +742,7 @@ GROUP BY stage_order
 
 
 _FUNNEL_SHARED_CACHE: list[DataFrame] = []
+_CONTAM_SIG_CACHE: list[DataFrame] = []
 
 
 def _cache_funnel_shared(df: DataFrame) -> DataFrame:
@@ -1788,7 +1789,18 @@ def build_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import N_BANDS
 
+    # single-slot (round 10): was a bare persist that leaked one cached
+    # signature table per call — repeats stacked copies (the VERDICT r3
+    # leak class fixed in the LPA/components loops, found again by the
+    # 10x sweep's memory-pressure swings)
+    while _CONTAM_SIG_CACHE:
+        prev = _CONTAM_SIG_CACHE.pop()
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     sig = _contam_signatures(spark, sf_dir).persist()
+    _CONTAM_SIG_CACHE.append(sig)
     sig.count()  # materialize once; feeds both band sides + the verify
     bands = sig.select(
         "doc_id",

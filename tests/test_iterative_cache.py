@@ -74,3 +74,34 @@ def test_funnel_shared_cache_is_single_slot(spark):
     # ONE funnel working-set table persisted no matter how many runs
     assert _persisted(spark) - base <= 1
     _drop_all_caches(spark)
+
+
+def test_lsh_sig_cache_is_single_slot(spark):
+    """Round-10 leak fix: minhash_lsh_pairs_from's eager signature persist
+    previously never unpersisted — every LSH-family call leaked one
+    doc-count-sized cached table (shingle arrays + hashes + band keys).
+    Repeated runs must hold at most ONE signature slot."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.dedup import (
+        build_dedup_minhash_lsh,
+    )
+
+    _drop_all_caches(spark)
+    base = _persisted(spark)
+    for _ in range(3):
+        build_dedup_minhash_lsh(spark, SF_DIR).collect()
+    assert _persisted(spark) - base <= 1
+    _drop_all_caches(spark)
+
+
+def test_contam_sig_cache_is_single_slot(spark):
+    """Same leak class in build_contamination_minhash's signature persist."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.pipeline import (
+        build_contamination_minhash,
+    )
+
+    _drop_all_caches(spark)
+    base = _persisted(spark)
+    for _ in range(3):
+        build_contamination_minhash(spark, SF_DIR).collect()
+    assert _persisted(spark) - base <= 1
+    _drop_all_caches(spark)
