@@ -180,11 +180,27 @@ HEAVY = [
 # SPARK_GRAFT_BENCH_REPEATS=3 for a true median. NOTE (round-over-round):
 # r1-r9 headline numbers were best-of-N — the median switch shifts the
 # series up slightly; r10+ medians are the comparable sequence.
+# VERDICT r10 task 1: repeats are INTERLEAVED round-robin (pass 1 over
+# the whole headline set, then pass 2, ...) rather than back-to-back per
+# query, so a transient host-contention window cannot poison every
+# repeat of the same query — a bad minute now lands on DIFFERENT queries
+# in different passes and the cross-pass median recovers. A fixed
+# calibration query is timed at the start, middle, and end of the
+# headline block and the three readings are emitted under "calibration"
+# as a host-band stamp: if those three differ by >~2x, the window was
+# contended and per-query outliers are adjudicable from the JSON alone.
 # Plan-shape note (ADVICE r9): since r9, mv_daily_sales_approx also
 # computes two exact countDistinct contract legs — its timing measures
 # the validation query, not the no-Expand serving path, and is not
 # comparable with r1-r8 rounds.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+# Host-band calibration probe: a cheap fixed-plan query (projection +
+# cast + rename over one parquet scan — no shuffle) whose wall time is a
+# pure function of host conditions once the JVM is warm. Timed at the
+# start, middle, and end of the headline block; the three stamps bound
+# the contention band the headline medians were measured inside.
+CALIBRATION_QUERY = "projection_cast_rename"
 
 
 def _force(df) -> None:
@@ -201,15 +217,37 @@ def main() -> None:
     # Warm the JVM / file listings once with the cheapest query so the
     # first timed entry doesn't absorb session start-up cost.
     _force(qs["distinct_segments"](spark, SF_DIR))
+    # Warm the calibration plan too (twice — codegen compiles on the
+    # first run, JIT settles on the second): its stamps must measure host
+    # conditions, not plan compilation.
+    _force(qs[CALIBRATION_QUERY](spark, SF_DIR))
+    _force(qs[CALIBRATION_QUERY](spark, SF_DIR))
 
-    timings: dict[str, float] = {}
-    for name in names:
-        runs = []
-        for _ in range(max(REPEATS, 1)):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+    def _timed(name: str) -> float:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        return time.perf_counter() - t0
+
+    # Interleaved round-robin passes (VERDICT r10 task 1a): every query
+    # runs once per pass, so back-to-back repeats of one query can never
+    # share a single contention window. Calibration stamps (task 1b)
+    # bracket the block: start, middle (between passes, or mid-pass for
+    # REPEATS=1), end.
+    n_passes = max(REPEATS, 1)
+    calibration: list[float] = [round(_timed(CALIBRATION_QUERY), 3)]
+    runs_by_name: dict[str, list[float]] = {n: [] for n in names}
+    for pass_i in range(n_passes):
+        for qi, name in enumerate(names):
+            runs_by_name[name].append(_timed(name))
+            # Mid-block stamp: halfway through the full run sequence.
+            total_done = pass_i * len(names) + qi + 1
+            if total_done == (n_passes * len(names)) // 2:
+                calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+    calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+    timings = {
+        name: round(statistics.median(runs), 3)
+        for name, runs in runs_by_name.items()
+    }
 
     # Heavy tier defaults to one shot (keeps the per-round driver bench
     # bounded); close/adjudication runs set SPARK_GRAFT_BENCH_HEAVY_REPEATS=3
@@ -220,15 +258,21 @@ def main() -> None:
     heavy_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "1"))
     heavy_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
-        for name in HEAVY:
-            if name not in qs:
-                continue
-            runs = []
-            for _ in range(max(heavy_repeats, 1)):
-                t0 = time.perf_counter()
-                _force(qs[name](spark, SF_DIR))
-                runs.append(time.perf_counter() - t0)
-            heavy_timings[name] = round(statistics.median(runs), 3)
+        heavy_names = [n for n in HEAVY if n in qs]
+        heavy_runs: dict[str, list[float]] = {n: [] for n in heavy_names}
+        # Same interleaving for the heavy tier when repeated; single-shot
+        # (the per-round default) degenerates to one pass. Stamp the tier
+        # with calibration probes too — heavy is usually single-shot, so
+        # the stamps are its only contention evidence.
+        calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+        for _ in range(max(heavy_repeats, 1)):
+            for name in heavy_names:
+                heavy_runs[name].append(_timed(name))
+        calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+        heavy_timings = {
+            name: round(statistics.median(runs), 3)
+            for name, runs in heavy_runs.items()
+        }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -241,6 +285,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # Host-band stamp (VERDICT r10 task 1b): wall seconds of the fixed
+        # calibration plan at [headline start, headline middle, headline
+        # end, heavy start, heavy end]. Same plan every time — spread
+        # between stamps is host contention, not engine regression.
+        "calibration": {"query": CALIBRATION_QUERY, "stamps_sec": calibration},
     }
     if heavy_timings:
         out["heavy"] = {
@@ -262,6 +311,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf_val,
         "summary": True,
+        "calibration_stamps_sec": calibration,
     }
     if heavy_timings:
         summary["heavy_total"] = out["heavy"]["value"]
