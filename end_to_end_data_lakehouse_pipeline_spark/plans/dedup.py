@@ -172,19 +172,16 @@ _LSH_SIG_CACHE: list[DataFrame] = []
 def _cache_jaccard_shared(df: DataFrame) -> DataFrame:
     """Single-slot persist for the prepped (doc_id, sh) frame — the
     funnel-cache discipline (pipeline._cache_funnel_shared): sequential
-    runs hold at most ONE such table; MEMORY_AND_DISK and evictable, so
-    eviction degrades to recompute, never OOM."""
+    runs hold at most ONE such table (see workspace.single_slot_persist
+    for the build-then-execute contract); MEMORY_AND_DISK and evictable,
+    so eviction degrades to recompute, never OOM."""
     from pyspark import StorageLevel
 
-    while _JACCARD_SHARED_CACHE:
-        prev = _JACCARD_SHARED_CACHE.pop()
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _JACCARD_SHARED_CACHE.append(df)
-    return df
+    from .workspace import single_slot_persist
+
+    return single_slot_persist(
+        _JACCARD_SHARED_CACHE, df, level=StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def jaccard_pairs(
@@ -206,12 +203,17 @@ def jaccard_pairs(
     runtime (243 s at 10x). The same shuffle that deduplicated candidate
     pairs now counts each pair's shared rare shingles rc exactly
     (``sh`` is array_distinct, so one occurrence per (doc, g)), and the
-    verify runs only on pairs whose Jaccard could reach the threshold:
+    verify runs only on pairs whose Jaccard could reach the threshold.
+    The IMPLEMENTED bound is the one-sided
 
-        n_common <= min(rc + min(nr1, nr2), min(n1, n2))
+        n_common <= min(rc + nr1, n1, n2)
 
-    where nr_i is doc i's count of NON-rare shingles (common shingles
-    split into rare-common = rc and non-rare-common <= min(nr1, nr2)).
+    where nr1 is doc1's count of NON-rare shingles: common shingles
+    split into rare-common = rc and non-rare-common, and the non-rare
+    commons are a subset of doc1's non-rare shingles, so <= nr1. (The
+    two-sided variant ``rc + min(nr1, nr2)`` is tighter but would cost
+    side b the dstat join too — unimplemented; the one-sided bound
+    already collapses the saturated-domain candidate set.)
     Jaccard is monotone in n_common and correctly-rounded double
     division is monotone, so a pair pruned by the upper bound can never
     pass the final filter — the output is value-identical to the
@@ -508,15 +510,9 @@ def minhash_lsh_pairs_from(s: DataFrame) -> DataFrame:
         F.array(*[F.col(f"mh_{i}") for i in range(N_HASHES)]).alias("sig"),
         *[_band_col(j).alias(f"band_{j}") for j in range(N_BANDS)],
     )
-    while _LSH_SIG_CACHE:
-        prev = _LSH_SIG_CACHE.pop()
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    sig = sig.persist()
-    _LSH_SIG_CACHE.append(sig)
-    sig.count()
+    from .workspace import single_slot_persist
+
+    sig = single_slot_persist(_LSH_SIG_CACHE, sig, materialize=True)
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{j}") for j in range(N_BANDS)])).alias(
@@ -1043,9 +1039,20 @@ FROM jp FULL OUTER JOIN mp ON jp.doc1 = mp.doc1 AND jp.doc2 = mp.doc2
 
 def build_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    jp = ngram_jaccard_from(docs).select("doc1", "doc2")
+    # Shared subtree (VERDICT r10 task 4): both component pipelines start
+    # from the same tokenize+shingle projection — the costliest scan in
+    # either plan. Prep it ONCE through the single-slot jaccard cache and
+    # feed both consumers (jaccard_pairs with persist=False keeps the
+    # one-slot discipline); previously each side re-shingled the corpus,
+    # a 1.6x composition overhead at 10x.
+    s = _cache_jaccard_shared(
+        docs.select("doc_id", shingles_col(tokens_col()).alias("sh")).filter(
+            F.size("sh") > 0
+        )
+    )
+    jp = jaccard_pairs(s, persist=False).select("doc1", "doc2")
     mp = (
-        build_dedup_minhash_lsh(spark, sf_dir)
+        minhash_lsh_pairs_from(s)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select(F.col("doc1").alias("m1"), F.col("doc2").alias("m2"))
     )

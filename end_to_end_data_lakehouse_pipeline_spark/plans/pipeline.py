@@ -753,20 +753,17 @@ def _cache_funnel_shared(df: DataFrame) -> DataFrame:
     10.4 -> 7.4 s at sf0.1 with the cache). The slot releases the previous
     funnel's cache on the next call, so sequential query runs hold at most
     ONE such table — the bounded-cache discipline VERDICT r3 asked for on
-    loops, applied to a DAG reuse. At 100 TB the cache is data-sized but
-    MEMORY_AND_DISK and evictable: eviction degrades to recompute, never
-    OOM."""
+    loops, applied to a DAG reuse (see workspace.single_slot_persist for
+    the build-then-execute contract). At 100 TB the cache is data-sized
+    but MEMORY_AND_DISK and evictable: eviction degrades to recompute,
+    never OOM."""
     from pyspark import StorageLevel
 
-    while _FUNNEL_SHARED_CACHE:
-        prev = _FUNNEL_SHARED_CACHE.pop()
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _FUNNEL_SHARED_CACHE.append(df)
-    return df
+    from .workspace import single_slot_persist
+
+    return single_slot_persist(
+        _FUNNEL_SHARED_CACHE, df, level=StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def build_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1789,19 +1786,16 @@ def build_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import N_BANDS
 
+    from .workspace import single_slot_persist
+
     # single-slot (round 10): was a bare persist that leaked one cached
     # signature table per call — repeats stacked copies (the VERDICT r3
     # leak class fixed in the LPA/components loops, found again by the
-    # 10x sweep's memory-pressure swings)
-    while _CONTAM_SIG_CACHE:
-        prev = _CONTAM_SIG_CACHE.pop()
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    sig = _contam_signatures(spark, sf_dir).persist()
-    _CONTAM_SIG_CACHE.append(sig)
-    sig.count()  # materialize once; feeds both band sides + the verify
+    # 10x sweep's memory-pressure swings). Materialized once; feeds both
+    # band sides + the verify.
+    sig = single_slot_persist(
+        _CONTAM_SIG_CACHE, _contam_signatures(spark, sf_dir), materialize=True
+    )
     bands = sig.select(
         "doc_id",
         "source",

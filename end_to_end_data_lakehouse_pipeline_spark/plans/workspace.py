@@ -23,10 +23,45 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 
 _ROOT: list[str] = []
 _LIVE: dict[str, str] = {}
+_SLOT_LOCK = threading.Lock()
+
+
+def single_slot_persist(slot, df, level=None, materialize: bool = False):
+    """Persist ``df`` into a single-slot cache, evicting the previous
+    occupant first (ADVICE r10: one shared helper for the evict-then-
+    persist loop previously copy-pasted at four sites).
+
+    ``slot`` is a module-level ``list[DataFrame]`` holding at most one
+    entry. Sequential-use CONTRACT (shared by every slot): queries are
+    built AND executed one at a time — building query N+1 unpersists the
+    table query N's plan references, so a previously built-but-unexecuted
+    plan silently degrades to full recompute (still correct: persists are
+    lineage-replayable, never checkpoints). The driver, bench, diffcheck
+    and pytest all run sequentially, which is why this discipline holds;
+    the lock below makes concurrent *calls* safe (no double-persist leak,
+    no pop-race), but cannot make a cached table outlive its eviction.
+
+    ``level=None`` uses Spark's default (MEMORY_AND_DISK_DESER);
+    ``materialize=True`` runs a count() so multi-branch consumers don't
+    race to fill the cache within one job.
+    """
+    with _SLOT_LOCK:
+        while slot:
+            prev = slot.pop()
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        df = df.persist(level) if level is not None else df.persist()
+        slot.append(df)
+    if materialize:
+        df.count()
+    return df
 
 
 def session_dir(tag: str) -> str:
