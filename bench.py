@@ -175,9 +175,7 @@ HEAVY = [
 # outliers on identical plans; r9's driver single-shot ran 1.32x on
 # UNTOUCHED code — contended host). VERDICT r9 task 4: the headline tier
 # reports per-query MEDIANS like the heavy tier, so a noisy round is
-# adjudicable from the bench line alone. N=2's median is the midpoint of
-# the two runs (still damping one-sided GC spikes); close runs set
-# SPARK_GRAFT_BENCH_REPEATS=3 for a true median. NOTE (round-over-round):
+# adjudicable from the bench line alone. NOTE (round-over-round):
 # r1-r9 headline numbers were best-of-N — the median switch shifts the
 # series up slightly; r10+ medians are the comparable sequence.
 # VERDICT r10 task 1: repeats are INTERLEAVED round-robin (pass 1 over
@@ -193,7 +191,14 @@ HEAVY = [
 # computes two exact countDistinct contract legs — its timing measures
 # the validation query, not the no-Expand serving path, and is not
 # comparable with r1-r8 rounds.
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# Default is 3 passes (r11): with 2, the median is the midpoint and
+# still absorbs HALF of a bad pass; with 3 the median discards the worst
+# pass entirely. Measured on this host: first executions in a session
+# spike 5-25x under bursty co-tenant steal (dedup_components
+# 160.7/17.0/6.4 s standalone back-to-back), so a midpoint median read
+# 50.9 s for a steady-state 6-17 s query; the 3-pass median reads the
+# steady state while keeping one cold pass's sensitivity in the spread.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Host-band calibration probe: a cheap fixed-plan query (projection +
 # cast + rename over one parquet scan — no shuffle) whose wall time is a
