@@ -253,6 +253,14 @@ def main() -> None:
         name: round(statistics.median(runs), 3)
         for name, runs in runs_by_name.items()
     }
+    # Outlier forensics: for any query whose cross-pass spread exceeds 3x,
+    # emit the raw per-pass times so a hot median is attributable from the
+    # JSON alone (which pass, how bad) without a re-run.
+    spreads = {
+        name: [round(r, 3) for r in runs]
+        for name, runs in runs_by_name.items()
+        if len(runs) > 1 and max(runs) > 3 * min(runs)
+    }
 
     # Heavy tier defaults to one shot (keeps the per-round driver bench
     # bounded); close/adjudication runs set SPARK_GRAFT_BENCH_HEAVY_REPEATS=3
@@ -296,6 +304,8 @@ def main() -> None:
         # between stamps is host contention, not engine regression.
         "calibration": {"query": CALIBRATION_QUERY, "stamps_sec": calibration},
     }
+    if spreads:
+        out["pass_spreads_gt3x"] = spreads
     if heavy_timings:
         out["heavy"] = {
             "metric": "heavy_tier_total_sec",
