@@ -200,12 +200,19 @@ HEAVY = [
 # steady state while keeping one cold pass's sensitivity in the spread.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-# Host-band calibration probe: a cheap fixed-plan query (projection +
-# cast + rename over one parquet scan — no shuffle) whose wall time is a
-# pure function of host conditions once the JVM is warm. Timed at the
-# start, middle, and end of the headline block; the three stamps bound
-# the contention band the headline medians were measured inside.
+# Host-band calibration probes, timed at the start, middle, and end of
+# the headline block and around the heavy tier. TWO probes because the
+# two contention modes differ (measured r11: a window where every heavy
+# query ran 2-4x slow moved the latency probe only 1.5x):
+#   - latency probe: projection + cast + rename over one parquet scan,
+#     no shuffle — tracks scheduler/JVM responsiveness;
+#   - throughput probe: full-scan hash aggregation (TPC-H Q1 shape),
+#     ~1 s of sustained 32-way CPU — tracks the co-tenant steal that
+#     actually hits the long queries.
+# Same plans every time — spread between stamps of the SAME probe is
+# host contention, not engine regression.
 CALIBRATION_QUERY = "projection_cast_rename"
+CALIBRATION_THROUGHPUT_QUERY = "tpch_q1"
 
 
 def _force(df) -> None:
@@ -222,16 +229,24 @@ def main() -> None:
     # Warm the JVM / file listings once with the cheapest query so the
     # first timed entry doesn't absorb session start-up cost.
     _force(qs["distinct_segments"](spark, SF_DIR))
-    # Warm the calibration plan too (twice — codegen compiles on the
-    # first run, JIT settles on the second): its stamps must measure host
-    # conditions, not plan compilation.
-    _force(qs[CALIBRATION_QUERY](spark, SF_DIR))
-    _force(qs[CALIBRATION_QUERY](spark, SF_DIR))
+    # Warm both calibration plans (twice — codegen compiles on the
+    # first run, JIT settles on the second): their stamps must measure
+    # host conditions, not plan compilation.
+    for _ in range(2):
+        _force(qs[CALIBRATION_QUERY](spark, SF_DIR))
+        _force(qs[CALIBRATION_THROUGHPUT_QUERY](spark, SF_DIR))
 
     def _timed(name: str) -> float:
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         return time.perf_counter() - t0
+
+    calibration: list[float] = []
+    calibration_tp: list[float] = []
+
+    def _stamp() -> None:
+        calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+        calibration_tp.append(round(_timed(CALIBRATION_THROUGHPUT_QUERY), 3))
 
     # Interleaved round-robin passes (VERDICT r10 task 1a): every query
     # runs once per pass, so back-to-back repeats of one query can never
@@ -239,7 +254,7 @@ def main() -> None:
     # bracket the block: start, middle (between passes, or mid-pass for
     # REPEATS=1), end.
     n_passes = max(REPEATS, 1)
-    calibration: list[float] = [round(_timed(CALIBRATION_QUERY), 3)]
+    _stamp()
     runs_by_name: dict[str, list[float]] = {n: [] for n in names}
     for pass_i in range(n_passes):
         for qi, name in enumerate(names):
@@ -247,8 +262,8 @@ def main() -> None:
             # Mid-block stamp: halfway through the full run sequence.
             total_done = pass_i * len(names) + qi + 1
             if total_done == (n_passes * len(names)) // 2:
-                calibration.append(round(_timed(CALIBRATION_QUERY), 3))
-    calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+                _stamp()
+    _stamp()
     timings = {
         name: round(statistics.median(runs), 3)
         for name, runs in runs_by_name.items()
@@ -277,11 +292,11 @@ def main() -> None:
         heavy_runs: dict[str, list[float]] = {n: [] for n in heavy_names}
         # Same interleaving as the headline tier; calibration stamps
         # bracket the block.
-        calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+        _stamp()
         for _ in range(max(heavy_repeats, 1)):
             for name in heavy_names:
                 heavy_runs[name].append(_timed(name))
-        calibration.append(round(_timed(CALIBRATION_QUERY), 3))
+        _stamp()
         heavy_timings = {
             name: round(statistics.median(runs), 3)
             for name, runs in heavy_runs.items()
@@ -309,7 +324,12 @@ def main() -> None:
         # calibration plan at [headline start, headline middle, headline
         # end, heavy start, heavy end]. Same plan every time — spread
         # between stamps is host contention, not engine regression.
-        "calibration": {"query": CALIBRATION_QUERY, "stamps_sec": calibration},
+        "calibration": {
+            "query": CALIBRATION_QUERY,
+            "stamps_sec": calibration,
+            "throughput_query": CALIBRATION_THROUGHPUT_QUERY,
+            "throughput_stamps_sec": calibration_tp,
+        },
     }
     if spreads:
         out["pass_spreads_gt3x"] = spreads
@@ -334,6 +354,7 @@ def main() -> None:
         "sf": sf_val,
         "summary": True,
         "calibration_stamps_sec": calibration,
+        "calibration_throughput_stamps_sec": calibration_tp,
     }
     if heavy_timings:
         summary["heavy_total"] = out["heavy"]["value"]
