@@ -225,6 +225,14 @@ def main() -> None:
     spark = session.get_spark("bench")
     qs = plans.queries()
     names = [n for n in HEADLINE if n in qs]
+    heavy_pool = [n for n in HEAVY if n in qs]
+    # Local-iteration / harness-test filter: run only the named queries
+    # (comma-separated), applied to both tiers.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        names = [n for n in names if n in keep]
+        heavy_pool = [n for n in heavy_pool if n in keep]
 
     # Warm the JVM / file listings once with the cheapest query so the
     # first timed entry doesn't absorb session start-up cost.
@@ -288,7 +296,7 @@ def main() -> None:
     heavy_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "2"))
     heavy_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
-        heavy_names = [n for n in HEAVY if n in qs]
+        heavy_names = heavy_pool
         heavy_runs: dict[str, list[float]] = {n: [] for n in heavy_names}
         # Same interleaving as the headline tier; calibration stamps
         # bracket the block.

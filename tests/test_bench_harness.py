@@ -1,0 +1,72 @@
+"""Contract test for bench.py — the driver's per-round BENCH artifact.
+
+The bench JSON is a graded deliverable with a specific shape (per-query
+cross-pass medians, dual calibration stamps, >3x spread forensics, a
+tail summary line that survives stdout truncation). Runs bench.py in a
+subprocess (main() stops its SparkSession, so it must not share the
+test session) on a 3-query headline + 1-query heavy slice at sf0.001
+via the SPARK_GRAFT_BENCH_ONLY filter.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_json_contract():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=(
+            "orders_enriched,dedup_exact,hash_sample,vocab_growth_curve"
+        ),
+        SPARK_GRAFT_BENCH_REPEATS="2",
+        SPARK_GRAFT_BENCH_HEAVY_REPEATS="2",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 2, proc.stdout[-2000:]
+    full, summary = (json.loads(ln) for ln in lines)
+
+    # full line: per-query medians for exactly the headline slice
+    assert full["metric"] == "headline_queries_total_sec"
+    assert set(full["queries"]) == {"orders_enriched", "dedup_exact", "hash_sample"}
+    assert full["sf"] == 0.001
+    assert all(v > 0 for v in full["queries"].values())
+    assert abs(full["value"] - sum(full["queries"].values())) < 0.01
+
+    # calibration: both probes, stamps at [headline start, middle, end,
+    # heavy start, heavy end] = 5 each, all positive
+    cal = full["calibration"]
+    assert cal["query"] == "projection_cast_rename"
+    assert cal["throughput_query"] == "tpch_q1"
+    assert len(cal["stamps_sec"]) == 5
+    assert len(cal["throughput_stamps_sec"]) == 5
+    assert all(s > 0 for s in cal["stamps_sec"] + cal["throughput_stamps_sec"])
+
+    # heavy tier: the filtered single entry, median of 2 interleaved passes
+    assert set(full["heavy"]["queries"]) == {"vocab_growth_curve"}
+    assert full["heavy"]["value"] == sum(full["heavy"]["queries"].values())
+
+    # spread forensics, when present, carry the raw per-pass runs
+    for runs in full.get("pass_spreads_gt3x", {}).values():
+        assert len(runs) == 2 and max(runs) > 3 * min(runs)
+
+    # tail summary line: truncation-safe totals + both stamp series
+    assert summary["summary"] is True
+    assert summary["value"] == full["value"]
+    assert summary["n_queries"] == 3
+    assert summary["heavy_total"] == full["heavy"]["value"]
+    assert summary["calibration_stamps_sec"] == cal["stamps_sec"]
+    assert summary["calibration_throughput_stamps_sec"] == cal["throughput_stamps_sec"]
