@@ -76,6 +76,7 @@ HEADLINE = [
     "rolling_median_7d",      # exact percentile over a RANGE frame
     "cusum_changepoint",      # integer-exact CUSUM with global-window peak
     "k_anonymity_audit",      # privacy audit: QI groupBy + domain window
+    "t_closeness_audit",      # privacy triad closer: per-group EMD vs global
     # round-4 additions: the ACID/connector/streaming-drain families in
     # the headline rotation so driver CORRECTNESS samples draw them
     "txnlog_merge_reconcile",  # ACID write path: append -> file MERGE -> read

@@ -483,6 +483,136 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# t_closeness_audit — the third member of the release-audit triad (Li,
+# Li & Venkatasubramanian, ICDE 2007): a group can be k-anonymous AND
+# l-diverse yet still leak if its sensitive-attribute DISTRIBUTION
+# diverges from the table's (e.g. 90% of one segment where the table
+# holds 20%). Per QI group (nation), the Earth Mover's Distance between
+# the group's mktsegment distribution and the global one; for a
+# categorical attribute under the equal-distance ground metric the EMD
+# is the total variation distance (1/2)*sum_i |p_i - q_i| (the paper's
+# §4.2 formulation).
+#
+# Exactness (the parity.py discipline): p_i - q_i = (cnt_i*total -
+# seg_total_i*group_size) / (group_size*total) — every present-segment
+# term shares ONE denominator, and segments ABSENT from the group
+# contribute q_i, i.e. (total - sum_present seg_total)*group_size on
+# the same denominator. The numerator is summed in exact BIGINT
+# arithmetic and ONE identically-ordered double expression per group
+# produces the EMD in both engines; table-wide t is a MAX (order-
+# independent, unlike a float sum). Counts here are bounded by
+# |customer| so BIGINT products are safe to ~3e9 rows; past that the
+# numerator moves to DECIMAL — same plan shape.
+#
+# Scale: one partial+final groupBy on (QI, sensitive); everything after
+# operates on the |nations| x |segments| domain grid (125 rows at any
+# data size), so the windows/second agg are free.
+# ---------------------------------------------------------------------------
+
+T_CLOSENESS_T = 0.2
+
+T_CLOSENESS_ORACLE = f"""
+WITH cnt AS (
+    SELECT c.c_nationkey AS nationkey, n.n_name AS nation,
+           c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+),
+w AS (
+    SELECT cnt.*,
+           CAST(SUM(cnt) OVER (PARTITION BY seg) AS BIGINT) AS seg_total,
+           CAST(SUM(cnt) OVER (PARTITION BY nationkey) AS BIGINT) AS grp_size,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS total
+    FROM cnt
+),
+g AS (
+    SELECT nationkey, nation, grp_size, total,
+           CAST(SUM(ABS(cnt * total - seg_total * grp_size)) AS BIGINT)
+               AS present_num,
+           CAST(SUM(seg_total) AS BIGINT) AS present_seg_total
+    FROM w GROUP BY 1, 2, 3, 4
+),
+e AS (
+    SELECT nationkey, nation, grp_size AS group_size,
+           CAST(present_num + (total - present_seg_total) * grp_size AS DOUBLE)
+               / (2.0 * CAST(total AS DOUBLE) * CAST(grp_size AS DOUBLE))
+               AS emd
+    FROM g
+)
+SELECT nationkey, nation, group_size, emd,
+       CAST(emd <= {T_CLOSENESS_T!r} AS BOOLEAN) AS meets_t,
+       MAX(emd) OVER () AS table_t_closeness
+FROM e
+"""
+
+
+def build_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    cnt = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = cnt.select(
+        "nationkey",
+        "nation",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("seg")).alias("seg_total"),
+        F.sum("cnt").over(Window.partitionBy("nationkey")).alias("grp_size"),
+        F.sum("cnt").over(whole).alias("total"),
+    )
+    g = w.groupBy("nationkey", "nation", "grp_size", "total").agg(
+        F.sum(
+            F.abs(F.col("cnt") * F.col("total") - F.col("seg_total") * F.col("grp_size"))
+        ).alias("present_num"),
+        F.sum("seg_total").alias("present_seg_total"),
+    )
+    # Same left-to-right double expression as the oracle: numerator /
+    # (2.0 * total * grp_size) — one division of exactly-representable
+    # integers, bit-identical across engines.
+    emd = (
+        (
+            F.col("present_num")
+            + (F.col("total") - F.col("present_seg_total")) * F.col("grp_size")
+        ).cast("double")
+        / (F.lit(2.0) * F.col("total").cast("double") * F.col("grp_size").cast("double"))
+    ).alias("emd")
+    e = g.select(
+        "nationkey", "nation", F.col("grp_size").alias("group_size"), emd
+    )
+    return e.select(
+        "nationkey",
+        "nation",
+        "group_size",
+        "emd",
+        (F.col("emd") <= F.lit(T_CLOSENESS_T)).alias("meets_t"),
+        F.max("emd").over(whole).alias("table_t_closeness"),
+    )
+
+
+register(
+    "t_closeness_audit",
+    oracle=T_CLOSENESS_ORACLE,
+    doc="t-closeness release audit (Li et al. 2007): per QI group "
+    "(nation) the EMD between the group's sensitive-attribute "
+    "(mktsegment) distribution and the global one — total variation "
+    "distance for categorical attributes — exact BIGINT numerators over "
+    "a shared denominator, per-group t verdict, table-wide t (max).",
+    tags=("quality", "privacy"),
+)(build_t_closeness_audit)
+
+
+# ---------------------------------------------------------------------------
 # source_drift_psi — Population Stability Index per source vs the rest of
 # the corpus: PSI = sum_bins (p_i - q_i) * ln(p_i / q_i) over GLOBAL
 # decile bins of document length. The industry-standard model/feature
