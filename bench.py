@@ -265,6 +265,7 @@ def main() -> None:
     n_passes = max(REPEATS, 1)
     _stamp()
     runs_by_name: dict[str, list[float]] = {n: [] for n in names}
+    mid_stamped = False
     for pass_i in range(n_passes):
         for qi, name in enumerate(names):
             runs_by_name[name].append(_timed(name))
@@ -272,6 +273,13 @@ def main() -> None:
             total_done = pass_i * len(names) + qi + 1
             if total_done == (n_passes * len(names)) // 2:
                 _stamp()
+                mid_stamped = True
+    if not mid_stamped:
+        # Degenerate slices (n_passes*len(names) < 2, e.g. a one-query
+        # SPARK_GRAFT_BENCH_ONLY with REPEATS=1) never hit the halfway
+        # index — emit the mid stamp here so the JSON always carries the
+        # documented 5-stamp calibration shape (ADVICE r11).
+        _stamp()
     _stamp()
     timings = {
         name: round(statistics.median(runs), 3)
@@ -286,15 +294,15 @@ def main() -> None:
         if len(runs) > 1 and max(runs) > 3 * min(runs)
     }
 
-    # Heavy tier defaults to TWO interleaved passes (r11; was single-shot
-    # "to keep the driver bench bounded", but a single-shot heavy number
-    # is unattributable — this tree read 75.4 / 95.3 / 144.2 s across
-    # three same-day single-shot runs). With two passes the midpoint
-    # still absorbs half a spike, but the spread row below exposes both
-    # raw values, and the bracketing calibration stamps date the
-    # contention — adjudicable at +~90 s of bench time. Close runs set
-    # SPARK_GRAFT_BENCH_HEAVY_REPEATS=3 for a true median.
-    heavy_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "2"))
+    # Heavy tier defaults to THREE interleaved passes (r12; was 2 in
+    # r11, single-shot before that). A midpoint-of-2 absorbs only HALF
+    # of a bad pass — r11's driver heavy read 135.9 s vs the 75.4 s
+    # clean anchor purely because single spikes (admission drain raw
+    # [17.65, 75.53]) pulled midpoints up — while a median-of-3 discards
+    # a lone spike entirely, exactly as it did for the headline tier.
+    # Costs ~+90 s of bench wall; the spread rows still expose raw
+    # per-pass values and the bracketing stamps date any contention.
+    heavy_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "3"))
     heavy_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
         heavy_names = heavy_pool

@@ -497,12 +497,15 @@ register(
 # seg_total_i*group_size) / (group_size*total) — every present-segment
 # term shares ONE denominator, and segments ABSENT from the group
 # contribute q_i, i.e. (total - sum_present seg_total)*group_size on
-# the same denominator. The numerator is summed in exact BIGINT
-# arithmetic and ONE identically-ordered double expression per group
-# produces the EMD in both engines; table-wide t is a MAX (order-
-# independent, unlike a float sum). Counts here are bounded by
-# |customer| so BIGINT products are safe to ~3e9 rows; past that the
-# numerator moves to DECIMAL — same plan shape.
+# the same denominator. The numerator products are computed in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — BIGINT inputs would wrap
+# SILENTLY in non-ANSI Spark past ~3e9 customer rows while DuckDB
+# errors or widens, diverging the engines (ADVICE r11); 128-bit
+# integers are exact to ~1.7e19 rows. ONE identically-ordered double
+# expression per group then produces the EMD in both engines (128-bit
+# int -> double rounds to nearest on both sides, so identical integers
+# give bit-identical doubles); table-wide t is a MAX (order-
+# independent, unlike a float sum).
 #
 # Scale: one partial+final groupBy on (QI, sensitive); everything after
 # operates on the |nations| x |segments| domain grid (125 rows at any
@@ -527,14 +530,17 @@ w AS (
 ),
 g AS (
     SELECT nationkey, nation, grp_size, total,
-           CAST(SUM(ABS(cnt * total - seg_total * grp_size)) AS BIGINT)
+           SUM(ABS(CAST(cnt AS HUGEINT) * total
+                   - CAST(seg_total AS HUGEINT) * grp_size))
                AS present_num,
            CAST(SUM(seg_total) AS BIGINT) AS present_seg_total
     FROM w GROUP BY 1, 2, 3, 4
 ),
 e AS (
     SELECT nationkey, nation, grp_size AS group_size,
-           CAST(present_num + (total - present_seg_total) * grp_size AS DOUBLE)
+           CAST(present_num
+                + CAST(total - present_seg_total AS HUGEINT) * grp_size
+                AS DOUBLE)
                / (2.0 * CAST(total AS DOUBLE) * CAST(grp_size AS DOUBLE))
                AS emd
     FROM g
@@ -571,19 +577,25 @@ def build_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(Window.partitionBy("nationkey")).alias("grp_size"),
         F.sum("cnt").over(whole).alias("total"),
     )
+    # 128-bit numerator products (DECIMAL(38,0) here, HUGEINT in the
+    # oracle): BIGINT*BIGINT wraps silently in non-ANSI Spark past ~3e9
+    # customer rows while DuckDB widens/errors — the engines would
+    # diverge instead of failing loudly (ADVICE r11).
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     g = w.groupBy("nationkey", "nation", "grp_size", "total").agg(
         F.sum(
-            F.abs(F.col("cnt") * F.col("total") - F.col("seg_total") * F.col("grp_size"))
+            F.abs(dec("cnt") * dec("total") - dec("seg_total") * dec("grp_size"))
         ).alias("present_num"),
         F.sum("seg_total").alias("present_seg_total"),
     )
     # Same left-to-right double expression as the oracle: numerator /
     # (2.0 * total * grp_size) — one division of exactly-representable
-    # integers, bit-identical across engines.
+    # integers, bit-identical across engines (decimal/hugeint -> double
+    # both round to nearest).
     emd = (
         (
             F.col("present_num")
-            + (F.col("total") - F.col("present_seg_total")) * F.col("grp_size")
+            + (dec("total") - dec("present_seg_total")) * dec("grp_size")
         ).cast("double")
         / (F.lit(2.0) * F.col("total").cast("double") * F.col("grp_size").cast("double"))
     ).alias("emd")

@@ -43,12 +43,17 @@ def single_slot_persist(slot, df, level=None, materialize: bool = False):
     plan silently degrades to full recompute (still correct: persists are
     lineage-replayable, never checkpoints). The driver, bench, diffcheck
     and pytest all run sequentially, which is why this discipline holds;
-    the lock below makes concurrent *calls* safe (no double-persist leak,
-    no pop-race), but cannot make a cached table outlive its eviction.
+    the lock below only prevents slot-bookkeeping races (double-persist
+    leak, pop-race) — it cannot make a cached table outlive its eviction.
 
     ``level=None`` uses Spark's default (MEMORY_AND_DISK_DESER);
     ``materialize=True`` runs a count() so multi-branch consumers don't
-    race to fill the cache within one job.
+    race to fill the cache within one job. The count() runs OUTSIDE the
+    lock (holding it across a Spark job would serialize unrelated
+    slots), so materialization is only meaningful under the sequential
+    contract above: a concurrent caller can evict the frame before the
+    count fills the cache — the result stays correct (lineage replay),
+    only the warm-cache guarantee is lost (ADVICE r11).
     """
     with _SLOT_LOCK:
         while slot:

@@ -70,3 +70,35 @@ def test_bench_json_contract():
     assert summary["heavy_total"] == full["heavy"]["value"]
     assert summary["calibration_stamps_sec"] == cal["stamps_sec"]
     assert summary["calibration_throughput_stamps_sec"] == cal["throughput_stamps_sec"]
+
+
+def test_bench_degenerate_slice_keeps_stamp_shape():
+    """ADVICE r11: a one-query headline with REPEATS=1 has no in-loop
+    halfway index (1*1 // 2 == 0), so the mid stamp must be emitted
+    after the pass loop — the calibration contract is ALWAYS 5 stamps
+    (headline start/mid/end + heavy start/end), never a silent 4."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="orders_enriched",
+        SPARK_GRAFT_BENCH_REPEATS="1",
+        SPARK_GRAFT_BENCH_HEAVY_REPEATS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    full = json.loads(lines[0])
+    assert set(full["queries"]) == {"orders_enriched"}
+    cal = full["calibration"]
+    assert len(cal["stamps_sec"]) == 5
+    assert len(cal["throughput_stamps_sec"]) == 5
+    # heavy pool filtered empty -> no heavy block in the JSON, but its
+    # bracketing stamps still fired (the block runs, the dict is empty)
+    assert "heavy" not in full

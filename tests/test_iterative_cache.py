@@ -93,6 +93,47 @@ def test_lsh_sig_cache_is_single_slot(spark):
     _drop_all_caches(spark)
 
 
+def test_agreement_shared_subtree_is_census_pinned(spark):
+    """VERDICT r11 task 3: `dedup_method_agreement` feeds BOTH component
+    pipelines from ONE persisted (doc_id, sh) frame. The discipline is
+    invisible to a correctness check — a future edit that calls
+    `jaccard_pairs(s)` with the default persist=True would evict the
+    shared frame mid-build and silently restore the 1.6x double
+    shingling (correct answers, degraded plan). Pin it: the build makes
+    EXACTLY two single-slot persists — the shared shingle frame, then
+    the LSH signature table — and the post-run census is that working
+    set."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans import dedup, workspace
+
+    _drop_all_caches(spark)
+    base = _persisted(spark)
+    calls = []
+    orig = workspace.single_slot_persist
+
+    def counting(slot, df, level=None, materialize=False):
+        calls.append(id(slot))
+        return orig(slot, df, level=level, materialize=materialize)
+
+    # dedup imports single_slot_persist inside function bodies, so
+    # patching the workspace attribute intercepts every site.
+    workspace.single_slot_persist = counting
+    try:
+        out = dedup.build_dedup_method_agreement(spark, SF_DIR)
+        row = out.collect()[0]
+    finally:
+        workspace.single_slot_persist = orig
+    assert row.n_ngram_pairs >= row.n_both >= 0
+    # exactly two persists, in slot order: shared shingles, LSH sigs —
+    # a third call means some consumer re-persisted (and thus evicted)
+    # the shared frame mid-build
+    assert calls == [
+        id(dedup._JACCARD_SHARED_CACHE),
+        id(dedup._LSH_SIG_CACHE),
+    ]
+    assert _persisted(spark) - base <= 2
+    _drop_all_caches(spark)
+
+
 def test_contam_sig_cache_is_single_slot(spark):
     """Same leak class in build_contamination_minhash's signature persist."""
     from end_to_end_data_lakehouse_pipeline_spark.plans.pipeline import (
