@@ -234,6 +234,12 @@ def main() -> None:
         keep = {n.strip() for n in only.split(",")}
         names = [n for n in names if n in keep]
         heavy_pool = [n for n in heavy_pool if n in keep]
+        # Registered queries outside both tiers run in the headline tier,
+        # so ad-hoc anchors (e.g. the 100x dedup re-anchors, VERDICT r11
+        # task 2) go through the SAME interleaved median-of-N + stamps
+        # protocol instead of hand-rolled timing loops.
+        tiered = set(names) | set(heavy_pool)
+        names += [n for n in sorted(keep) if n in qs and n not in tiered]
 
     # Warm the JVM / file listings once with the cheapest query so the
     # first timed entry doesn't absorb session start-up cost.

@@ -46,12 +46,29 @@ the LLM-pipeline admission-control use case.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.dedup import fp_col, incremental_dedup_from, shingles_col
 from ..plans.text import tokens_col
+
+# Opt-in per-stage profiling (VERDICT r11 task 4). When a list is bound
+# here, gate_batch appends one {stage: wall_sec} dict per micro-batch,
+# forcing each stage boundary with a count() so the lazy plan is
+# attributed stage-by-stage (the caches make the boundary counts
+# near-free for the downstream write). None (the default) adds ZERO
+# actions — the production path is untouched. Bound only by
+# tools/admission_profile.py.
+PROFILE: list[dict] | None = None
+
+
+def _timed(timings: dict, stage: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    timings[stage] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def _prep(docs: DataFrame) -> DataFrame:
@@ -120,6 +137,10 @@ def gate_batch(
     if batch_df.isEmpty():  # empty-batch skip (same contract as bronze)
         return
     spark = batch_df.sparkSession
+    prof: dict | None = None
+    if PROFILE is not None:
+        prof = {"batch_id": batch_id}
+        PROFILE.append(prof)
     # intra-batch exact dedup: min doc_id per fingerprint wins
     w = Window.partitionBy("fp").orderBy("doc_id")
     batch = (
@@ -129,10 +150,16 @@ def gate_batch(
         .drop("_rn")
         .cache()
     )
+    if prof is not None:
+        _timed(prof, "batch_prep_sec", batch.count)
     try:
         corpus_raw = _read_corpus(spark, corpus_path, exclude_batch_id=batch_id)
         if corpus_raw is not None:
             corpus = corpus_raw.cache()  # already index-bearing (fp, sh)
+            if prof is not None:
+                prof["corpus_rows"] = _timed(
+                    prof, "corpus_read_persist_sec", corpus.count
+                )
             # exact matches for EVERY batch doc (even too short to
             # shingle): min corpus doc per fingerprint is the winner
             corpus_fp = corpus.groupBy("fp").agg(
@@ -153,11 +180,24 @@ def gate_batch(
             near = incremental_dedup_from(
                 corpus.filter(F.size("sh") > 0), shingled
             ).filter(F.col("match_type") == "near")
+            if prof is not None:
+                _timed(prof, "exact_gate_sec", exact.count)
+                prof["near_matches"] = _timed(
+                    prof, "near_verify_sec", near.count
+                )
             matches = exact.unionByName(near).cache()
             try:
+                if prof is not None:
+                    # fills the matches cache, so the timed writes below
+                    # measure IO + survivors compute, not gate recompute
+                    _timed(prof, "matches_fill_cache_sec", matches.count)
+                    t0 = time.perf_counter()
                 matches.write.mode("overwrite").parquet(
                     os.path.join(matches_path, f"batch_{batch_id}")
                 )
+                if prof is not None:
+                    prof["matches_write_sec"] = round(time.perf_counter() - t0, 3)
+                    t0 = time.perf_counter()
                 survivors = batch.join(
                     matches.select(F.col("batch_doc").alias("doc_id")),
                     "doc_id",
@@ -166,13 +206,19 @@ def gate_batch(
                 survivors.select("doc_id", "text", "fp", "sh").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(corpus_path, f"batch_{batch_id}"))
+                if prof is not None:
+                    prof["write_sec"] = round(time.perf_counter() - t0, 3)
             finally:
                 matches.unpersist()
                 corpus.unpersist()
         else:
+            if prof is not None:
+                t0 = time.perf_counter()
             batch.select("doc_id", "text", "fp", "sh").write.mode("overwrite").parquet(
                 os.path.join(corpus_path, f"batch_{batch_id}")
             )
+            if prof is not None:
+                prof["write_sec"] = round(time.perf_counter() - t0, 3)
     finally:
         batch.unpersist()
 
