@@ -33,7 +33,7 @@ PROJECTION_ORACLE = """
 SELECT
     o_orderkey,
     CAST(o_orderkey AS VARCHAR) AS order_key_str,
-    CAST(o_custkey AS INTEGER) AS cust_key_int,
+    CAST(o_custkey % 1000 AS INTEGER) AS cust_key_bucket,
     o_totalprice AS total_price,
     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_price_cents,
     upper(o_orderstatus) AS status_upper,
@@ -51,7 +51,13 @@ def build_projection_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("order_key_str"),
-        F.col("o_custkey").cast("int").alias("cust_key_int"),
+        # narrowing cast demo on a BOUNDED value: casting a raw entity
+        # key to INT overflows once key domains pass 2^31 (caught live
+        # by the 100x rehearsal's remapped keys, r12) — a projection
+        # that only works below 2B keys is a scale bug, so the demo
+        # buckets first. DuckDB % on positive BIGINT matches Spark pmod
+        # here (keys are non-negative).
+        (F.col("o_custkey") % 1000).cast("int").alias("cust_key_bucket"),
         F.col("o_totalprice").alias("total_price"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_price_cents"),
         F.upper("o_orderstatus").alias("status_upper"),

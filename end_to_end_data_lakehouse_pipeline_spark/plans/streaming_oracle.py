@@ -562,9 +562,13 @@ def streaming_dedup_admission_drain(spark: SparkSession, sf_dir: str) -> DataFra
     ckpt = os.path.join(ws, "ckpt")
     # Probed r9: pinning the gate's shuffles to 8 partitions (the
     # stream-stream-join fix) changed nothing here — median 17.3 s vs
-    # 16.9 s at 32 — because foreachBatch batches run with AQE partition
-    # coalescing already on; the cost is the per-batch parquet
-    # write/read + shingle verify, not shuffle task overhead. Left at
+    # 16.9 s at 32. Corrected r12: AQE is in fact DISABLED for plans
+    # derived from a streaming source (Spark says so at drain start),
+    # so there is no partition coalescing in the gate — but the r9
+    # probe shows task count isn't the lever anyway; the r12 profile
+    # (tools/admission_profile.py, BASELINE round-12 row) attributes
+    # the steady state to ~10 s streaming fixed cost + the near-verify
+    # leg, with the corpus-index read at 0.3-1.0 s/batch. Left at
     # session defaults.
     q = incremental_dedup_sink(
         docs,
