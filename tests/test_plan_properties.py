@@ -98,6 +98,9 @@ ALLOWED_BROADCAST_ARGS = {
     "fr",
     "bounds",  # winsorize cut points — one row per group key value
     "sb",  # CMS sketch side B — at most JCMS_ROWS*JCMS_WIDTH cells
+    # mv_daily_sales_approx HLL leg: one row per distinct ship_date —
+    # calendar-bounded (~2.5k/decade of data), not volume-bounded
+    "hll",
     "est",  # CMS join-size estimate — single row
 }
 
