@@ -8,6 +8,14 @@ Each query is forced to full execution with the `noop` sink (runs the whole
 physical plan — scans, shuffles, aggs — without driver-side collect
 overhead). `value` is the sum of per-query wall seconds for the headline
 set; lower is better. Run directly: `python bench.py`.
+
+The JSON self-adjudicates host contention: `calibration` carries two
+fixed-probe stamp series (latency + throughput, 5 stamps each), their
+max/min `*_band_ratio`s, and a `contended` verdict (either band >3x) —
+so a hot run is identifiable from one field without a re-run. Per-query
+values are cross-pass MEDIANS over interleaved round-robin passes;
+queries with >3x cross-pass spread emit raw per-pass times under
+`pass_spreads_gt3x`.
 """
 
 from __future__ import annotations
@@ -354,6 +362,17 @@ def main() -> None:
             "throughput_stamps_sec": calibration_tp,
         },
     }
+    # Self-adjudication (r12): fold the stamp arrays into explicit band
+    # ratios and a verdict so a consumer reading ONE field knows whether
+    # this window was clean — max/min over each probe's stamps; >3x on
+    # either probe marks the run contended (same threshold as the raw
+    # pass-spread forensics). The r11 driver run would have read
+    # latency_band 127.9 / contended=true from its 0.29->37.08 spike.
+    lat_band = round(max(calibration) / max(min(calibration), 1e-9), 1)
+    tp_band = round(max(calibration_tp) / max(min(calibration_tp), 1e-9), 1)
+    out["calibration"]["latency_band_ratio"] = lat_band
+    out["calibration"]["throughput_band_ratio"] = tp_band
+    out["calibration"]["contended"] = bool(lat_band > 3 or tp_band > 3)
     if spreads:
         out["pass_spreads_gt3x"] = spreads
     if heavy_timings:
@@ -378,6 +397,7 @@ def main() -> None:
         "summary": True,
         "calibration_stamps_sec": calibration,
         "calibration_throughput_stamps_sec": calibration_tp,
+        "contended": out["calibration"]["contended"],
     }
     if heavy_timings:
         summary["heavy_total"] = out["heavy"]["value"]

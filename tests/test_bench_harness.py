@@ -55,6 +55,14 @@ def test_bench_json_contract():
     assert len(cal["throughput_stamps_sec"]) == 5
     assert all(s > 0 for s in cal["stamps_sec"] + cal["throughput_stamps_sec"])
 
+    # self-adjudication (r12): band ratios + contended verdict derived
+    # from the stamps themselves, mirrored into the tail summary
+    assert cal["latency_band_ratio"] >= 1
+    assert cal["throughput_band_ratio"] >= 1
+    assert cal["contended"] == (
+        cal["latency_band_ratio"] > 3 or cal["throughput_band_ratio"] > 3
+    )
+
     # heavy tier: the filtered single entry, median of 2 interleaved passes
     assert set(full["heavy"]["queries"]) == {"vocab_growth_curve"}
     assert full["heavy"]["value"] == sum(full["heavy"]["queries"].values())
@@ -70,6 +78,7 @@ def test_bench_json_contract():
     assert summary["heavy_total"] == full["heavy"]["value"]
     assert summary["calibration_stamps_sec"] == cal["stamps_sec"]
     assert summary["calibration_throughput_stamps_sec"] == cal["throughput_stamps_sec"]
+    assert summary["contended"] == cal["contended"]
 
 
 def test_bench_degenerate_slice_keeps_stamp_shape():
