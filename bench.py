@@ -15,7 +15,9 @@ max/min `*_band_ratio`s, and a `contended` verdict (either band >3x) —
 so a hot run is identifiable from one field without a re-run. Per-query
 values are cross-pass MEDIANS over interleaved round-robin passes;
 queries with >3x cross-pass spread emit raw per-pass times under
-`pass_spreads_gt3x`.
+`pass_spreads_gt3x`, and `value_min` (sum of per-query minimum passes)
+is the steal-robust lower bound — a large value/value_min gap flags
+contention bursts shorter than the stamp interval.
 """
 
 from __future__ import annotations
@@ -299,6 +301,16 @@ def main() -> None:
         name: round(statistics.median(runs), 3)
         for name, runs in runs_by_name.items()
     }
+    # Steal-robust lower bound: the per-query MINIMUM across passes is
+    # the best estimate of uncontended cost (CPU steal only ever adds
+    # time). Sum-of-minima ≈ sum-of-medians on a clean host; a large
+    # gap between the two is contention the per-stamp probes may have
+    # missed (bursts shorter than the stamp interval — observed r12:
+    # a contended=false run carried two queries whose minima sat at
+    # their anchors while their medians read 2-5x).
+    min_timings = {
+        name: round(min(runs), 3) for name, runs in runs_by_name.items()
+    }
     # Outlier forensics: for any query whose cross-pass spread exceeds 3x,
     # emit the raw per-pass times so a hot median is attributable from the
     # JSON alone (which pass, how bad) without a re-run.
@@ -332,6 +344,9 @@ def main() -> None:
             name: round(statistics.median(runs), 3)
             for name, runs in heavy_runs.items()
         }
+        heavy_min_total = round(
+            sum(min(runs) for runs in heavy_runs.values()), 3
+        )
         spreads.update(
             {
                 name: [round(r, 3) for r in runs]
@@ -348,6 +363,7 @@ def main() -> None:
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
+        "value_min": round(sum(min_timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -379,6 +395,7 @@ def main() -> None:
         out["heavy"] = {
             "metric": "heavy_tier_total_sec",
             "value": round(sum(heavy_timings.values()), 3),
+            "value_min": heavy_min_total,
             "queries": heavy_timings,
         }
     print(json.dumps(out))
@@ -391,6 +408,7 @@ def main() -> None:
     summary = {
         "metric": "headline_queries_total_sec",
         "value": out["value"],
+        "value_min": out["value_min"],
         "unit": "sec",
         "n_queries": len(timings),
         "sf": sf_val,
@@ -401,6 +419,7 @@ def main() -> None:
     }
     if heavy_timings:
         summary["heavy_total"] = out["heavy"]["value"]
+        summary["heavy_total_min"] = out["heavy"]["value_min"]
         summary["n_heavy"] = len(heavy_timings)
     print(json.dumps(summary))
     spark.stop()

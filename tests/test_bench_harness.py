@@ -46,6 +46,10 @@ def test_bench_json_contract():
     assert all(v > 0 for v in full["queries"].values())
     assert abs(full["value"] - sum(full["queries"].values())) < 0.01
 
+    # steal-robust lower bound (r12): sum of per-query MIN passes — never
+    # above the sum of medians, positive, mirrored in the tail summary
+    assert 0 < full["value_min"] <= full["value"] + 0.01
+
     # calibration: both probes, stamps at [headline start, middle, end,
     # heavy start, heavy end] = 5 each, all positive
     cal = full["calibration"]
@@ -66,6 +70,7 @@ def test_bench_json_contract():
     # heavy tier: the filtered single entry, median of 2 interleaved passes
     assert set(full["heavy"]["queries"]) == {"vocab_growth_curve"}
     assert full["heavy"]["value"] == sum(full["heavy"]["queries"].values())
+    assert 0 < full["heavy"]["value_min"] <= full["heavy"]["value"] + 0.01
 
     # spread forensics, when present, carry the raw per-pass runs
     for runs in full.get("pass_spreads_gt3x", {}).values():
@@ -79,6 +84,8 @@ def test_bench_json_contract():
     assert summary["calibration_stamps_sec"] == cal["stamps_sec"]
     assert summary["calibration_throughput_stamps_sec"] == cal["throughput_stamps_sec"]
     assert summary["contended"] == cal["contended"]
+    assert summary["value_min"] == full["value_min"]
+    assert summary["heavy_total_min"] == full["heavy"]["value_min"]
 
 
 def test_bench_degenerate_slice_keeps_stamp_shape():
