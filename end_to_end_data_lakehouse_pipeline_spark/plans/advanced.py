@@ -1225,16 +1225,26 @@ def build_label_propagation_communities(
     labels = arcs.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
     for _ in range(LPA_ROUNDS):
         neigh = arcs.join(
             labels.select(F.col("node").alias("dst"), "lab"), "dst"
         ).select(F.col("src").alias("node"), "lab")
         counts = neigh.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        # r12 OPTIMIZATION (guide §2.3 "aggregate before you shuffle"):
+        # the per-node winner as an AGGREGATE, not a window. min over the
+        # (-c, lab) struct is exactly ORDER BY c DESC, lab ASC LIMIT 1
+        # (c ≥ 1 so the negation is total-order-preserving), and a hash
+        # aggregate gets map-side partial aggregation + no Sort, where
+        # the row_number window needed a full sort of the counts table
+        # per round × 3 unrolled rounds.
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
+            counts.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias(
+                    "m"
+                )
+            )
+            .select("node", F.col("m.lab").alias("lab"))
         )
     return (
         labels.groupBy(F.col("lab").alias("community"))

@@ -82,8 +82,17 @@ def build_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("total_qty"),
         exact_sum("l_extendedprice", "gross_revenue"),
         exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "net_revenue"),
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        # r12 OPTIMIZATION (guide §2.3/§2.4): COUNT(DISTINCT) via a
+        # bounded collect_set instead of the multi-distinct rewrite. Two
+        # distinct aggs mixed with non-distinct ones made Catalyst Expand
+        # every lineitem row 3× into the shuffle (2 Exchanges + 4
+        # HashAggregates — plans/r12/orders_enriched_before.txt). The
+        # per-order distinct domain is bounded by items-per-order (≤7 in
+        # the TPC-H data model at ANY scale factor), so the per-group set
+        # buffer is O(1) and one partial+final hash agg on l_orderkey
+        # suffices. size() yields INT; the cast keeps the oracle's BIGINT.
+        F.size(F.collect_set("l_partkey")).cast("long").alias("distinct_parts"),
+        F.size(F.collect_set("l_suppkey")).cast("long").alias("distinct_suppliers"),
     )
 
     return (

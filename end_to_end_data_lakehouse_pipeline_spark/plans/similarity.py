@@ -778,8 +778,6 @@ FROM {final} WHERE rn = 1
 
 
 def build_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = spread(table(spark, sf_dir, "embeddings"), spark)
     q = emb.select("vec_id", quantized().alias("qa")).persist()
     q.count()
@@ -789,23 +787,53 @@ def build_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(i, list(r.qa)) for i, r in enumerate(seeds)]
 
     def assign(cent):
-        cent_df = F.broadcast(
-            spark.createDataFrame(cent, ["cluster", "ca"]).withColumn(
-                "ca", F.col("ca").cast("array<long>")
+        # r12 OPTIMIZATION (guide §2.4 "remove shuffles outright"): the
+        # centroids live on the DRIVER, so the argmin over K=8 of them is
+        # a pure map-side projection — the K distances as a literal
+        # array<struct<dist_sq,cluster>> and array_min's lexicographic
+        # (dist_sq, cluster) ordering == the previous orderBy(dist asc,
+        # cluster asc) row_number()==1 winner, tie-break included. The
+        # old shape (crossJoin(broadcast centroids) + row_number window)
+        # shuffled AND sorted K×N rows per assign — one Exchange + two
+        # sorts × 4 assigns per run (see
+        # plans/r12/kmeans_embeddings_before.txt) for work that needs no
+        # data movement at all. Exact same integer arithmetic on the
+        # same quantized grid.
+        def dist_to(ca):
+            # one F.expr per centroid, not one F.lit per element: 512
+            # py4j round-trips per assign cost 1.4-2.7 s of pure DRIVER
+            # time per iteration (measured — the first cut of this
+            # rewrite was slower end-to-end for exactly that reason);
+            # the SQL-text array literal is a single lazy call.
+            lit_arr = F.expr(
+                "array(" + ",".join(f"{int(v)}L" for v in ca) + ")"
             )
-        )
-        dist = F.aggregate(
-            F.zip_with("qa", "ca", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        w = W.partitionBy("vec_id").orderBy(dist.asc(), F.col("cluster").asc())
+            return F.aggregate(
+                F.zip_with("qa", lit_arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        # Distance ARRAY in its own projection so the 8 interpreted
+        # folds evaluate once per row (CollapseProject keeps the
+        # non-cheap producer separate — verified in the plan: 8
+        # `aggregate(zip_with` occurrences, not 16); the argmin is then
+        # array_min + array_position over 8 longs, whose first-match
+        # semantics IS the lowest-cluster tie-break (centroid list is
+        # ordered 0..K-1).
+        assert [k for k, _ in cent] == list(range(len(cent)))  # position == id
+        da = F.array(*[dist_to(ca) for _k, ca in cent])
+        m = F.array_min(F.col("da"))
         return (
-            q.crossJoin(cent_df)
-            .withColumn("dist_sq", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "qa", "cluster", "dist_sq")
+            q.withColumn("da", da)
+            .select(
+                "vec_id",
+                "qa",
+                (F.array_position(F.col("da"), m) - 1)
+                .cast("long")
+                .alias("cluster"),
+                m.alias("dist_sq"),
+            )
         )
 
     for _ in range(KMEANS_ITERS):
