@@ -923,7 +923,9 @@ def streaming_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFram
     sessions = streaming_sessions(
         events, gap=f"{_GAP_MINUTES} minutes", watermark=_SW_WATERMARK
     )
-    out = _drain_to_parquet(sessions, "session_window", min_batches=_N_SPLITS)
+    out = _drain_to_parquet(
+        sessions, "session_window", min_batches=_N_SPLITS, state_partitions=8
+    )
     return out.select(
         "user_id",
         "session_start",
@@ -994,7 +996,10 @@ def streaming_running_totals_drain(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     out = _drain_to_parquet(
-        running_user_totals(events), "running_totals", min_batches=_N_SPLITS
+        running_user_totals(events),
+        "running_totals",
+        min_batches=_N_SPLITS,
+        state_partitions=8,
     )
     return out.orderBy("user_id", "update_seq")
 
@@ -1302,7 +1307,9 @@ def streaming_watermark_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFra
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
     )
-    return _drain_to_parquet(out, "wm_dedup", min_batches=_N_SPLITS)
+    return _drain_to_parquet(
+        out, "wm_dedup", min_batches=_N_SPLITS, state_partitions=8
+    )
 
 
 register(
