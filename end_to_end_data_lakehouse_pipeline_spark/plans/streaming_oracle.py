@@ -189,7 +189,11 @@ _LIVE_VIEWS: dict[str, str] = {}
 
 
 def _drain_to_memory(
-    df: DataFrame, output_mode: str, tag: str, min_batches: int = 1
+    df: DataFrame,
+    output_mode: str,
+    tag: str,
+    min_batches: int = 1,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """availableNow drain into a memory sink; returns the sink table
     directly (a memory sink is driver-resident by nature, and the only
@@ -197,7 +201,11 @@ def _drain_to_memory(
     driver-fetch shape). Per-tag housekeeping mirrors workspace.py:
     the previous invocation's view is dropped, the checkpoint lives in a
     session-scoped dir, so repeat loops (bench REPEATS, diffcheck) hold
-    at most one sink per drive."""
+    at most one sink per drive.
+
+    ``state_partitions`` — same per-stream state-store sizing knob as
+    :func:`_drain_to_parquet` (streaming plans get no AQE coalescing,
+    so the session default would pin data-free state machinery wide)."""
     spark = df.sparkSession
     prev = _LIVE_VIEWS.pop(tag, None)
     if prev:
@@ -207,15 +215,21 @@ def _drain_to_memory(
             pass
     name = f"{tag}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(session_dir(f"{tag}_ck"), "ckpt")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _assert_multibatch(ckpt, min_batches)
     _LIVE_VIEWS[tag] = name
     return spark.table(name)
@@ -293,7 +307,10 @@ def streaming_daily_sales_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_cents", F.round(F.col("value") * 100, 0).cast("long")
     )
     daily = streaming_daily_sales(events, value_col="value_cents")
-    out = _drain_to_memory(daily, "complete", "daily_sales", min_batches=_N_SPLITS)
+    out = _drain_to_memory(
+        daily, "complete", "daily_sales", min_batches=_N_SPLITS,
+        state_partitions=8,
+    )
     return out.select(
         "day",
         "n_events",
@@ -457,8 +474,20 @@ def streaming_scd2_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="tier",
     )
     ckpt = os.path.join(ws, "ckpt")
-    q = sink.sink(changes, checkpoint_path=ckpt)
-    q.awaitTermination()
+    # Same per-stream partition sizing as _drain_to_parquet's
+    # state_partitions, applied around the foreachBatch drive: the
+    # sink's within-batch jobs (touched-key interval recompute, bucket
+    # rewrites) derive from the streaming source, so AQE never coalesces
+    # them and the session default would run micro-batch-sized shuffles
+    # 32 wide. The dimension is a pure function of bronze contents
+    # (recompute-from-bronze), so partition count cannot change it.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = sink.sink(changes, checkpoint_path=ckpt)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _assert_multibatch(ckpt)
     return sink.read_dim()
 
