@@ -734,6 +734,12 @@ def build_copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("n") >= TRIANGLE_SUPPORT)
         .select("pa", "pb")
     )
+    # NOTE (r12, measured and rejected): the edge set is referenced FOUR
+    # times below (e1/e2/e3 + n_edges) and the plan shows 8 lineitem
+    # scans — but single-slot-persisting edges measured 1.7x SLOWER at
+    # sf0.1 (5-pass clean-window medians 2.36 -> 4.08 s) and no better
+    # at 10x: the support-pruned recompute is cheap next to the cache
+    # write + read traffic of the pair table. Left uncached.
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -812,6 +818,11 @@ def build_term_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # vocab is a bounded top-K (constant size by construction) — the one
     # case where an explicit broadcast is size-safe at any corpus scale.
+    # NOTE (r12, measured and rejected): single-slot-persisting docterm
+    # (three consumers, 9 documents scans in one plan) measured 1.9x
+    # SLOWER at sf0.1 and a wash (0.93) at 10x — the tokenize+explode
+    # recompute is cheaper than the persist's materialize job + cache
+    # traffic at every decade the bench reaches. Left uncached.
     docterm = tok.join(F.broadcast(vocab), "term").select("doc_id", "term").distinct()
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     marg = docterm.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -102,6 +102,11 @@ def build_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = tok.mapInPandas(mg_partition_fn(MG_CAP), schema="term string").distinct()
     # Phase 2: exact recount of candidates only. The candidate set is
     # bounded by construction -> broadcast is size-safe at any scale.
+    # NOTE (r12, measured and rejected): replacing the two recount
+    # passes with a single-slot-persisted full term-frequency table
+    # measured 1.9x SLOWER at sf0.1 and 2.4x at 10x — the full-vocabulary
+    # aggregate + cache round-trip costs more than two cheap tokenize
+    # passes (one of which is a broadcast-semi-joined recount).
     tot = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
     counted = (
         tok.join(F.broadcast(cand), "term")
@@ -185,6 +190,13 @@ def build_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("term").over(wdoc).alias("w2"),
     ).filter(F.col("w2").isNotNull())
     vocab = e.agg(F.countDistinct("term").alias("v"))
+    # NOTE (r12, measured and rejected): restructuring around a
+    # single-slot-persisted per-doc bigram tally (c1 derived from c2,
+    # scoring join on distinct per-doc bigrams with multiplicity)
+    # measured 2.2x SLOWER at sf0.1 and 1.4x at 10x — within-doc bigrams
+    # are nearly all distinct in this corpus, so the tally is
+    # instance-sized and the extra aggregate + cache round-trip buys
+    # nothing. Kept in the original 3-reference shape.
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
     # The count tables grow with the corpus -> shuffle joins on the bigram

@@ -2226,6 +2226,14 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS)
         .alias("b"),
     )
+    # NOTE (r12, measured and rejected): restructuring this around a
+    # single-slot-persisted doc_b (rc derived from it by integer
+    # identity, cutting the five bigram-explode references to two scans)
+    # measured SLOWER at sf0.1 (1.3-1.5x) AND at 10x (1.5x) — this
+    # corpus's tokenize pass is cheaper than the persist's materialize
+    # job + cache traffic at every decade the bench reaches. Kept as-is;
+    # the restructure is the right shape only when a tokenize pass costs
+    # more than a cache round-trip.
     tc = (
         e.filter(F.col("source") == BENCH_SOURCE)
         .groupBy("b")

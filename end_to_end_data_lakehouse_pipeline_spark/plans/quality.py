@@ -1009,6 +1009,8 @@ register(
 
 MAD_K = 3
 
+_MAD_D_CACHE: list[DataFrame] = []
+
 MAD_OUTLIERS_ORACLE = f"""
 WITH d AS (
     SELECT doc_id, source,
@@ -1058,8 +1060,18 @@ def build_mad_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = spread(table(spark, sf_dir, "documents"), spark)
-    d = docs.select(
-        "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+    # d (doc_id, source, n_tokens) feeds FOUR paths (median tallies, dev,
+    # MAD tallies, the final outlier join); uncached, each re-runs the
+    # tokenizer over the full text (4 documents scans in one plan).
+    # Three narrow columns per doc — far smaller than the corpus —
+    # single-slot persisted, materialized for the multi-branch final job.
+    from .workspace import single_slot_persist
+
+    d = single_slot_persist(
+        _MAD_D_CACHE,
+        docs.select(
+            "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+        ),
     )
 
     # VERDICT r9 task 1: the original per-source row_number window put

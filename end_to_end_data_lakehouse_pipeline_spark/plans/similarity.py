@@ -1618,6 +1618,8 @@ register(
 SEMDEDUP_THRESHOLD = PAIR_THRESHOLD  # share the family's near-dup bar
 CLUSTER_PAIR_CAP = 200
 
+_SEMDEDUP_M_CACHE: list[DataFrame] = []
+
 
 def build_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1647,6 +1649,21 @@ def build_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
                 ).cast("long"),
             ),
         ),
+    )
+    # m feeds THREE consumers (both sides of the within-cell pair join +
+    # the final labeling); uncached, each re-runs the k-means assignment
+    # and the quantize/ssq projection from the scan (6 embeddings scans
+    # in one plan). Row-per-vector with fixed-width payload ->
+    # single-slot persist (MEMORY_AND_DISK: evictable, degrades to
+    # recompute), materialized for the self-join branches.
+    from pyspark import StorageLevel
+
+    from .workspace import single_slot_persist
+
+    m = single_slot_persist(
+        _SEMDEDUP_M_CACHE,
+        m,
+        level=StorageLevel.MEMORY_AND_DISK,
     )
     a = m.select(
         "cell",

@@ -96,6 +96,11 @@ def build_countmin_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(tokens_col()).alias("t")).select(
         F.lower("t").alias("term")
     )
+    # NOTE (r12, measured and rejected): single-slot-persisting wc (it
+    # feeds three consumers, each re-running tokenize+explode) measured
+    # SLOWER at sf0.1 (1.2x) and 10x (1.55x) — the tokenize pass is
+    # cheaper than the persist's materialize job at every decade the
+    # bench reaches. Left uncached.
     wc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
 
     # Sketch: D (row, bucket) cells per distinct term, summed. posexplode of a

@@ -48,6 +48,26 @@ from .text import _sql_tokens, tokens_col
 
 SPAN_K = 5  # tokens per span gram (testdata docs are short; prod ~50)
 
+# Single-slot cache for span_dedup_rewrite's gram-instance table: the
+# tokenize + pos_grams + md5 gram-id projection is its expensive
+# subtree, referenced THREE times (the grams aggregate + both rep
+# consumers). Measured r12: 0.91x at sf0.1 AND at 10x in clean 5-pass
+# windows. duplicate_span_coverage references g only twice and measured
+# WORSE cached — it stays uncached (note at its builder).
+# MEMORY_AND_DISK: the table is gram-instance-sized, so eviction
+# degrades to recompute, never OOM.
+_SPAN_G_CACHE: list[DataFrame] = []
+
+
+def _cache_span_grams(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from .workspace import single_slot_persist
+
+    return single_slot_persist(
+        _SPAN_G_CACHE, df, level=StorageLevel.MEMORY_AND_DISK
+    )
+
 
 def pos_grams_col(toks: Column, k: int = SPAN_K) -> Column:
     """POSITIONAL k-gram array: element i (0-based) is the gram starting
@@ -119,6 +139,13 @@ FROM t LEFT JOIN covn ON t.doc_id = covn.doc_id
 def build_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
     base = docs.select("doc_id", tokens_col().alias("toks"))
+    # NOTE (r12, measured and rejected): single-slot-persisting g here
+    # (it is referenced twice: rep mining + coverage join) measured 1.13x
+    # SLOWER at sf0.1 and a wash (0.97) at 10x in clean 5-pass windows —
+    # with only two references, the gram-instance cache's write+read
+    # traffic costs more than one recompute. Contrast span_dedup_rewrite
+    # below, where g feeds THREE consumers and the same cache wins at
+    # both scales.
     g = base.select(
         "doc_id", F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram")
     ).select("doc_id", "pos0", gram_id_col(F.col("gram")).alias("gid"))
@@ -391,12 +418,15 @@ LEFT JOIN (
 def build_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"), spark)
     base = docs.select("doc_id", tokens_col().alias("toks"))
-    g = base.select(
-        "doc_id", F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        gram_id_col(F.col("gram")).alias("gid"),
+    g = _cache_span_grams(
+        base.select(
+            "doc_id",
+            F.posexplode(pos_grams_col(F.col("toks"))).alias("pos0", "gram"),
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            gram_id_col(F.col("gram")).alias("gid"),
+        )
     )
     # per-gram instance count + canonical first occurrence as ONE
     # map-side-combinable aggregate (no per-gram window: a degenerate
