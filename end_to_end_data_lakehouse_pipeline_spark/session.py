@@ -50,6 +50,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE (r12, measured and rejected): preferSortMergeJoin=false
+        # (guide §3.1/§9's shuffled-hash preference) measured as a no-op
+        # here — at bench scale AQE runtime-replans every SMJ-bearing
+        # join to BroadcastHashJoin regardless (executed-plan probes:
+        # LPA 21 BHJ / 0 SMJ, ngram-jaccard 16 BHJ), and an A/B that
+        # looked like a 0.65-0.96x win inverted symmetrically when the
+        # within-pass run order was flipped — pure back-to-back warm-run
+        # bias, a protocol trap now recorded in OPTIMIZATION_r12.md.
+        # Kept at the Spark default; revisit only with a cluster-scale
+        # measurement where build sides exceed the broadcast threshold.
         # testdata read confs (catalog.ensure_read_confs pins the same two
         # at read time for driver-provided vanilla sessions)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
