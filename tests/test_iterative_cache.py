@@ -146,3 +146,36 @@ def test_contam_sig_cache_is_single_slot(spark):
         build_contamination_minhash(spark, SF_DIR).collect()
     assert _persisted(spark) - base <= 1
     _drop_all_caches(spark)
+
+
+def test_r12_shared_subtree_caches_are_single_slot(spark):
+    """Round-12 shared-subtree persists (semdedup's m, span_dedup_rewrite's
+    gram table, mad_length_outliers' count table): each query's repeated
+    runs must hold at most ONE working-set table — the single-slot evict-
+    then-persist contract — and the cached plan must actually consume the
+    cache (InMemoryTableScan present), or the 6->2 / 6->3 / 4->1 scan
+    reductions silently regress to full recompute."""
+    from end_to_end_data_lakehouse_pipeline_spark.plans.quality import (
+        build_mad_length_outliers,
+    )
+    from end_to_end_data_lakehouse_pipeline_spark.plans.similarity import (
+        build_dedup_semantic_clusters,
+    )
+    from end_to_end_data_lakehouse_pipeline_spark.plans.spans import (
+        build_span_dedup_rewrite,
+    )
+
+    for builder in (
+        build_dedup_semantic_clusters,
+        build_span_dedup_rewrite,
+        build_mad_length_outliers,
+    ):
+        _drop_all_caches(spark)
+        base = _persisted(spark)
+        for _ in range(2):
+            df = builder(spark, SF_DIR)
+            df.collect()
+        assert _persisted(spark) - base <= 1, builder.__name__
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, builder.__name__
+        _drop_all_caches(spark)
