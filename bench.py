@@ -413,6 +413,11 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf_val,
         "summary": True,
+        # VERDICT r12 task 2: the driver parses the LAST line, and two
+        # rounds of per-query ground truth were lost because the dict
+        # lived only on the (tail-truncated) first line. Carry the full
+        # per-query timings here too — additive, ~5 KB, still one line.
+        "queries": timings,
         "calibration_stamps_sec": calibration,
         "calibration_throughput_stamps_sec": calibration_tp,
         "contended": out["calibration"]["contended"],
@@ -421,6 +426,7 @@ def main() -> None:
         summary["heavy_total"] = out["heavy"]["value"]
         summary["heavy_total_min"] = out["heavy"]["value_min"]
         summary["n_heavy"] = len(heavy_timings)
+        summary["heavy"] = {"queries": heavy_timings}
     print(json.dumps(summary))
     spark.stop()
 

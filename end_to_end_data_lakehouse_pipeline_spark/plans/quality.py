@@ -1064,7 +1064,10 @@ def build_mad_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MAD tallies, the final outlier join); uncached, each re-runs the
     # tokenizer over the full text (4 documents scans in one plan).
     # Three narrow columns per doc — far smaller than the corpus —
-    # single-slot persisted, materialized for the multi-branch final job.
+    # single-slot persisted LAZILY (eager materialize measured worse,
+    # r12). Measured evidence (r12): ~0.92x at sf0.1 but a WASH at 10x
+    # (1.06x) — kept on the structural ground that the regexp tokenizer
+    # provably runs once; re-evaluate rather than treat as a clean win.
     from .workspace import single_slot_persist
 
     d = single_slot_persist(

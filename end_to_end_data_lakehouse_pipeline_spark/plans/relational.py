@@ -72,7 +72,16 @@ def build_projection_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "projection_cast_rename",
     oracle=PROJECTION_ORACLE,
-    doc="Typed projection: casts, aliases, string fns (P1/P9, streaming_bronze.py:80-89).",
+    doc="Typed projection: casts, aliases, string fns (P1/P9, "
+    "streaming_bronze.py:80-89). DECLARED SCHEMA CHANGE (round 12, "
+    "commit 7478a5e, acknowledged VERDICT r12 task 7): column "
+    "`cust_key_int` = CAST(o_custkey AS INT) was replaced by "
+    "`cust_key_bucket` = CAST(o_custkey % 1000 AS INT) — the raw-key "
+    "narrowing cast silently overflows once key domains pass 2^31 "
+    "(caught by the 100x key-remap rehearsal), so the demo buckets "
+    "before narrowing. Oracle changed in lockstep; this is also the "
+    "bench's latency-calibration probe, whose stamp plan changed "
+    "trivially (pmod vs cast) at the same commit.",
     tags=("relational", "projection"),
 )(build_projection_cast_rename)
 

@@ -1654,17 +1654,13 @@ def build_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     # the final labeling); uncached, each re-runs the k-means assignment
     # and the quantize/ssq projection from the scan (6 embeddings scans
     # in one plan). Row-per-vector with fixed-width payload ->
-    # single-slot persist (MEMORY_AND_DISK: evictable, degrades to
-    # recompute), materialized for the self-join branches.
-    from pyspark import StorageLevel
-
+    # single-slot persist at the helper's default level (evictable,
+    # degrades to recompute), LAZILY — eager materialize measured
+    # strictly worse in r12, so on a cold run the two self-join map
+    # stages may each compute the subtree once before the cache fills.
     from .workspace import single_slot_persist
 
-    m = single_slot_persist(
-        _SEMDEDUP_M_CACHE,
-        m,
-        level=StorageLevel.MEMORY_AND_DISK,
-    )
+    m = single_slot_persist(_SEMDEDUP_M_CACHE, m)
     a = m.select(
         "cell",
         F.col("vec_id").alias("vec1"),

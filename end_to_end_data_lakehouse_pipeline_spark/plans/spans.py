@@ -54,19 +54,18 @@ SPAN_K = 5  # tokens per span gram (testdata docs are short; prod ~50)
 # consumers). Measured r12: 0.91x at sf0.1 AND at 10x in clean 5-pass
 # windows. duplicate_span_coverage references g only twice and measured
 # WORSE cached — it stays uncached (note at its builder).
-# MEMORY_AND_DISK: the table is gram-instance-sized, so eviction
+# Helper-default storage level (MEMORY_AND_DISK_DESER, the no-arg
+# persist() default — ADVICE r12: the explicit MEMORY_AND_DISK constant
+# is the SERIALIZED variant and silently differed from the other
+# single-slot caches): the table is gram-instance-sized, so eviction
 # degrades to recompute, never OOM.
 _SPAN_G_CACHE: list[DataFrame] = []
 
 
 def _cache_span_grams(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
     from .workspace import single_slot_persist
 
-    return single_slot_persist(
-        _SPAN_G_CACHE, df, level=StorageLevel.MEMORY_AND_DISK
-    )
+    return single_slot_persist(_SPAN_G_CACHE, df)
 
 
 def pos_grams_col(toks: Column, k: int = SPAN_K) -> Column:

@@ -181,12 +181,16 @@ def test_gumbel_resample_uses_take_ordered(spark):
     assert "lr_q" not in plan or "BroadcastExchange" in plan  # bucket table broadcast
 
 
-def test_kmeans_assign_broadcasts_centroids(spark):
-    """The Lloyd assignment must broadcast the K-row centroid table —
-    a shuffled join here would shuffle the corpus once per iteration."""
+def test_kmeans_assign_is_mapside_argmin(spark):
+    """The Lloyd assignment is a pure map-side argmin over driver-held
+    centroid literals (r12 rewrite, similarity.py): there is NO join of
+    any kind in the plan — a shuffled join here would shuffle the corpus
+    once per iteration, and even the old broadcast crossJoin
+    materialized K x N rows plus a row_number window."""
     plan = _plan(spark, "kmeans_embeddings")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan  # covers SortMerge/BroadcastHash/BNLJ
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
 
 
 def test_waterfill_scan_is_aggregated_before_windows(spark):

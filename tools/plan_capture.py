@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Capture `.explain("formatted")` for bench-tier queries into plans/r12/.
+"""Capture `.explain("formatted")` for bench-tier queries into plans/<round>/ (default r13).
 
 Usage:
     python tools/plan_capture.py <out_suffix> [query,query,...]
 
-Writes plans/r12/<query>_<out_suffix>.txt for every headline + heavy query
+Writes plans/<round>/<query>_<out_suffix>.txt for every headline + heavy query
 (or the given subset). Planning only — no jobs run — so this is cheap and
-safe to run alongside other work. The round-12 judge checks plan claims
+safe to run alongside other work. The judge checks plan claims
 (Exchange counts, join strategies, PushedFilters) against these files.
 """
 
@@ -22,7 +22,7 @@ from end_to_end_data_lakehouse_pipeline_spark import plans, session  # noqa: E40
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
 )
 
 
