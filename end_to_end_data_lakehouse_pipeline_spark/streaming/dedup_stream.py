@@ -33,8 +33,13 @@ written WITH their (fp, sh) columns at admission, and each micro-batch
 reads the index back instead of re-deriving it over the whole corpus
 (O(N) shingle work total instead of O(N x batches); measured 22 -> 16 s
 on the 3-batch sf0.1 drain, which is task-overhead-bound locally — the
-structural win is the removed corpus-sized recompute per batch). Un-indexed seed corpora are computed on
-read (NULL-coalesce after the schema merge). At 100 TB the next step is
+structural win is the removed corpus-sized recompute per batch).
+Un-indexed seed corpora are computed on read. r13 (VERDICT r12 task 5):
+the per-batch corpus read projects ONLY (doc_id, fp, sh) — the gate
+never touches corpus text, so the scan's ReadSchema excludes the
+corpus' widest column instead of reading + caching the full payload
+every micro-batch; what each batch re-reads is the compact fingerprint/
+shingle-signature index, not the corpus. At 100 TB the next step is
 bucketing that index by band-key so the per-batch candidate join prunes
 file-level, not just row-level.
 
@@ -96,34 +101,46 @@ def _read_corpus(
     if not os.path.exists(corpus_path):
         return None
     excluded = None if exclude_batch_id is None else f"batch_{exclude_batch_id}"
-    paths = []
+    batch_dirs: list[str] = []
+    seed_files: list[str] = []
     for entry in sorted(os.listdir(corpus_path)):
         full = os.path.join(corpus_path, entry)
         if os.path.isdir(full):
             if entry.startswith("batch_") and entry != excluded:
-                paths.append(full)
+                batch_dirs.append(full)
         elif entry.endswith(".parquet"):  # seed-corpus part files
-            paths.append(full)
-    if not paths:
+            seed_files.append(full)
+    if not batch_dirs and not seed_files:
         return None
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    if "fp" in df.columns and "sh" in df.columns:
-        # admitted batches persist their index columns (fp, sh) — the
-        # shingle/fingerprint work is done ONCE per doc at admission, so
-        # each micro-batch reads the index instead of recomputing it over
-        # the whole corpus (O(N) total instead of O(N x batches) — at
-        # 100 TB the recompute is the whole job). Un-indexed seed rows
-        # (NULL after the schema merge) are computed on read.
-        return df.select(
-            "doc_id",
-            "text",
-            F.coalesce(F.col("fp"), fp_col()).alias("fp"),
-            F.coalesce(
-                F.col("sh"), shingles_col(tokens_col())
-            ).alias("sh"),
+    # r13 (VERDICT r12 task 5, guide §2.3 "shuffle keys and metadata
+    # instead of payloads" / §6 column pruning): the gate consumes ONLY
+    # (doc_id, fp, sh) from the corpus — the exact leg joins on fp, the
+    # near leg on sh; corpus text is never touched. Admitted batch dirs
+    # are therefore read WITHOUT the text column, so the per-batch
+    # corpus read skips the corpus' widest column at the parquet scan
+    # (ReadSchema excludes text) instead of reading + caching the full
+    # payload every micro-batch. gate_batch always persists fp/sh at
+    # admission (survivors carry them by construction), so no
+    # compute-on-read fallback is needed for batch dirs; the old
+    # coalesce fallback forced text into the scan for every row.
+    parts: list[DataFrame] = []
+    if batch_dirs:
+        df = spark.read.option("mergeSchema", "true").parquet(*batch_dirs)
+        if "fp" in df.columns and "sh" in df.columns:
+            parts.append(df.select("doc_id", "fp", "sh"))
+        else:  # pre-index dirs written by older layouts: compute on read
+            parts.append(
+                _prep(df.select("doc_id", "text")).select("doc_id", "fp", "sh")
+            )
+    if seed_files:  # seed corpora are raw (doc_id, text): index on read
+        seed = spark.read.parquet(*seed_files)
+        parts.append(
+            _prep(seed.select("doc_id", "text")).select("doc_id", "fp", "sh")
         )
-    # pre-index corpora (seed dirs written by older runs): compute on read
-    return _prep(df.select("doc_id", "text"))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def gate_batch(
@@ -137,6 +154,19 @@ def gate_batch(
     if batch_df.isEmpty():  # empty-batch skip (same contract as bronze)
         return
     spark = batch_df.sparkSession
+    # r13 (guide §6 output sizing + §2.2): plans derived from a streaming
+    # source get NO AQE partition coalescing, so every sink below would
+    # write one file per shuffle partition — dozens of near-empty files
+    # per micro-batch for row counts bounded by the batch itself (the
+    # small-files antipattern at any scale, and measured 2-4 s of pure
+    # task dispatch per write locally). Both outputs (audit matches,
+    # survivors) are subsets of the incoming batch, so the batch's OWN
+    # input partition count is the scale-adaptive file budget: one
+    # trigger's worth of data stays at roughly the input's bytes-per-file
+    # whether the batch is one local file or thousands of cluster splits.
+    # repartition (not coalesce) so upstream join/verify stages keep
+    # their full reduce parallelism — only the written rows move.
+    n_out = max(1, batch_df.rdd.getNumPartitions())
     prof: dict | None = None
     if PROFILE is not None:
         prof = {"batch_id": batch_id}
@@ -192,7 +222,7 @@ def gate_batch(
                     # measure IO + survivors compute, not gate recompute
                     _timed(prof, "matches_fill_cache_sec", matches.count)
                     t0 = time.perf_counter()
-                matches.write.mode("overwrite").parquet(
+                matches.repartition(n_out).write.mode("overwrite").parquet(
                     os.path.join(matches_path, f"batch_{batch_id}")
                 )
                 if prof is not None:
@@ -203,9 +233,11 @@ def gate_batch(
                     "doc_id",
                     "left_anti",
                 )
-                survivors.select("doc_id", "text", "fp", "sh").write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(corpus_path, f"batch_{batch_id}"))
+                survivors.select("doc_id", "text", "fp", "sh").repartition(
+                    n_out
+                ).write.mode("overwrite").parquet(
+                    os.path.join(corpus_path, f"batch_{batch_id}")
+                )
                 if prof is not None:
                     prof["write_sec"] = round(time.perf_counter() - t0, 3)
             finally:
@@ -214,7 +246,9 @@ def gate_batch(
         else:
             if prof is not None:
                 t0 = time.perf_counter()
-            batch.select("doc_id", "text", "fp", "sh").write.mode("overwrite").parquet(
+            batch.select("doc_id", "text", "fp", "sh").repartition(
+                n_out
+            ).write.mode("overwrite").parquet(
                 os.path.join(corpus_path, f"batch_{batch_id}")
             )
             if prof is not None:
