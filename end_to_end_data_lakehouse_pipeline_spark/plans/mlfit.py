@@ -110,7 +110,22 @@ def _det5_sql(cell) -> str:
 
 
 def _feature_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, y, x0..x4) with x_i quantized to the 1e-6 grid (long)."""
+    """(doc_id, y, x0..x4, xx_i_j) with x_i quantized to the 1e-6 grid
+    (long) and the 15 ROUND-INVARIANT pair products xx_i_j =
+    CAST(x_i AS DEC38)*CAST(x_j AS DEC38) precomputed once.
+
+    r13 (VERDICT r12 task 6, guide §1.2 "per-task work"): each IRLS
+    round's Hessian sums previously recomputed every x_i*x_j decimal
+    product from the longs — 4 rounds x 15 products x 2 casts per row,
+    and 15 copies of the full cast tree in every round's plan. The
+    products don't depend on beta, so they belong in the checkpointed
+    table: per round the h-terms shrink to sum(xx_i_j * wq_dec) — one
+    decimal multiply per term and a much smaller expression tree to
+    analyze/compile per round (the measured per-round cost at bench
+    scale is plan compilation, not arithmetic — an empty-table round
+    costs the same as a 5,000-row one). Identical integer values by
+    construction (exact decimal products, computed once instead of 4x),
+    so the oracle trajectory is untouched."""
     t = docs.select(
         "doc_id",
         (F.col("lang") == "en").cast("int").alias("y"),
@@ -129,7 +144,14 @@ def _feature_table(docs: DataFrame) -> DataFrame:
     qcols = [
         F.round(c * Q).cast("long").alias(f"x{i}") for i, c in enumerate(feats)
     ]
-    return t.select("doc_id", "y", *qcols)
+    q = t.select("doc_id", "y", *qcols)
+    dec = "decimal(38,0)"
+    xx = [
+        (F.col(f"x{i}").cast(dec) * F.col(f"x{j}").cast(dec)).alias(f"xx_{i}_{j}")
+        for i in range(D)
+        for j in range(i, D)
+    ]
+    return q.select("doc_id", "y", *[f"x{i}" for i in range(D)], *xx)
 
 
 def fit_logit_irls(
@@ -156,14 +178,24 @@ def fit_logit_irls(
         w = p * (F.lit(1.0) - p)
         pq = F.round(p * Q).cast("long")
         wq = F.round(w * Q).cast("long")
+        # h-terms consume the precomputed round-invariant xx_i_j products
+        # (see _feature_table, r13): one decimal multiply per term per
+        # round instead of recomputing both casts and the product — the
+        # SAME exact integers, summed exactly. A two-level long-partial/
+        # decimal-final rewrite was MEASURED AND REJECTED this round: an
+        # empty-table round costs the same as a full one at bench scale
+        # (plan compilation dominates, not decimal arithmetic), so the
+        # rewrite would risk the long-overflow exactness contract for no
+        # measurable gain. Also rejected by measurement: beta as a
+        # broadcast 1-row parameter table (codegen-cache reuse lost to
+        # the per-round BroadcastExchange, 2.3 -> 3.9 s warm) and a
+        # projected wq/resid pre-select (CollapseProject re-inlines it).
+        wqd = wq.cast(dec)
         aggs = []
         for i in range(D):
             for j in range(i, D):
                 aggs.append(
-                    F.sum(
-                        (F.col(f"x{i}").cast(dec) * F.col(f"x{j}").cast(dec))
-                        * wq.cast(dec)
-                    ).alias(f"h_{i}_{j}")
+                    F.sum(F.col(f"xx_{i}_{j}") * wqd).alias(f"h_{i}_{j}")
                 )
             aggs.append(
                 F.sum(
