@@ -25,6 +25,24 @@ from .registry import register
 
 # ---------------------------------------------------------------------------
 # A9 — mv_daily_sales (04_materialized_views.sql:11-25) on lineitem grain.
+#
+# r13 MEASURED AND REJECTED (guide §1.1 "a fresh implementation of the
+# ideal plan is usually slower at first"): splitting the two
+# countDistincts out of this aggregate (and mv_seller_performance's and
+# mv_daily_sales_approx's exact leg) into independent no-Expand legs
+# null-safe-joined back on the group grain. The Expand does triple the
+# rows entering the widest shuffle — the 100 TB argument is real — but
+# the interleaved bench A/B at sf0.1 read the split STRICTLY SLOWER
+# (medians: daily 2.42 vs 2.04 s, seller 3.57 vs 2.73 s, approx 3.31 vs
+# 3.05 s; oracle-exact at 3 SFs before reverting): per-pass plan
+# compilation of 3 aggregation subtrees + 2 extra joins + re-scanning /
+# re-joining the fact per leg outweighs the Expand at this data size,
+# and even the 10x in-process probe was only ~1.1x in the split's
+# favor. Revisit only with a cluster-scale measurement where the
+# Expand's 3x shuffle rows dominate plan/stage fixed costs. (The fused
+# HLL+exact variant of the approx query WAS split in r12 — that one
+# measured 26x/decade pathological, a different regime: HLL sketch
+# buffers inside the Expand, megabytes per group.)
 # ---------------------------------------------------------------------------
 
 MV_DAILY_ORACLE = f"""
