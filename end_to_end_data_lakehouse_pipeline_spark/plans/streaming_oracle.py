@@ -1278,6 +1278,15 @@ def medallion_e2e_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Partition-pin A/B history (the state_partitions=8 knob other drains
+# carry): r12 measured MIXED (median 12.82 -> 11.58 s but mins worse);
+# r13 re-measured in a clean window per VERDICT r12 task 8 and got
+# MIXED AGAIN (interleaved in-process pairs, sp32 vs sp8: 7.15/6.09,
+# 5.92/5.51, 5.34/5.89 — 2/3 for the pin, within jitter). Second
+# rejection recorded; the drain stays at session defaults. The
+# composition is bronze-append + BATCH silver/gold (AQE applies to the
+# batch part already), so the pin only touches minor bronze-side
+# shuffles — consistent with a null result.
 register(
     "medallion_e2e_drain",
     oracle=MEDALLION_ORACLE,
