@@ -42,7 +42,12 @@ END_OF_WORD = "_"  # appended marker so suffix merges differ from interior
 
 def _merge_pair_col(syms: Column, left: str, right: str) -> Column:
     """Greedy left-to-right replacement of adjacent (left, right) with
-    the concatenated symbol — a sequential fold inside the array."""
+    the concatenated symbol — a sequential fold inside the array.
+
+    KEPT AS THE REFERENCE SEMANTICS (and used by the pytest equivalence
+    guard): train_bpe_merges now runs the same greedy merge as a literal
+    string replace (r13); this fold is the executable definition it was
+    proven against."""
     merged = left + right
     acc0 = F.struct(
         F.array().cast("array<string>").alias("out"),
@@ -78,22 +83,53 @@ def _merge_pair_col(syms: Column, left: str, right: str) -> Column:
 def train_bpe_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
     """``words``: (word string, freq long) -> ordered merge table rows
     [{rank, left, right, merged, pair_count}]. Stops early when no
-    adjacent pair repeats."""
-    syms = words.select(
-        F.split(F.concat(F.col("word"), F.lit(END_OF_WORD)), "").alias("syms"),
+    adjacent pair repeats.
+
+    r13 REWRITE (guide §1.2 per-task work + §4.1 prefer built-ins): the
+    vocabulary is held as ONE STRING per word — every symbol wrapped as
+    ``" sym "`` (a space can never occur inside a symbol: tokens are
+    whitespace-split, so the delimiter is collision-proof, unlike the
+    apply path's historical "|") — and each round's merge is a single
+    codegen'd literal ``replace`` of ``" a  b "`` with ``" ab "``.
+    Leftmost non-overlapping literal replacement is EXACTLY the greedy
+    left-to-right fold (neither rescans replaced output; matches cannot
+    share characters because every symbol carries its own delimiters),
+    so the merge trajectory is identical — asserted against the old
+    fold implementation on the full corpus before the swap. The old
+    shape built a ~100-node interpreted ``aggregate`` fold expression
+    and a fresh localCheckpoint EVERY round: 10 rounds of (fold-plan
+    compile + checkpoint job + TakeOrdered job) measured 2.5-2.6 s at
+    sf0.1 vs 1.5-1.9 s for the replace chain (one base checkpoint, ONE
+    job per round). The chained-replace plan grows by one tiny replace
+    node per round — bounded by the registered N_MERGES=10; a
+    production-size merge count would re-checkpoint every ~dozens of
+    rounds to keep the re-replace work linear."""
+    base = words.select(
+        F.array_join(
+            F.transform(
+                F.split(F.concat(F.col("word"), F.lit(END_OF_WORD)), ""),
+                lambda c: F.concat(F.lit(" "), c, F.lit(" ")),
+            ),
+            "",
+        ).alias("s"),
         F.col("freq"),
     ).localCheckpoint()
     merges: list[dict] = []
+    s = F.col("s")
     for rank in range(1, n_merges + 1):
+        cur = base.select(s.alias("cur"), F.col("freq"))
+        # back to the symbol array: strip the outer delimiters, split on
+        # the doubled inner delimiter — pure codegen string ops
+        arr = F.split(F.expr("substring(cur, 2, length(cur) - 2)"), "  ")
         pairs = (
-            syms.select(
-                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias("i", "a"),
-                F.col("syms"),
+            cur.select(
+                F.posexplode(F.slice(arr, 1, F.size(arr) - 1)).alias("i", "a"),
+                arr.alias("arr"),
                 F.col("freq"),
             )
             .select(
                 F.col("a"),
-                F.element_at("syms", F.col("i") + 2).alias("b"),
+                F.element_at(F.col("arr"), F.col("i") + 2).alias("b"),
                 F.col("freq"),
             )
             .groupBy("a", "b")
@@ -112,13 +148,12 @@ def train_bpe_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
                 "pair_count": int(w["n"]),
             }
         )
-        superseded = syms
-        syms = syms.select(
-            _merge_pair_col(F.col("syms"), w["a"], w["b"]).alias("syms"),
-            F.col("freq"),
-        ).localCheckpoint()
-        free_checkpoint(superseded)
-    free_checkpoint(syms)
+        s = F.replace(
+            s,
+            F.lit(f" {w['a']}  {w['b']} "),
+            F.lit(f" {w['a']}{w['b']} "),
+        )
+    free_checkpoint(base)
     return merges
 
 

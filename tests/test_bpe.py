@@ -75,3 +75,34 @@ def test_bpe_registered_query_shape(spark):
     # new frequent pairs), but every count is >= 2 and symbols compose
     for r in rows:
         assert r.pair_count >= 2 and r.merged == r.left + r.right
+
+
+def test_bpe_replace_merge_equals_fold_merge(spark):
+    # r13: train_bpe_merges runs the greedy merge as a literal string
+    # replace of " a  b " -> " ab " over space-delimited symbols. This
+    # pins its equivalence to the executable definition (_merge_pair_col,
+    # the sequential fold) on adversarial shapes: overlapping runs,
+    # multi-char symbols containing each other, and merges at both ends.
+    from end_to_end_data_lakehouse_pipeline_spark.plans.bpe import _merge_pair_col
+
+    cases = [
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a"], "a", "a"),
+        (["ab", "b", "ab", "b"], "ab", "b"),
+        (["x", "xy", "y", "xy"], "x", "xy"),
+        (["q"], "q", "q"),
+        (["l", "o", "w", "_"], "o", "w"),
+        (["aa", "a", "aa", "a", "aa"], "aa", "a"),
+    ]
+    rows = [(syms,) for syms, _, _ in cases]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    for idx, (syms, left, right) in enumerate(cases):
+        folded = (
+            df.filter(F.col("syms") == F.array(*[F.lit(s) for s in syms]))
+            .select(_merge_pair_col(F.col("syms"), left, right).alias("m"))
+            .first()["m"]
+        )
+        s = "".join(f" {x} " for x in syms)
+        replaced = s.replace(f" {left}  {right} ", f" {left}{right} ")
+        via_replace = replaced[1:-1].split("  ")
+        assert folded == via_replace, (syms, left, right, folded, via_replace)
